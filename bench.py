@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline config (BASELINE.json): 2048×2048 image × 100 kernels of 64×64,
+fp32 — the one-shot ``fft_conv`` path (≈ cudaConvolutionFFT, the reference's
+flagship entry point: data FFT + per-kernel FFT/MAC/iFFT all included).
+``vs_baseline`` is measured throughput over the HBM-bandwidth roofline for
+the same work (the north star: "HBM-bandwidth-bound speed" == 1.0).
+
+Secondary configs (reported in "detail"): the amortized path with
+precomputed kernel spectra (≈ cudaFFTData + cudaConvFFTData), the pipelined
+big-bank path (≈ cudaConvFFTDataStreams), and bf16 inputs.
+
+The reference itself publishes no numbers (SURVEY.md §6) — roofline is the
+only honest baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# v5e HBM bandwidth (GB/s); used only for the roofline denominator.
+_HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0, "v5p": 2765.0,
+             "v6e": 1640.0}
+
+
+def _device_hbm_gbps() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, bw in _HBM_GBPS.items():
+        if key in kind:
+            return bw
+    return 819.0
+
+
+def _time_fn(fn, *args, warmup=2, iters=5) -> float:
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import cuda_fft_convolution_tpu as fc
+    from cuda_fft_convolution_tpu.utils.fft_size import compute_fft_size
+
+    rng = np.random.default_rng(0)
+    H = W = 2048
+    N, KH, KW, F = 100, 64, 64, 1
+    data = jnp.asarray(rng.standard_normal((H, W, F)).astype(np.float32))
+    kernels = jnp.asarray(rng.standard_normal((N, KH, KW, F)).astype(np.float32))
+    jax.block_until_ready((data, kernels))
+
+    fft_h, fft_w = compute_fft_size(H, W, KH, KW, "fast")
+    wc = fft_w // 2 + 1
+    gpix_filters = H * W * N / 1e9
+
+    # --- headline: one-shot fft_conv (fftmap mode = raw maps, no trim copy)
+    def one_shot(d, k):
+        return fc.fft_conv(d, KH, KW, k, mode="fftmap")
+
+    t_one = _time_fn(one_shot, data, kernels)
+    v_one = gpix_filters / t_one
+
+    # --- amortized: precomputed data + kernel spectra, MAC + iFFT only
+    sd = fc.fft_data(data, KH, KW)
+    sk = fc.fft_kernels(kernels, spectral=sd)
+    jax.block_until_ready((sd.fft, sk.fft))
+    t_amort = _time_fn(lambda s, k: fc.conv_spectral(s, k), sd, sk)
+    v_amort = gpix_filters / t_amort
+
+    # --- pipelined big-bank path (chunked ≈ streams variant)
+    t_pipe = _time_fn(
+        lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16), sd, sk
+    )
+    v_pipe = gpix_filters / t_pipe
+
+    # --- bf16 inputs, fp32 spectral accumulation (BASELINE config 5)
+    t_bf16 = _time_fn(
+        one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16)
+    )
+    v_bf16 = gpix_filters / t_bf16
+
+    # --- accuracy vs float64 CPU FFT oracle on a decimated config
+    # (full 2048² f64 oracle is slow; 512²×8 kernels shares every code path)
+    dh = np.asarray(data[:512, :512, :])
+    ks = np.asarray(kernels[:8, :, :, :])
+    got = np.array(fc.fft_conv(dh, KH, KW, ks, mode="fftmap"))
+    ofh, ofw = compute_fft_size(512, 512, KH, KW, "fast")
+    err = 0.0
+    for i in range(ks.shape[0]):
+        ref = np.zeros((ofh, ofw))
+        for c in range(F):
+            ref += np.real(
+                np.fft.ifft2(
+                    np.fft.fft2(dh[:, :, c].astype(np.float64), (ofh, ofw))
+                    * np.fft.fft2(ks[i, :, :, c].astype(np.float64), (ofh, ofw))
+                )
+            )
+        err = max(err, np.max(np.abs(got[i] - ref)) / np.max(np.abs(ref)))
+
+    # --- HBM roofline for the one-shot path (minimum traffic, c64 spectra):
+    # data read + data spectrum write/read, kernel reads, bank spectra
+    # write+read, product materialize+read (FFT is a fusion barrier), real
+    # maps write. FFT-internal passes are NOT charged — this keeps the
+    # roofline an upper bound on achievable speed (so vs_baseline <= 1 means
+    # what it says).
+    c = fft_h * wc * 8  # one c64 spectrum
+    bytes_one = (
+        H * W * F * 4  # read data
+        + 2 * F * c  # write+read data spectrum
+        + N * KH * KW * F * 4  # read kernels
+        + 2 * N * F * c  # write+read bank spectra
+        + 2 * N * c  # write+read MAC product
+        + N * fft_h * fft_w * 4  # write real maps
+    )
+    roofline_one = gpix_filters / (bytes_one / (_device_hbm_gbps() * 1e9))
+
+    result = {
+        "metric": "GPix*filters/s, one-shot fft_conv, 2048^2 image x 100 64x64 kernels, fp32",
+        "value": round(v_one, 3),
+        "unit": "GPix*filters/s",
+        "vs_baseline": round(v_one / roofline_one, 4),
+        "detail": {
+            "backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind,
+            "fft_size": [fft_h, fft_w],
+            "one_shot_ms": round(t_one * 1e3, 3),
+            "amortized_GPixF_s": round(v_amort, 3),
+            "amortized_ms": round(t_amort * 1e3, 3),
+            "pipelined_GPixF_s": round(v_pipe, 3),
+            "bf16_GPixF_s": round(v_bf16, 3),
+            "hbm_roofline_GPixF_s": round(roofline_one, 3),
+            "max_rel_err_vs_f64_fft": float(f"{err:.3e}"),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

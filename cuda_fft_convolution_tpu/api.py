@@ -1,0 +1,428 @@
+"""Public API layer — TPU-native equivalent of the reference's MEX entry points.
+
+Reference parity map (SURVEY.md §2/§3):
+  - ``fft_conv``                ≈ cudaConvolutionFFT  (src/cudaConvolutionFFT.cu:27)
+  - ``fft_data``                ≈ cudaFFTData         (src/cudaFFTData.cu:18)
+  - ``conv_spectral``           ≈ cudaConvFFTData     (src/cudaConvFFTData.cu:24)
+  - ``conv_spectral_pipelined`` ≈ cudaConvFFTDataStreams (src/cudaConvFFTDataStreams.cu:121)
+  - ``fft_kernels``             — new: persistent kernel-bank spectra (the
+    reference re-FFTs kernels on every call; detection workloads with a fixed
+    bank amortize this too).
+
+API layout contract: like the reference, data is ``(H, W, F)`` channels-last
+fp32 (``src/cudaConvolutionFFT.cu:51-54`` enforces 3-D single) and kernels are
+``(Kh, Kw, F)`` — given either as a Python list (ragged sizes allowed, the
+"cell array") or as a stacked ``(N, Kh, Kw, F)`` array. A leading batch axis
+``(B, H, W, F)`` is also accepted (beyond the reference; BASELINE.json
+config 4). Internally everything is channel-leading ``(F, H, W)`` so that W
+maps to TPU lanes and FFTs batch over leading axes.
+
+Kernels may live on host (numpy) or device (jax.Array) interchangeably —
+the reference accepts both host cells and gpuArray cells
+(src/cudaConvFFTData.cu:195-225); in JAX this is free.
+
+Outputs: ``mode='fftmap'`` returns the raw (fft_h, fft_w) circular maps —
+exact reference-parity output (src/cudaConvolutionFFT.cu:284-288); 'full' /
+'same' / 'valid' trim to the standard linear-convolution windows
+(demoCudaConvolutionFFT.m:146-151 extracts 'full' by hand).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_fft_convolution_tpu.ops.conv import (
+    irfft2_norm,
+    rfft2_padded,
+)
+from cuda_fft_convolution_tpu.ops.padding import pad_to_fft
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.types import SpectralData, SpectralKernels
+from cuda_fft_convolution_tpu.utils.errors import InvalidInputError, validate
+from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_size
+
+_MODES = ("fftmap", "full", "same", "valid")
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+
+def _as_array(x) -> jnp.ndarray:
+    return x if isinstance(x, jnp.ndarray) else jnp.asarray(x)
+
+
+def _data_to_cfirst(data) -> tuple[jnp.ndarray, bool]:
+    """(H, W, F) → (1, F, H, W); (B, H, W, F) → (B, F, H, W). Returns
+    (array, batched)."""
+    data = _as_array(data)
+    if data.ndim == 3:
+        return jnp.transpose(data, (2, 0, 1))[None], False
+    if data.ndim == 4:
+        return jnp.transpose(data, (0, 3, 1, 2)), True
+    raise InvalidInputError(
+        f"data must be (H, W, F) or (B, H, W, F); got shape {data.shape}"
+    )
+
+
+def _kernels_to_stack(
+    kernels, feature_dim: int | None
+) -> tuple[jnp.ndarray, tuple[int, ...], tuple[int, ...]]:
+    """Normalize a kernel bank to a stacked (N, F, maxKh, maxKw) array.
+
+    Accepts: a list/tuple of (Kh_i, Kw_i, F) arrays (the reference's cell
+    array — ragged sizes allowed), a single (Kh, Kw, F) array, or a stacked
+    (N, Kh, Kw, F) array. Ragged kernels are zero-padded to the max size —
+    exact for linear convolution (padding a kernel with zeros does not change
+    FFT(pad_to_fft(k))). Returns (stack, kernel_hs, kernel_ws).
+    """
+    if isinstance(kernels, (list, tuple)):
+        ks = [_as_array(k) for k in kernels]
+        validate(len(ks) > 0, "kernel list is empty")
+        for k in ks:
+            validate(
+                k.ndim == 3,
+                f"each kernel must be (Kh, Kw, F); got shape {k.shape}",
+            )
+            if feature_dim is not None:
+                validate(
+                    k.shape[2] == feature_dim,
+                    f"kernel feature dim {k.shape[2]} != data feature dim "
+                    f"{feature_dim} (reference check src/cudaConvolutionFFT.cu:242)",
+                )
+        khs = tuple(int(k.shape[0]) for k in ks)
+        kws = tuple(int(k.shape[1]) for k in ks)
+        max_kh, max_kw = max(khs), max(kws)
+        stack = jnp.stack(
+            [
+                jnp.pad(
+                    jnp.transpose(k, (2, 0, 1)),
+                    ((0, 0), (0, max_kh - k.shape[0]), (0, max_kw - k.shape[1])),
+                )
+                for k in ks
+            ]
+        )
+        return stack, khs, kws
+
+    k = _as_array(kernels)
+    if k.ndim == 3:  # single kernel (Kh, Kw, F)
+        k = k[None]
+    validate(
+        k.ndim == 4, f"kernels must be (N, Kh, Kw, F) or a list; got {k.shape}"
+    )
+    if feature_dim is not None:
+        validate(
+            k.shape[3] == feature_dim,
+            f"kernel feature dim {k.shape[3]} != data feature dim {feature_dim}",
+        )
+    n, kh, kw = k.shape[0], int(k.shape[1]), int(k.shape[2])
+    return jnp.transpose(k, (0, 3, 1, 2)), (kh,) * n, (kw,) * n
+
+
+# ---------------------------------------------------------------------------
+# jitted workers (static geometry, traced tensors)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("fft_h", "fft_w"))
+def _fft_data_worker(data_cf: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
+    """(B, F, H, W) → (B, F, fft_h, fft_w//2+1) c64.
+
+    ≈ padData + batched cufftExecR2C (src/cudaFFTData.cu:115-146); the batch
+    over B·F leading axes is XLA FFT HLO's native batching (the reference's
+    cufftPlanMany BATCH=F, src/cudaFFTData.cu:137-143).
+    """
+    return rfft2_padded(data_cf, fft_h, fft_w)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_h", "fft_w", "correlation"))
+def _fft_kernels_worker(
+    kstack: jnp.ndarray, fft_h: int, fft_w: int, correlation: bool
+) -> jnp.ndarray:
+    """(N, F, Kh, Kw) → (N, F, fft_h, fft_w//2+1) c64.
+
+    ``correlation=True`` flips kernels spatially before the FFT — the demo
+    does this flip by hand to turn convolution into template correlation
+    (demoCudaConvolutionFFT.m:63-69); here it is a flag.
+    """
+    if correlation:
+        kstack = kstack[..., ::-1, ::-1]
+    return rfft2_padded(kstack, fft_h, fft_w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas")
+)
+def _conv_from_spectra(
+    data_fft: jnp.ndarray,  # (B, F, H, Wc) c64
+    kernel_fft: jnp.ndarray,  # (N, F, H, Wc) c64
+    fft_h: int,
+    fft_w: int,
+    use_pallas: bool | None,
+) -> jnp.ndarray:
+    """Spectral MAC + single inverse FFT per (batch, kernel) → (B, N, fft_h, fft_w).
+
+    ≈ elementwiseProductAndNormalize + cufftExecC2R + sumAlongFeatures
+    (src/cudaConvolutionFFT.cu:263-282), with the channel sum moved into the
+    spectral domain so each kernel needs ONE C2R instead of F (SURVEY.md §7
+    step 1 note); normalization 1/(fft_h·fft_w) (:270) is irfft2's own.
+    """
+    prod = spectral_mac_auto(data_fft, kernel_fft, use_pallas=use_pallas)
+    return irfft2_norm(prod, fft_h, fft_w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas", "chunk_size")
+)
+def _conv_from_spectra_chunked(
+    data_fft: jnp.ndarray,
+    kernel_fft: jnp.ndarray,
+    fft_h: int,
+    fft_w: int,
+    use_pallas: bool | None,
+    chunk_size: int,
+) -> jnp.ndarray:
+    """Bank-chunked pipeline ≈ the streams variant's round-robin
+    (src/cudaConvFFTDataStreams.cu:338-469): process the bank in chunks of
+    ``chunk_size`` kernels via lax.map so peak memory is bounded by one chunk
+    of product/output buffers while XLA's async dispatch overlaps chunk k+1's
+    spectra fetch with chunk k's inverse FFT (the role CUDA streams play in
+    the reference)."""
+    n = kernel_fft.shape[0]
+    n_pad = -(-n // chunk_size) * chunk_size
+    kfft = jnp.pad(kernel_fft, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
+    kfft = kfft.reshape(n_pad // chunk_size, chunk_size, *kernel_fft.shape[1:])
+
+    def one_chunk(kc):
+        prod = spectral_mac_auto(data_fft, kc, use_pallas=use_pallas)
+        return irfft2_norm(prod, fft_h, fft_w)
+
+    out = jax.lax.map(one_chunk, kfft)  # (n_chunks, B, C, fft_h, fft_w)
+    out = jnp.moveaxis(out, 2, 1).reshape(
+        -1, data_fft.shape[0], fft_h, fft_w
+    )  # (n_pad, B, H, W) with chunk-major order == kernel order
+    return jnp.moveaxis(out[:n], 0, 1)  # (B, N, fft_h, fft_w)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def fft_data(
+    data,
+    max_kernel_h: int,
+    max_kernel_w: int,
+    *,
+    policy: FftSizePolicy | str = FftSizePolicy.FAST,
+) -> SpectralData:
+    """Precompute the reusable data spectrum — ≈ ``cudaFFTData(data, Kh, Kw)``
+    (src/cudaFFTData.cu:18-150).
+
+    The result is a first-class on-device object (a JAX pytree) that later
+    ``conv_spectral`` calls resume from, like the reference's persistent
+    ``mxGPUArray`` return (src/cudaFFTData.cu:150). FFT dims follow
+    ``policy(data + max_kernel − 1)`` (src/cudaConvolutionFFT.cu:103-110,
+    policy pluggable per SURVEY.md §7).
+    """
+    validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
+    data_cf, batched = _data_to_cfirst(data)
+    b, f, h, w = data_cf.shape
+    fft_h, fft_w = compute_fft_size(h, w, max_kernel_h, max_kernel_w, policy)
+    fft = _fft_data_worker(data_cf, fft_h, fft_w)
+    if not batched:
+        fft = fft[0]
+    return SpectralData(
+        fft=fft, fft_h=fft_h, fft_w=fft_w, data_h=h, data_w=w
+    )
+
+
+def fft_kernels(
+    kernels,
+    fft_h: int | None = None,
+    fft_w: int | None = None,
+    *,
+    spectral: SpectralData | None = None,
+    feature_dim: int | None = None,
+    correlation: bool = False,
+) -> SpectralKernels:
+    """Precompute a kernel bank's spectra at a fixed FFT size.
+
+    Beyond the reference (which re-runs kernel FFTs every call,
+    src/cudaConvFFTData.cu:191-282) — amortizes the bank FFT across an image
+    stream. Pass either explicit (fft_h, fft_w) or the ``SpectralData`` the
+    bank will be used against."""
+    if spectral is not None:
+        fft_h, fft_w = spectral.fft_h, spectral.fft_w
+        feature_dim = spectral.feature_dim
+    validate(
+        fft_h is not None and fft_w is not None,
+        "pass fft_h/fft_w or spectral=SpectralData",
+    )
+    kstack, khs, kws = _kernels_to_stack(kernels, feature_dim)
+    validate(
+        max(khs) <= fft_h and max(kws) <= fft_w,
+        f"kernel ({max(khs)},{max(kws)}) exceeds FFT dims ({fft_h},{fft_w}) "
+        "(reference check src/cudaConvolutionFFT.cu:242-243)",
+    )
+    fft = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
+    return SpectralKernels(
+        fft=fft, fft_h=fft_h, fft_w=fft_w, kernel_hs=khs, kernel_ws=kws
+    )
+
+
+def _trim(
+    maps: jnp.ndarray,  # (B, N, fft_h, fft_w)
+    spectral: SpectralData,
+    khs: tuple[int, ...],
+    kws: tuple[int, ...],
+    mode: str,
+    batched: bool,
+):
+    """Slice the circular FFT maps down to the requested window.
+
+    'fftmap' → raw maps (reference-parity). 'full' → top-left
+    (H+Kh−1)×(W+Kw−1) (demoCudaConvolutionFFT.m:149); 'same' → centered H×W;
+    'valid' → (H−Kh+1)×(W−Kw+1) starting at (Kh−1, Kw−1). Ragged banks
+    return a list for modes whose window depends on kernel size."""
+    h, w = spectral.data_h, spectral.data_w
+    if mode == "fftmap":
+        out = maps
+        return out if batched else out[0]
+    ragged = len(set(khs)) > 1 or len(set(kws)) > 1
+
+    def window(kh, kw):
+        if mode == "full":
+            return 0, 0, h + kh - 1, w + kw - 1
+        if mode == "same":
+            return (kh - 1) // 2, (kw - 1) // 2, h, w
+        # valid
+        validate(
+            h >= kh and w >= kw, f"mode='valid' needs data >= kernel; "
+            f"got data ({h},{w}), kernel ({kh},{kw})"
+        )
+        return kh - 1, kw - 1, h - kh + 1, w - kw + 1
+
+    if mode == "same" or not ragged:
+        r0, c0, rh, rw = window(khs[0], kws[0])
+        out = maps[:, :, r0 : r0 + rh, c0 : c0 + rw]
+        return out if batched else out[0]
+    outs = []
+    for i, (kh, kw) in enumerate(zip(khs, kws)):
+        r0, c0, rh, rw = window(kh, kw)
+        m = maps[:, i, r0 : r0 + rh, c0 : c0 + rw]
+        outs.append(m if batched else m[0])
+    return outs
+
+
+def conv_spectral(
+    spectral: SpectralData,
+    kernels,
+    *,
+    mode: str = "fftmap",
+    correlation: bool = False,
+    use_pallas: bool | None = None,
+):
+    """Convolve a kernel bank against a precomputed data spectrum —
+    ≈ ``cudaConvFFTData(fftData, {kernels})`` (src/cudaConvFFTData.cu:24-282).
+
+    ``kernels`` may be a list of (Kh, Kw, F) arrays (ragged ok), a stacked
+    (N, Kh, Kw, F) array, or a precomputed ``SpectralKernels``. Returns
+    per-kernel maps stacked (N, fft_h, fft_w) (batched: (B, N, ...)) for
+    'fftmap', trimmed windows for 'full'/'same'/'valid' (list if ragged)."""
+    validate(mode in _MODES, f"mode must be one of {_MODES}")
+    if isinstance(kernels, SpectralKernels):
+        sk = kernels
+        validate(
+            sk.fft_h == spectral.fft_h and sk.fft_w == spectral.fft_w,
+            f"SpectralKernels FFT dims ({sk.fft_h},{sk.fft_w}) != "
+            f"SpectralData dims ({spectral.fft_h},{spectral.fft_w})",
+        )
+        validate(
+            sk.feature_dim == spectral.feature_dim,
+            f"feature dim mismatch: kernels {sk.feature_dim}, "
+            f"data {spectral.feature_dim}",
+        )
+        validate(not correlation, "correlation must be baked into fft_kernels "
+                 "when passing SpectralKernels")
+    else:
+        sk = fft_kernels(
+            kernels, spectral=spectral, correlation=correlation
+        )
+    batched = spectral.batched
+    dfft = spectral.fft if batched else spectral.fft[None]
+    maps = _conv_from_spectra(
+        dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas
+    )
+    return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+
+
+def conv_spectral_pipelined(
+    spectral: SpectralData,
+    kernels,
+    *,
+    chunk_size: int = 8,
+    mode: str = "fftmap",
+    correlation: bool = False,
+    use_pallas: bool | None = None,
+):
+    """Memory-bounded bank convolution — ≈ ``cudaConvFFTDataStreams``
+    (src/cudaConvFFTDataStreams.cu): the bank is processed ``chunk_size``
+    kernels at a time so product/output buffers stay bounded while XLA
+    overlaps chunks (the reference's 2-streams-per-GPU double buffering,
+    :292-327). Use for 1000+-filter banks on big images."""
+    validate(mode in _MODES, f"mode must be one of {_MODES}")
+    validate(chunk_size >= 1, "chunk_size must be >= 1")
+    if isinstance(kernels, SpectralKernels):
+        sk = kernels
+        validate(not correlation, "correlation must be baked into fft_kernels "
+                 "when passing SpectralKernels")
+    else:
+        sk = fft_kernels(kernels, spectral=spectral, correlation=correlation)
+    batched = spectral.batched
+    dfft = spectral.fft if batched else spectral.fft[None]
+    maps = _conv_from_spectra_chunked(
+        dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas,
+        min(chunk_size, sk.num_kernels),
+    )
+    return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+
+
+def fft_conv(
+    data,
+    max_kernel_h: int | None = None,
+    max_kernel_w: int | None = None,
+    kernels=None,
+    *,
+    mode: str = "fftmap",
+    correlation: bool = False,
+    policy: FftSizePolicy | str = FftSizePolicy.FAST,
+    use_pallas: bool | None = None,
+):
+    """One-shot bank convolution — ≈ ``cudaConvolutionFFT(data, maxKh, maxKw,
+    kernelCell)`` (src/cudaConvolutionFFT.cu:27-310): one forward data FFT
+    amortized across the whole bank, per-kernel spectral MAC + inverse FFT.
+
+    ``max_kernel_h/w`` may be omitted (inferred from the bank; the reference
+    requires them because it sizes buffers before reading the cell array)."""
+    validate(kernels is not None, "kernels is required")
+    if max_kernel_h is None or max_kernel_w is None:
+        if isinstance(kernels, (list, tuple)):
+            max_kernel_h = max(int(k.shape[0]) for k in kernels)
+            max_kernel_w = max(int(k.shape[1]) for k in kernels)
+        else:
+            karr = _as_array(kernels)
+            kh_ax, kw_ax = (1, 2) if karr.ndim == 4 else (0, 1)
+            max_kernel_h = int(karr.shape[kh_ax])
+            max_kernel_w = int(karr.shape[kw_ax])
+    spectral = fft_data(data, max_kernel_h, max_kernel_w, policy=policy)
+    return conv_spectral(
+        spectral, kernels, mode=mode, correlation=correlation,
+        use_pallas=use_pallas,
+    )

@@ -1,0 +1,25 @@
+"""Model layer: the workloads the reference library serves.
+
+The reference is a library for DPM/HOG-style detection filter banks
+(README.md:4-6: "many large kernels, large images"). This package provides
+that consumer as a first-class, *differentiable* model: a filter-bank
+detector whose kernel bank is learnable — possible here because the whole
+FFT-convolution path (rfft2 → spectral MAC → irfft2) is differentiable JAX,
+something the reference's MEX pipeline could never offer.
+"""
+
+from cuda_fft_convolution_tpu.models.filter_bank import (
+    FilterBankDetector,
+    detect,
+    init_detector,
+    loss_fn,
+    train_step,
+)
+
+__all__ = [
+    "FilterBankDetector",
+    "detect",
+    "init_detector",
+    "loss_fn",
+    "train_step",
+]

@@ -1,0 +1,23 @@
+"""Device-math layer: padding, FFT wrappers, spectral MAC, convolution cores.
+
+TPU-native replacement of the reference's device-kernel layer
+(src/cudaConvFFTData.cuh: padData / elementwiseProductAndNormalize /
+sumAlongFeatures) and its cuFFT plan usage.
+"""
+
+from cuda_fft_convolution_tpu.ops.padding import pad_to_fft, pad_clamp_to_border
+from cuda_fft_convolution_tpu.ops.conv import (
+    direct_conv_single,
+    fft_conv_single,
+    fft_conv_stack,
+    spectral_mac,
+)
+
+__all__ = [
+    "pad_to_fft",
+    "pad_clamp_to_border",
+    "direct_conv_single",
+    "fft_conv_single",
+    "fft_conv_stack",
+    "spectral_mac",
+]

@@ -1,0 +1,123 @@
+"""Ahead-of-time compiled convolution plans — the cufftPlanMany analogue.
+
+The reference builds cuFFT plans once per call and reuses them across the
+kernel loop (src/cudaConvolutionFFT.cu:128-142); a serving system would want
+them cached across calls. ``FftConvPlan`` is that object for XLA: geometry
+is fixed at construction, the three stages (data FFT, kernel-bank FFT,
+MAC+inverse) are ``jax.jit(...).lower(...).compile()``d up front, and
+``execute`` is pure dispatch — no tracing, no compilation, stable latency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.utils.errors import validate
+from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_size
+
+
+@dataclasses.dataclass(frozen=True)
+class FftConvPlan:
+    """Compiled executables for a fixed (data, bank) geometry.
+
+    Produced by ``make_plan``. ``execute(data, kernels)`` takes channel-last
+    host/device arrays of exactly the planned shapes and returns the stacked
+    (N, fft_h, fft_w) conv maps ((B, N, ...) if batched).
+    """
+
+    data_shape: tuple  # (H, W, F) or (B, H, W, F), API layout
+    kernel_shape: tuple  # (N, Kh, Kw, F)
+    fft_h: int
+    fft_w: int
+    _data_fft_exec: object
+    _kernel_fft_exec: object
+    _conv_exec: object
+
+    def data_fft(self, data):
+        """Compiled ≈ cudaFFTData: (B, F, fft_h, wc) spectrum."""
+        return self._data_fft_exec(jnp.asarray(data, jnp.float32))
+
+    def kernel_fft(self, kernels):
+        return self._kernel_fft_exec(jnp.asarray(kernels, jnp.float32))
+
+    def execute(self, data, kernels):
+        """Compiled ≈ cudaConvolutionFFT for the planned geometry."""
+        validate(
+            tuple(data.shape) == self.data_shape,
+            f"data shape {data.shape} != planned {self.data_shape}",
+        )
+        validate(
+            tuple(kernels.shape) == self.kernel_shape,
+            f"kernel shape {kernels.shape} != planned {self.kernel_shape}",
+        )
+        dfft = self.data_fft(data)
+        kfft = self.kernel_fft(kernels)
+        return self.execute_spectral(dfft, kfft)
+
+    def execute_spectral(self, dfft, kfft):
+        """Compiled ≈ cudaConvFFTData: MAC + inverse only (amortized path)."""
+        maps = self._conv_exec(dfft, kfft)
+        return maps if len(self.data_shape) == 4 else maps[0]
+
+
+def make_plan(
+    data_shape: tuple,
+    kernel_shape: tuple,
+    *,
+    policy: FftSizePolicy | str = FftSizePolicy.FAST,
+    correlation: bool = False,
+    use_pallas: bool | None = None,
+) -> FftConvPlan:
+    """AOT-compile a plan for channel-last ``data_shape`` ((H, W, F) or
+    (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F)."""
+    if len(data_shape) == 3:
+        h, w, f = data_shape
+        b = 1
+        batched = False
+    else:
+        b, h, w, f = data_shape
+        batched = True
+    n, kh, kw, kf = kernel_shape
+    validate(kf == f, f"feature dim mismatch: data {f}, kernels {kf}")
+    fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
+    wc = fft_w // 2 + 1
+
+    def _data_fft(data):
+        x = (
+            jnp.transpose(data, (0, 3, 1, 2))
+            if batched
+            else jnp.transpose(data, (2, 0, 1))[None]
+        )
+        return rfft2_padded(x, fft_h, fft_w)
+
+    def _kernel_fft(kernels):
+        ks = jnp.transpose(kernels, (0, 3, 1, 2))
+        if correlation:
+            ks = ks[..., ::-1, ::-1]
+        return rfft2_padded(ks, fft_h, fft_w)
+
+    def _conv(dfft, kfft):
+        prod = spectral_mac_auto(dfft, kfft, use_pallas=use_pallas)
+        return irfft2_norm(prod, fft_h, fft_w)
+
+    f32 = jnp.float32
+    c64 = jnp.complex64
+    data_aval = jax.ShapeDtypeStruct(data_shape, f32)
+    kern_aval = jax.ShapeDtypeStruct(kernel_shape, f32)
+    dfft_aval = jax.ShapeDtypeStruct((b, f, fft_h, wc), c64)
+    kfft_aval = jax.ShapeDtypeStruct((n, f, fft_h, wc), c64)
+
+    return FftConvPlan(
+        data_shape=tuple(data_shape),
+        kernel_shape=tuple(kernel_shape),
+        fft_h=fft_h,
+        fft_w=fft_w,
+        _data_fft_exec=jax.jit(_data_fft).lower(data_aval).compile(),
+        _kernel_fft_exec=jax.jit(_kernel_fft).lower(kern_aval).compile(),
+        _conv_exec=jax.jit(_conv).lower(dfft_aval, kfft_aval).compile(),
+    )

@@ -1,0 +1,148 @@
+"""API layer tests (api.py ≈ the three MEX entry points, SURVEY.md §3)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.utils.errors import InvalidInputError
+from tests.oracles import fft_conv_full_f64, fft_map_f64, rel_err
+
+TOL = 1e-5
+
+
+def test_fft_conv_one_shot_demo_parity(rng):
+    """≈ cudaConvolutionFFT demo call: 3-kernel cell with one perturbed
+    kernel (demoCudaConvolutionFFT.m:110-131), multiple16 policy → 80×16."""
+    data = rng.standard_normal((64, 8, 5)).astype(np.float32)
+    k1 = rng.standard_normal((10, 4, 5)).astype(np.float32)
+    k2 = (k1 + 0.1 * rng.standard_normal((10, 4, 5))).astype(np.float32)
+    out = fc.fft_conv(data, 10, 4, [k1, k2, k1], policy="multiple16")
+    assert out.shape == (3, 80, 16)
+    for i, k in enumerate([k1, k2, k1]):
+        assert rel_err(np.array(out[i]), fft_map_f64(data, k, 80, 16)) < TOL
+
+
+def test_split_api_equivalence(rng):
+    """fft_data → conv_spectral ≡ one-shot fft_conv (the reference's
+    cudaFFTData/cudaConvFFTData split, SURVEY.md §3.2/3.3)."""
+    data = rng.standard_normal((40, 30, 3)).astype(np.float32)
+    kerns = [rng.standard_normal((7, 9, 3)).astype(np.float32) for _ in range(4)]
+    one_shot = fc.fft_conv(data, 7, 9, kerns)
+    sd = fc.fft_data(data, 7, 9)
+    split = fc.conv_spectral(sd, kerns)
+    np.testing.assert_allclose(np.array(one_shot), np.array(split), atol=1e-6)
+
+
+def test_spectral_kernels_reuse(rng):
+    """Precomputed SpectralKernels give identical results."""
+    data = rng.standard_normal((32, 32, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 2)).astype(np.float32) for _ in range(3)]
+    sd = fc.fft_data(data, 5, 5)
+    sk = fc.fft_kernels(kerns, spectral=sd)
+    np.testing.assert_allclose(
+        np.array(fc.conv_spectral(sd, sk)),
+        np.array(fc.conv_spectral(sd, kerns)),
+        atol=1e-6,
+    )
+
+
+def test_ragged_kernel_bank_full_mode(rng):
+    """Ragged cell arrays (different kernel sizes, same F — the reference
+    allows this, src/cudaConvolutionFFT.cu:242) trim per-kernel in 'full'."""
+    data = rng.standard_normal((24, 20, 2)).astype(np.float32)
+    kerns = [
+        rng.standard_normal((5, 7, 2)).astype(np.float32),
+        rng.standard_normal((3, 2, 2)).astype(np.float32),
+        rng.standard_normal((9, 9, 2)).astype(np.float32),
+    ]
+    outs = fc.fft_conv(data, kernels=kerns, mode="full")
+    assert isinstance(outs, list)
+    for k, o in zip(kerns, outs):
+        assert o.shape == (24 + k.shape[0] - 1, 20 + k.shape[1] - 1)
+        assert rel_err(np.array(o), fft_conv_full_f64(data, k)) < TOL
+
+
+def test_modes_same_valid(rng):
+    data = rng.standard_normal((20, 20, 1)).astype(np.float32)
+    kern = rng.standard_normal((5, 5, 1)).astype(np.float32)
+    ref = fft_conv_full_f64(data, kern)  # (24, 24)
+    same = np.array(fc.fft_conv(data, kernels=[kern], mode="same")[0])
+    valid = np.array(fc.fft_conv(data, kernels=[kern], mode="valid")[0])
+    assert same.shape == (20, 20)
+    assert valid.shape == (16, 16)
+    assert rel_err(same, ref[2:22, 2:22]) < TOL
+    assert rel_err(valid, ref[4:20, 4:20]) < TOL
+
+
+def test_batched_data(rng):
+    """(B, H, W, F) batch axis (BASELINE.json config 4)."""
+    data = rng.standard_normal((3, 16, 16, 2)).astype(np.float32)
+    kern = rng.standard_normal((4, 4, 2)).astype(np.float32)
+    out = fc.fft_conv(data, kernels=[kern], mode="full")
+    # uniform bank → stacked (B, N, h, w)
+    assert out.shape == (3, 1, 19, 19)
+    for b in range(3):
+        assert rel_err(np.array(out[b, 0]), fft_conv_full_f64(data[b], kern)) < TOL
+
+
+def test_pipelined_equals_plain(rng):
+    """conv_spectral_pipelined (≈ the streams variant) is numerically
+    identical to conv_spectral for every chunk size, including non-dividing
+    ones (the reference round-robins whatever remains,
+    src/cudaConvFFTDataStreams.cu:353-360)."""
+    data = rng.standard_normal((24, 24, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 2)).astype(np.float32) for _ in range(7)]
+    sd = fc.fft_data(data, 5, 5)
+    want = np.array(fc.conv_spectral(sd, kerns))
+    for chunk in (1, 2, 3, 7, 16):
+        got = np.array(fc.conv_spectral_pipelined(sd, kerns, chunk_size=chunk))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_correlation_flag(rng):
+    """correlation=True ≡ caller flipping kernels by hand
+    (demoCudaConvolutionFFT.m:63-69)."""
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kern = rng.standard_normal((4, 6, 1)).astype(np.float32)
+    a = np.array(fc.fft_conv(data, kernels=[kern], correlation=True))
+    b = np.array(fc.fft_conv(data, kernels=[kern[::-1, ::-1]]))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_host_and_device_kernels(rng):
+    """Kernels accepted from host (numpy) or device (jax.Array)
+    (≈ src/cudaConvFFTData.cu:195-225)."""
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kern = rng.standard_normal((3, 3, 1)).astype(np.float32)
+    a = np.array(fc.fft_conv(data, kernels=[kern]))
+    b = np.array(fc.fft_conv(data, kernels=[jnp.asarray(kern)]))
+    np.testing.assert_allclose(a, b)
+
+
+def test_input_validation():
+    """Negative tests ≈ the reference's mexErrMsgIdAndTxt checks
+    (src/cudaConvolutionFFT.cu:45-54,64-65,242-243)."""
+    data = np.zeros((8, 8, 2), np.float32)
+    with pytest.raises(InvalidInputError):  # wrong rank
+        fc.fft_data(np.zeros((8, 8)), 3, 3)
+    with pytest.raises(InvalidInputError):  # feature-dim mismatch
+        fc.fft_conv(data, kernels=[np.zeros((3, 3, 5), np.float32)])
+    with pytest.raises(InvalidInputError):  # kernel bigger than FFT dims
+        sd = fc.fft_data(data, 3, 3)
+        fc.conv_spectral(sd, [np.zeros((30, 30, 2), np.float32)])
+    with pytest.raises(InvalidInputError):  # empty cell
+        fc.fft_conv(data, 3, 3, [])
+    with pytest.raises(InvalidInputError):  # bad mode
+        fc.fft_conv(data, kernels=[np.zeros((3, 3, 2), np.float32)], mode="nope")
+
+
+def test_spectral_data_fetch_roundtrip(rng):
+    """SpectralData is a real pytree; fetch() pulls its complex spectrum to
+    host safely (complex D2H is unimplemented on some TPU runtimes)."""
+    data = rng.standard_normal((16, 8, 2)).astype(np.float32)
+    sd = fc.fft_data(data, 3, 3, policy="multiple16")
+    spec = fc.fetch(sd.fft)
+    assert spec.shape == (2, sd.fft_h, sd.fft_w // 2 + 1)
+    ref = np.fft.rfft2(data[:, :, 0].astype(np.float64), (sd.fft_h, sd.fft_w))
+    assert rel_err(np.abs(spec[0]), np.abs(ref)) < 1e-4

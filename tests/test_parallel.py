@@ -1,0 +1,76 @@
+"""Multi-device sharding tests on the simulated 8-device CPU mesh
+(SURVEY.md §4 implication (e): the reference could never test its multi-GPU
+path, src/cudaConvFFTDataStreams.cu:271 forces N_GPU=1)."""
+
+import jax
+import numpy as np
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from tests.oracles import fft_conv_full_f64, rel_err
+
+needs_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >=2 devices (simulated CPU mesh)"
+)
+
+TOL = 1e-5
+
+
+@needs_multidevice
+def test_kernel_sharded_bank_matches_single_device(rng):
+    """Bank sharded over all devices ≡ single-device result."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((32, 24, 3)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 3)).astype(np.float32) for _ in range(10)]
+    sd = fc.fft_data(data, 5, 5)
+    want = np.array(fc.conv_spectral(sd, kerns))
+    got = np.array(fc.conv_spectral_sharded(sd, kerns, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_multidevice
+def test_bank_not_divisible_by_devices(rng):
+    """N % devices != 0 → padded internally, trimmed back (the reference's
+    idle round-robin slots)."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((3, 3, 1)).astype(np.float32) for _ in range(5)]
+    sd = fc.fft_data(data, 3, 3)
+    got = fc.conv_spectral_sharded(sd, kerns, mesh, mode="full")
+    assert len(got) == 5
+    for k, o in zip(kerns, got):
+        assert rel_err(np.array(o), fft_conv_full_f64(data, k)) < TOL
+
+
+@needs_multidevice
+def test_data_by_kernel_mesh(rng):
+    """2-D mesh: batch sharded over 'data', bank over 'kernels'."""
+    n_dev = len(jax.devices())
+    if n_dev % 2 != 0:
+        pytest.skip("needs even device count")
+    mesh = fc.make_mesh(data=2)
+    data = rng.standard_normal((4, 16, 16, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((3, 3, 2)).astype(np.float32) for _ in range(8)]
+    sd = fc.fft_data(data, 3, 3)
+    want = np.array(fc.conv_spectral(sd, kerns))
+    got = np.array(fc.conv_spectral_sharded(sd, kerns, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_multidevice
+def test_shard_kernel_bank_placement(rng):
+    """Pre-sharded SpectralKernels round-trip through conv_spectral_sharded."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((3, 3, 1)).astype(np.float32) for _ in range(8)]
+    sd = fc.fft_data(data, 3, 3)
+    sk = fc.fft_kernels(kerns, spectral=sd)
+    sk_sharded = fc.shard_kernel_bank(sk, mesh)
+    got = np.array(fc.conv_spectral_sharded(sd, sk_sharded, mesh))
+    want = np.array(fc.conv_spectral(sd, kerns))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_make_mesh_validation():
+    with pytest.raises(ValueError):
+        fc.make_mesh(data=3, kernels=5)  # 15 != device count (1 or 8)

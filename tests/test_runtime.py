@@ -1,0 +1,96 @@
+"""Runtime layer tests: native planner parity + AOT plan execution."""
+
+import numpy as np
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.runtime import make_plan, plan_bank
+from cuda_fft_convolution_tpu.runtime.planner import (
+    compute_fft_size_native,
+    get_native_planner,
+)
+from cuda_fft_convolution_tpu.utils.fft_size import (
+    FftSizePolicy,
+    compute_fft_size,
+    next_fast_len,
+)
+from tests.oracles import fft_conv_full_f64, rel_err
+
+
+def test_native_planner_builds_and_matches_python():
+    """The C++ planner (csrc/planner.cpp) must agree bit-for-bit with the
+    Python definition of record (utils/fft_size.py)."""
+    lib = get_native_planner()
+    if lib is None:
+        pytest.skip("native planner unavailable (no g++?)")
+    for policy in FftSizePolicy:
+        for dh, dw, kh, kw in [
+            (64, 8, 10, 4),
+            (2048, 2048, 64, 64),
+            (1, 1, 1, 1),
+            (100, 37, 13, 5),
+            (511, 513, 33, 31),
+        ]:
+            assert compute_fft_size_native(dh, dw, kh, kw, policy) == (
+                compute_fft_size(dh, dw, kh, kw, policy)
+            ), (policy, dh, dw, kh, kw)
+    for n in [1, 7, 73, 2111, 4097]:
+        assert lib.ffc_next_fast_len(n) == next_fast_len(n)
+
+
+def test_plan_bank_chunk_bounds():
+    p = plan_bank(100, 1, 2160, 2160, batch=1, hbm_budget_bytes=8 << 30)
+    assert 1 <= p.chunk_size <= 100
+    assert p.peak_bytes <= (8 << 30) or p.chunk_size == 1
+    # tiny budget → chunk 1
+    p1 = plan_bank(100, 31, 2160, 2160, batch=8, hbm_budget_bytes=1 << 20)
+    assert p1.chunk_size == 1
+    # huge budget → whole bank at once
+    p2 = plan_bank(10, 1, 80, 16, batch=1, hbm_budget_bytes=8 << 30)
+    assert p2.chunk_size == 10
+
+
+def test_aot_plan_matches_api(rng):
+    """FftConvPlan.execute ≡ fft_conv for the planned geometry, with zero
+    retracing at call time."""
+    data = rng.standard_normal((32, 24, 2)).astype(np.float32)
+    kerns = rng.standard_normal((3, 5, 7, 2)).astype(np.float32)
+    plan = make_plan(data.shape, kerns.shape)
+    got = np.array(plan.execute(data, kerns))
+    want = np.array(fc.fft_conv(data, kernels=kerns))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # amortized path: precompute spectra once, execute_spectral repeatedly
+    dfft = plan.data_fft(data)
+    kfft = plan.kernel_fft(kerns)
+    got2 = np.array(plan.execute_spectral(dfft, kfft))
+    np.testing.assert_allclose(got2, want, atol=1e-6)
+
+
+def test_aot_plan_batched_and_correlation(rng):
+    data = rng.standard_normal((2, 16, 16, 1)).astype(np.float32)
+    kerns = rng.standard_normal((4, 3, 3, 1)).astype(np.float32)
+    plan = make_plan(data.shape, kerns.shape, correlation=True)
+    got = np.array(plan.execute(data, kerns))
+    assert got.shape[0:2] == (2, 4)
+    flipped = kerns[:, ::-1, ::-1, :]
+    want = np.array(fc.fft_conv(data, kernels=flipped))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_aot_plan_shape_validation(rng):
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kerns = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+    plan = make_plan(data.shape, kerns.shape)
+    with pytest.raises(ValueError):
+        plan.execute(data[:8], kerns)
+    with pytest.raises(ValueError):
+        plan.execute(data, kerns[:, :2])
+
+
+def test_plan_full_window_correct(rng):
+    data = rng.standard_normal((20, 20, 3)).astype(np.float32)
+    kerns = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    plan = make_plan(data.shape, kerns.shape)
+    maps = np.array(plan.execute(data, kerns))
+    for i in range(2):
+        assert rel_err(maps[i][:24, :24], fft_conv_full_f64(data, kerns[i])) < 1e-5
