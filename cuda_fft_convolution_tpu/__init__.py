@@ -24,10 +24,12 @@ TPU-native design (NOT a translation):
 from cuda_fft_convolution_tpu.api import (
     SpectralData,
     SpectralKernels,
+    TiledSpectralData,
     conv_spectral,
     conv_spectral_pipelined,
     fft_conv,
     fft_data,
+    fft_data_tiled,
     fft_kernels,
 )
 from cuda_fft_convolution_tpu.ops.conv import (
@@ -54,10 +56,12 @@ __version__ = "0.1.0"
 __all__ = [
     "SpectralData",
     "SpectralKernels",
+    "TiledSpectralData",
     "conv_spectral",
     "conv_spectral_pipelined",
     "fft_conv",
     "fft_data",
+    "fft_data_tiled",
     "fft_kernels",
     "fft_conv_single",
     "fft_conv_stack",

@@ -42,7 +42,17 @@ from cuda_fft_convolution_tpu.ops.conv import (
 )
 from cuda_fft_convolution_tpu.ops.padding import pad_to_fft
 from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
-from cuda_fft_convolution_tpu.types import SpectralData, SpectralKernels
+from cuda_fft_convolution_tpu.ops.tiled import (
+    choose_block_fft,
+    conv_blocks,
+    fallback_block_fft,
+    fft_data_blocks,
+)
+from cuda_fft_convolution_tpu.types import (
+    SpectralData,
+    SpectralKernels,
+    TiledSpectralData,
+)
 from cuda_fft_convolution_tpu.utils.errors import InvalidInputError, validate
 from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_size
 
@@ -243,12 +253,50 @@ def fft_data(
     )
 
 
+def fft_data_tiled(
+    data,
+    max_kernel_h: int,
+    max_kernel_w: int,
+    *,
+    block_h: int | None = None,
+    block_w: int | None = None,
+) -> TiledSpectralData:
+    """Precompute overlap-save BLOCK spectra of the data (ops/tiled.py).
+
+    The tiled analogue of ``fft_data``: one small-FFT pass over the image,
+    reusable across the whole bank and across calls. Beyond the reference —
+    its engine always transforms at full image+pad size. Block size defaults
+    to the planner's choice (``choose_block_fft``)."""
+    validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
+    data_cf, batched = _data_to_cfirst(data)
+    b, f, h, w = data_cf.shape
+    if block_h is None or block_w is None:
+        blk = choose_block_fft(h, w, max_kernel_h, max_kernel_w)
+        if blk is None:
+            # Caller forced tiling where the planner declines — still honor
+            # it with the smallest sane block.
+            blk = fallback_block_fft(max_kernel_h, max_kernel_w)
+        block_h, block_w = blk
+    validate(
+        block_h >= max_kernel_h and block_w >= max_kernel_w,
+        f"block ({block_h},{block_w}) smaller than kernel "
+        f"({max_kernel_h},{max_kernel_w})",
+    )
+    fft = fft_data_blocks(data_cf, block_h, block_w, max_kernel_h, max_kernel_w)
+    if not batched:
+        fft = fft[0]
+    return TiledSpectralData(
+        fft=fft, block_h=block_h, block_w=block_w,
+        max_kh=max_kernel_h, max_kw=max_kernel_w, data_h=h, data_w=w,
+    )
+
+
 def fft_kernels(
     kernels,
     fft_h: int | None = None,
     fft_w: int | None = None,
     *,
-    spectral: SpectralData | None = None,
+    spectral: SpectralData | TiledSpectralData | None = None,
     feature_dim: int | None = None,
     correlation: bool = False,
 ) -> SpectralKernels:
@@ -258,7 +306,10 @@ def fft_kernels(
     src/cudaConvFFTData.cu:191-282) — amortizes the bank FFT across an image
     stream. Pass either explicit (fft_h, fft_w) or the ``SpectralData`` the
     bank will be used against."""
-    if spectral is not None:
+    if isinstance(spectral, TiledSpectralData):
+        fft_h, fft_w = spectral.block_h, spectral.block_w
+        feature_dim = spectral.feature_dim
+    elif spectral is not None:
         fft_h, fft_w = spectral.fft_h, spectral.fft_w
         feature_dim = spectral.feature_dim
     validate(
@@ -322,7 +373,7 @@ def _trim(
 
 
 def conv_spectral(
-    spectral: SpectralData,
+    spectral: SpectralData | TiledSpectralData,
     kernels,
     *,
     mode: str = "fftmap",
@@ -335,8 +386,16 @@ def conv_spectral(
     ``kernels`` may be a list of (Kh, Kw, F) arrays (ragged ok), a stacked
     (N, Kh, Kw, F) array, or a precomputed ``SpectralKernels``. Returns
     per-kernel maps stacked (N, fft_h, fft_w) (batched: (B, N, ...)) for
-    'fftmap', trimmed windows for 'full'/'same'/'valid' (list if ragged)."""
+    'fftmap', trimmed windows for 'full'/'same'/'valid' (list if ragged).
+
+    A ``TiledSpectralData`` routes through the overlap-save engine
+    (ops/tiled.py; linear-conv modes only)."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
+    if isinstance(spectral, TiledSpectralData):
+        return _conv_spectral_tiled(
+            spectral, kernels, mode=mode, correlation=correlation,
+            use_pallas=use_pallas,
+        )
     if isinstance(kernels, SpectralKernels):
         sk = kernels
         validate(
@@ -359,6 +418,47 @@ def conv_spectral(
     dfft = spectral.fft if batched else spectral.fft[None]
     maps = _conv_from_spectra(
         dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas
+    )
+    return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+
+
+def _conv_spectral_tiled(
+    spectral: TiledSpectralData,
+    kernels,
+    *,
+    mode: str,
+    correlation: bool,
+    use_pallas: bool | None,
+):
+    """Overlap-save bank convolution against precomputed block spectra."""
+    validate(
+        mode != "fftmap",
+        "mode='fftmap' (raw circular maps) requires the direct engine; "
+        "the tiled engine computes linear convolution only",
+    )
+    if isinstance(kernels, SpectralKernels):
+        sk = kernels
+        validate(
+            sk.fft_h == spectral.block_h and sk.fft_w == spectral.block_w,
+            f"SpectralKernels FFT dims ({sk.fft_h},{sk.fft_w}) != block dims "
+            f"({spectral.block_h},{spectral.block_w})",
+        )
+        validate(not correlation, "correlation must be baked into fft_kernels "
+                 "when passing SpectralKernels")
+    else:
+        sk = fft_kernels(kernels, spectral=spectral, correlation=correlation)
+    validate(
+        max(sk.kernel_hs) <= spectral.max_kh
+        and max(sk.kernel_ws) <= spectral.max_kw,
+        f"bank kernels up to ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) exceed "
+        f"the tiled spectra's planned max ({spectral.max_kh},{spectral.max_kw})",
+    )
+    batched = spectral.batched
+    dfft = spectral.fft if batched else spectral.fft[None]
+    maps = conv_blocks(
+        dfft, sk.fft, spectral.block_h, spectral.block_w,
+        spectral.max_kh, spectral.max_kw, spectral.out_h, spectral.out_w,
+        use_pallas,
     )
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
 
@@ -404,14 +504,23 @@ def fft_conv(
     correlation: bool = False,
     policy: FftSizePolicy | str = FftSizePolicy.FAST,
     use_pallas: bool | None = None,
+    algorithm: str = "auto",
 ):
     """One-shot bank convolution — ≈ ``cudaConvolutionFFT(data, maxKh, maxKw,
     kernelCell)`` (src/cudaConvolutionFFT.cu:27-310): one forward data FFT
     amortized across the whole bank, per-kernel spectral MAC + inverse FFT.
 
     ``max_kernel_h/w`` may be omitted (inferred from the bank; the reference
-    requires them because it sizes buffers before reading the cell array)."""
+    requires them because it sizes buffers before reading the cell array).
+
+    ``algorithm``: 'direct' = one image-sized FFT (the reference's engine);
+    'tiled' = overlap-save block FFTs (ops/tiled.py, linear modes only);
+    'auto' = tiled when the planner says it pays and the mode allows it."""
     validate(kernels is not None, "kernels is required")
+    validate(
+        algorithm in ("auto", "direct", "tiled"),
+        "algorithm must be 'auto', 'direct', or 'tiled'",
+    )
     if max_kernel_h is None or max_kernel_w is None:
         if isinstance(kernels, (list, tuple)):
             max_kernel_h = max(int(k.shape[0]) for k in kernels)
@@ -421,6 +530,30 @@ def fft_conv(
             kh_ax, kw_ax = (1, 2) if karr.ndim == 4 else (0, 1)
             max_kernel_h = int(karr.shape[kh_ax])
             max_kernel_w = int(karr.shape[kw_ax])
+
+    if algorithm != "direct" and mode != "fftmap":
+        data_arr = _as_array(data)
+        h, w = (
+            (data_arr.shape[0], data_arr.shape[1])
+            if data_arr.ndim == 3
+            else (data_arr.shape[1], data_arr.shape[2])
+        )
+        blk = choose_block_fft(h, w, max_kernel_h, max_kernel_w)
+        if algorithm == "tiled" or blk is not None:
+            spectral = fft_data_tiled(
+                data, max_kernel_h, max_kernel_w,
+                block_h=None if blk is None else blk[0],
+                block_w=None if blk is None else blk[1],
+            )
+            return conv_spectral(
+                spectral, kernels, mode=mode, correlation=correlation,
+                use_pallas=use_pallas,
+            )
+    validate(
+        algorithm != "tiled",
+        "algorithm='tiled' computes linear convolution only — "
+        "use mode='full'/'same'/'valid'",
+    )
     spectral = fft_data(data, max_kernel_h, max_kernel_w, policy=policy)
     return conv_spectral(
         spectral, kernels, mode=mode, correlation=correlation,

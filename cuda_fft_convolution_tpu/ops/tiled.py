@@ -1,0 +1,133 @@
+"""Overlap-save tiled FFT convolution.
+
+A capability the reference does NOT have (it always FFTs at full image +
+pad size, src/cudaConvolutionFFT.cu:109-112) but that dominates its headline
+regime (large image × bank of much smaller kernels, README.md:4-6): instead
+of one (H+K−1)-point FFT per kernel, the image is cut into overlapping
+blocks of a small FFT size L, each block is transformed ONCE for the whole
+bank, and every kernel's spectrum is computed at size L — for a 2048² image
+and 64² kernels that shrinks each kernel FFT by ~18× in pixels and keeps all
+spectra VMEM-friendly. Classic overlap-save: each block's circular
+convolution is valid linear convolution in its last L−K+1 rows/cols; the
+wrapped band is discarded and blocks are laid edge-to-edge.
+
+Exactness: overlap-save computes the LINEAR convolution (the 'full'/'same'/
+'valid' windows) bit-for-fp32 like the big-FFT path; it cannot reproduce the
+big path's circular-wrap region, so mode='fftmap' always uses the direct
+engine (api.py dispatches).
+
+Everything here is jnp → differentiable and shard_map-compatible; the block
+axis is just another batch axis for the spectral MAC.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.utils.fft_size import next_fast_len
+
+
+def choose_block_fft(
+    data_h: int, data_w: int, max_kh: int, max_kw: int,
+    *, min_ratio: int = 8, max_block: int = 1024,
+) -> tuple[int, int] | None:
+    """Pick the overlap-save block FFT size, or None when tiling won't pay.
+
+    Policy: block ≈ min_ratio × kernel (keeps the (L/(L−K+1))² redundancy
+    under ~1.3) rounded to a 5-smooth size, capped at max_block; tiling is
+    declined when the image doesn't span at least ~2 blocks per axis or the
+    kernel is a large fraction of the image (the direct big-FFT engine wins
+    there — BASELINE config 3's 2048²×512² regime)."""
+    lh = next_fast_len(min(max(min_ratio * max_kh, 128), max_block))
+    lw = next_fast_len(min(max(min_ratio * max_kw, 128), max_block))
+    # Decline when the block can't be ≥4× the kernel pad: the overlap
+    # redundancy (L/(L−K+1))² exceeds ~1.8 and the direct engine wins.
+    if lh < 4 * (max_kh - 1) or lw < 4 * (max_kw - 1):
+        return None
+    # decline when the image is small enough that one big FFT is comparable
+    if data_h + max_kh - 1 <= 2 * lh and data_w + max_kw - 1 <= 2 * lw:
+        return None
+    return lh, lw
+
+
+def fallback_block_fft(max_kh: int, max_kw: int) -> tuple[int, int]:
+    """Smallest sane block when the caller forces tiling against the
+    planner's advice: 4× the kernel pad, 5-smooth, ≥32."""
+    return (
+        next_fast_len(max(4 * (max_kh - 1), 32)),
+        next_fast_len(max(4 * (max_kw - 1), 32)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_h", "block_w", "kh", "kw"),
+)
+def fft_data_blocks(
+    data_cf: jnp.ndarray,  # (B, F, H, W)
+    block_h: int,
+    block_w: int,
+    kh: int,
+    kw: int,
+) -> jnp.ndarray:
+    """Block spectra (B, nbh, nbw, F, block_h, block_w//2+1) c64.
+
+    Blocks start every V = L−K+1 output rows/cols; block g covers padded
+    input rows [g·V, g·V+L) where the input carries K−1 leading zeros (the
+    overlap-save prehistory) and trailing zeros to fill the last block."""
+    b, f, h, w = data_cf.shape
+    vh, vw = block_h - kh + 1, block_w - kw + 1
+    oh, ow = h + kh - 1, w + kw - 1  # 'full' output extent
+    nbh, nbw = -(-oh // vh), -(-ow // vw)
+    hp = (nbh - 1) * vh + block_h
+    wp = (nbw - 1) * vw + block_w
+    x = jnp.pad(
+        data_cf.astype(jnp.float32),
+        ((0, 0), (0, 0), (kh - 1, hp - (kh - 1) - h), (kw - 1, wp - (kw - 1) - w)),
+    )
+    r = jnp.arange(nbh)[:, None] * vh + jnp.arange(block_h)[None]
+    c = jnp.arange(nbw)[:, None] * vw + jnp.arange(block_w)[None]
+    xb = x[:, :, r, :]  # (B, F, nbh, block_h, Wp)
+    xb = xb[..., c]  # (B, F, nbh, block_h, nbw, block_w)
+    xb = jnp.moveaxis(xb, (2, 4), (1, 2))  # (B, nbh, nbw, F, block_h, block_w)
+    return jnp.fft.rfft2(xb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_h", "block_w", "kh", "kw", "out_h", "out_w", "use_pallas"
+    ),
+)
+def conv_blocks(
+    dfft_blocks: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc)
+    kernel_fft: jnp.ndarray,  # (N, F, Lh, Lwc) — at the BLOCK fft size
+    block_h: int,
+    block_w: int,
+    kh: int,
+    kw: int,
+    out_h: int,
+    out_w: int,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Spectral MAC per block + inverse FFT + overlap-save reassembly →
+    (B, N, out_h, out_w) linear-convolution maps ('full' window)."""
+    b, nbh, nbw, f, lh, lwc = dfft_blocks.shape
+    n = kernel_fft.shape[0]
+    vh, vw = block_h - kh + 1, block_w - kw + 1
+    # Fold (B, nbh, nbw) into one batch axis for the MAC.
+    dflat = dfft_blocks.reshape(b * nbh * nbw, f, lh, lwc)
+    prod = spectral_mac_auto(dflat, kernel_fft, use_pallas=use_pallas)
+    maps = irfft2_norm(prod, block_h, block_w)  # (B*nbh*nbw, N, Lh, Lw)
+    # Valid (non-wrapped) region of each block: rows/cols [K−1, K−1+V).
+    valid = maps[:, :, kh - 1 : kh - 1 + vh, kw - 1 : kw - 1 + vw]
+    valid = valid.reshape(b, nbh, nbw, n, vh, vw)
+    out = jnp.transpose(valid, (0, 3, 1, 4, 2, 5)).reshape(
+        b, n, nbh * vh, nbw * vw
+    )
+    return out[:, :, :out_h, :out_w]

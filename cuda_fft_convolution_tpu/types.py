@@ -63,6 +63,42 @@ class SpectralData:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class TiledSpectralData:
+    """Overlap-save block spectra of the data (ops/tiled.py).
+
+    Beyond the reference (which has no tiled engine): the per-block analogue
+    of SpectralData. Valid only for kernels up to (max_kh, max_kw) because
+    the block stride V = block − maxK + 1 bakes the kernel pad in."""
+
+    # (nbh, nbw, F, block_h, block_w//2+1) c64, or (B, nbh, nbw, ...) batched.
+    fft: jnp.ndarray
+    block_h: int = dataclasses.field(metadata=dict(static=True))
+    block_w: int = dataclasses.field(metadata=dict(static=True))
+    max_kh: int = dataclasses.field(metadata=dict(static=True))
+    max_kw: int = dataclasses.field(metadata=dict(static=True))
+    data_h: int = dataclasses.field(metadata=dict(static=True))
+    data_w: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def batched(self) -> bool:
+        return self.fft.ndim == 6
+
+    @property
+    def feature_dim(self) -> int:
+        return self.fft.shape[-3]
+
+    @property
+    def out_h(self) -> int:
+        """'full' output extent covered by the blocks."""
+        return self.data_h + self.max_kh - 1
+
+    @property
+    def out_w(self) -> int:
+        return self.data_w + self.max_kw - 1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class SpectralKernels:
     """rfft2 of a zero-padded stacked kernel bank at a fixed FFT size."""
 

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Filter-bank serving demo: a detection-style bank against a large image.
+
+The reference's target workload at production scale (README.md:4-6 "many
+large kernels, large images"): a bank of templates scored against one image,
+data transforms amortized. Shows both engines:
+
+  - direct: one image-sized FFT shared by the bank (the reference's design)
+  - tiled: overlap-save block FFTs (ours; kernel FFTs shrink ~18× for
+    64² kernels on a 2048² image) — selected automatically
+
+and validates them against each other and a float64 oracle on a subsample.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import cuda_fft_convolution_tpu as fc  # noqa: E402
+
+rng = np.random.default_rng(7)
+H = W = 512
+N, KH, KW, F = 16, 32, 32, 3
+
+image = rng.standard_normal((H, W, F)).astype(np.float32)
+bank = rng.standard_normal((N, KH, KW, F)).astype(np.float32)
+
+t0 = time.perf_counter()
+direct = fc.fft_conv(image, kernels=bank, mode="same", algorithm="direct")
+t_direct = time.perf_counter() - t0
+print(f"direct engine: {direct.shape} in {t_direct*1e3:.1f} ms (incl. compile)")
+
+t0 = time.perf_counter()
+tiled = fc.fft_conv(image, kernels=bank, mode="same", algorithm="tiled")
+t_tiled = time.perf_counter() - t0
+print(f"tiled engine:  {tiled.shape} in {t_tiled*1e3:.1f} ms (incl. compile)")
+
+diff = np.max(np.abs(np.array(direct) - np.array(tiled))) / np.max(
+    np.abs(np.array(direct))
+)
+print(f"engines agree: rel diff {diff:.3e}")
+assert diff < 1e-4
+
+# oracle spot-check on one kernel (float64 CPU FFT, 'same' window)
+k = 0
+oh, ow = H + KH - 1, W + KW - 1
+ref = np.zeros((oh, ow))
+for c in range(F):
+    ref += np.real(
+        np.fft.ifft2(
+            np.fft.fft2(image[:, :, c].astype(np.float64), (oh, ow))
+            * np.fft.fft2(bank[k, :, :, c].astype(np.float64), (oh, ow))
+        )
+    )
+same_ref = ref[(KH - 1) // 2 : (KH - 1) // 2 + H, (KW - 1) // 2 : (KW - 1) // 2 + W]
+err = np.max(np.abs(np.array(tiled[k]) - same_ref)) / np.max(np.abs(same_ref))
+print(f"tiled vs float64 oracle (kernel 0): rel err {err:.3e}")
+assert err < 1e-5
+
+# amortized serving loop: block spectra of each new frame reuse the SAME
+# precomputed kernel spectra (impossible in the reference, which re-FFTs
+# kernels every call)
+sd0 = fc.fft_data_tiled(image, KH, KW)
+sk = fc.fft_kernels(bank, spectral=sd0)
+t0 = time.perf_counter()
+frames = 5
+for i in range(frames):
+    frame = image + 0.01 * i
+    sd = fc.fft_data_tiled(frame, KH, KW)
+    scores = fc.conv_spectral(sd, sk, mode="same")
+import jax; jax.block_until_ready(scores)
+t_loop = (time.perf_counter() - t0) / frames
+print(f"amortized serving: {t_loop*1e3:.1f} ms/frame (bank spectra cached)")
+print("demo_bank OK")

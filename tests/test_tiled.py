@@ -1,0 +1,124 @@
+"""Overlap-save tiled engine tests (ops/tiled.py): exactness against the
+direct engine and the float64 oracle — tiling is a pure performance
+transform and must be bit-level fp32-equivalent on linear windows."""
+
+import numpy as np
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.ops.tiled import choose_block_fft
+from cuda_fft_convolution_tpu.utils.errors import InvalidInputError
+from tests.oracles import fft_conv_full_f64, rel_err
+
+TOL = 1e-5
+
+
+def test_choose_block_policy():
+    # big image, small kernel → tile
+    blk = choose_block_fft(2048, 2048, 64, 64)
+    assert blk is not None
+    lh, lw = blk
+    assert lh >= 8 * 64 and lw >= 8 * 64
+    # kernel comparable to image → decline (direct engine wins)
+    assert choose_block_fft(2048, 2048, 512, 512) is None
+    # small image → decline
+    assert choose_block_fft(64, 64, 8, 8) is None
+
+
+def test_tiled_matches_oracle_full(rng):
+    data = rng.standard_normal((300, 257, 2)).astype(np.float32)
+    kerns = [
+        rng.standard_normal((9, 7, 2)).astype(np.float32),
+        rng.standard_normal((5, 11, 2)).astype(np.float32),
+    ]
+    sd = fc.fft_data_tiled(data, 9, 11, block_h=64, block_w=64)
+    outs = fc.conv_spectral(sd, kerns, mode="full")
+    for k, o in zip(kerns, outs):
+        assert o.shape == (300 + k.shape[0] - 1, 257 + k.shape[1] - 1)
+        assert rel_err(np.array(o), fft_conv_full_f64(data, k)) < TOL
+
+
+def test_tiled_equals_direct_all_modes(rng):
+    data = rng.standard_normal((200, 150, 3)).astype(np.float32)
+    kern = rng.standard_normal((12, 8, 3)).astype(np.float32)
+    for mode in ("full", "same", "valid"):
+        direct = np.array(
+            fc.fft_conv(data, kernels=[kern], mode=mode, algorithm="direct")
+        )
+        tiled = np.array(
+            fc.fft_conv(data, kernels=[kern], mode=mode, algorithm="tiled")
+        )
+        assert direct.shape == tiled.shape
+        np.testing.assert_allclose(tiled, direct, atol=2e-4), mode
+
+
+def test_tiled_block_edge_cases(rng):
+    """Output extents that don't divide the block valid size, blocks larger
+    than the image, single-block degenerate case."""
+    for h, w, kh, kw, bh, bw in [
+        (50, 50, 5, 5, 16, 16),   # many partial blocks
+        (20, 20, 3, 3, 32, 32),   # one block covers everything
+        (33, 17, 8, 2, 16, 8),    # valid size 9×7, ragged coverage
+    ]:
+        data = rng.standard_normal((h, w, 1)).astype(np.float32)
+        kern = rng.standard_normal((kh, kw, 1)).astype(np.float32)
+        sd = fc.fft_data_tiled(data, kh, kw, block_h=bh, block_w=bw)
+        out = np.array(fc.conv_spectral(sd, [kern], mode="full")[0])
+        assert rel_err(out, fft_conv_full_f64(data, kern)) < TOL, (h, w, kh, kw)
+
+
+def test_tiled_batched(rng):
+    data = rng.standard_normal((2, 60, 40, 2)).astype(np.float32)
+    kern = rng.standard_normal((4, 6, 2)).astype(np.float32)
+    sd = fc.fft_data_tiled(data, 4, 6, block_h=32, block_w=32)
+    out = np.array(fc.conv_spectral(sd, [kern], mode="full"))
+    assert out.shape == (2, 1, 63, 45)
+    for b in range(2):
+        assert rel_err(out[b, 0], fft_conv_full_f64(data[b], kern)) < TOL
+
+
+def test_tiled_spectral_kernels_reuse(rng):
+    data = rng.standard_normal((100, 100, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((7, 7, 1)).astype(np.float32) for _ in range(3)]
+    sd = fc.fft_data_tiled(data, 7, 7, block_h=64, block_w=64)
+    sk = fc.fft_kernels(kerns, spectral=sd)
+    a = np.array(fc.conv_spectral(sd, sk, mode="full"))
+    b = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_tiled_rejects_fftmap_and_oversize(rng):
+    data = rng.standard_normal((100, 100, 1)).astype(np.float32)
+    kern = rng.standard_normal((7, 7, 1)).astype(np.float32)
+    sd = fc.fft_data_tiled(data, 7, 7, block_h=64, block_w=64)
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral(sd, [kern], mode="fftmap")
+    with pytest.raises(InvalidInputError):  # kernel beyond planned max
+        fc.conv_spectral(sd, [np.zeros((9, 9, 1), np.float32)], mode="full")
+    with pytest.raises(InvalidInputError):  # tiled + fftmap one-shot
+        fc.fft_conv(data, kernels=[kern], mode="fftmap", algorithm="tiled")
+
+
+def test_auto_algorithm_dispatch(rng):
+    """'auto' must agree with 'direct' wherever it chooses to tile."""
+    data = rng.standard_normal((400, 300, 1)).astype(np.float32)
+    kern = rng.standard_normal((8, 8, 1)).astype(np.float32)
+    auto = np.array(fc.fft_conv(data, kernels=[kern], mode="same"))
+    direct = np.array(
+        fc.fft_conv(data, kernels=[kern], mode="same", algorithm="direct")
+    )
+    np.testing.assert_allclose(auto, direct, atol=2e-4)
+
+
+def test_tiled_correlation(rng):
+    data = rng.standard_normal((80, 80, 1)).astype(np.float32)
+    kern = rng.standard_normal((6, 6, 1)).astype(np.float32)
+    a = np.array(
+        fc.fft_conv(data, kernels=[kern], mode="full", algorithm="tiled",
+                    correlation=True)
+    )
+    b = np.array(
+        fc.fft_conv(data, kernels=[kern[::-1, ::-1]], mode="full",
+                    algorithm="tiled")
+    )
+    np.testing.assert_allclose(a, b, atol=1e-6)
