@@ -19,6 +19,7 @@ only honest baseline.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -45,14 +46,26 @@ def _time_fn(fn, *args, warmup=2, iters=5) -> float:
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        # block every iteration: unblocked dispatch would enqueue all iters
+        # at once and hold every iteration's multi-GB working set live
+        # simultaneously (OOM on 16 GB v5e)
+        jax.block_until_ready(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache: first-compile of 2048^2 FFT programs through
+    # the remote-compile tunnel is minutes; cached reruns are seconds.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     import cuda_fft_convolution_tpu as fc
     from cuda_fft_convolution_tpu.utils.fft_size import compute_fft_size
@@ -67,6 +80,25 @@ def main() -> None:
     fft_h, fft_w = compute_fft_size(H, W, KH, KW, "fast")
     wc = fft_w // 2 + 1
     gpix_filters = H * W * N / 1e9
+
+    # --- accuracy vs float64 CPU FFT oracle on a decimated config, run
+    # FIRST while HBM is empty (512²×8 kernels shares every code path)
+    dh = np.asarray(data[:512, :512, :])
+    ks = np.asarray(kernels[:8, :, :, :])
+    got = np.array(fc.fft_conv(dh, KH, KW, ks, mode="fftmap"))
+    ofh, ofw = compute_fft_size(512, 512, KH, KW, "fast")
+    err = 0.0
+    for i in range(ks.shape[0]):
+        ref = np.zeros((ofh, ofw))
+        for c in range(F):
+            ref += np.real(
+                np.fft.ifft2(
+                    np.fft.fft2(dh[:, :, c].astype(np.float64), (ofh, ofw))
+                    * np.fft.fft2(ks[i, :, :, c].astype(np.float64), (ofh, ofw))
+                )
+            )
+        err = max(err, np.max(np.abs(got[i] - ref)) / np.max(np.abs(ref)))
+    del got
 
     # --- headline: one-shot fft_conv (fftmap mode = raw maps, no trim copy)
     def one_shot(d, k):
@@ -87,30 +119,20 @@ def main() -> None:
         lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16), sd, sk
     )
     v_pipe = gpix_filters / t_pipe
+    del sd, sk
+
+    # --- tiled overlap-save engine ('same' maps — linear conv windows)
+    def tiled(d, k):
+        return fc.fft_conv(d, KH, KW, k, mode="same", algorithm="tiled")
+
+    t_tiled = _time_fn(tiled, data, kernels)
+    v_tiled = gpix_filters / t_tiled
 
     # --- bf16 inputs, fp32 spectral accumulation (BASELINE config 5)
     t_bf16 = _time_fn(
         one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16)
     )
     v_bf16 = gpix_filters / t_bf16
-
-    # --- accuracy vs float64 CPU FFT oracle on a decimated config
-    # (full 2048² f64 oracle is slow; 512²×8 kernels shares every code path)
-    dh = np.asarray(data[:512, :512, :])
-    ks = np.asarray(kernels[:8, :, :, :])
-    got = np.array(fc.fft_conv(dh, KH, KW, ks, mode="fftmap"))
-    ofh, ofw = compute_fft_size(512, 512, KH, KW, "fast")
-    err = 0.0
-    for i in range(ks.shape[0]):
-        ref = np.zeros((ofh, ofw))
-        for c in range(F):
-            ref += np.real(
-                np.fft.ifft2(
-                    np.fft.fft2(dh[:, :, c].astype(np.float64), (ofh, ofw))
-                    * np.fft.fft2(ks[i, :, :, c].astype(np.float64), (ofh, ofw))
-                )
-            )
-        err = max(err, np.max(np.abs(got[i] - ref)) / np.max(np.abs(ref)))
 
     # --- HBM roofline for the one-shot path (minimum traffic, c64 spectra):
     # data read + data spectrum write/read, kernel reads, bank spectra
@@ -142,6 +164,7 @@ def main() -> None:
             "amortized_GPixF_s": round(v_amort, 3),
             "amortized_ms": round(t_amort * 1e3, 3),
             "pipelined_GPixF_s": round(v_pipe, 3),
+            "tiled_GPixF_s": round(v_tiled, 3),
             "bf16_GPixF_s": round(v_bf16, 3),
             "hbm_roofline_GPixF_s": round(roofline_one, 3),
             "max_rel_err_vs_f64_fft": float(f"{err:.3e}"),

@@ -99,9 +99,10 @@ void ffc_plan_bank(int64_t n, int64_t f, int64_t fft_h, int64_t fft_w,
   const int64_t spec = fft_h * wc * 8;      // one c64 spectrum plane
   const int64_t map = fft_h * fft_w * 4;    // one f32 output map
   // Per bank-kernel per chunk: kernel spectrum (f planes) + product (b
-  // planes) + output maps (b). x2 for double buffering (XLA overlaps the
-  // next chunk while this one retires).
-  const int64_t per_kernel = 2 * (f * spec + b * spec + b * map);
+  // planes) + output maps (b) + inverse-FFT scratch (XLA's C2R lowering
+  // materializes a full-size c64 intermediate, ~2*map). x2 for double
+  // buffering (XLA overlaps the next chunk while this one retires).
+  const int64_t per_kernel = 2 * (f * spec + b * spec + b * (3 * map));
   // Fixed: data spectra (b*f planes), input data, bank inputs.
   const int64_t fixed = b * f * spec + b * f * fft_h * fft_w * 4;
   int64_t budget = hbm_budget_bytes - fixed;

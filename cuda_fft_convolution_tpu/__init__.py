@@ -49,6 +49,9 @@ from cuda_fft_convolution_tpu.utils.fft_size import (
     next_multiple_of_16,
     next_pow2,
 )
+from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
+from cuda_fft_convolution_tpu.utils.config import get_config, set_config
+from cuda_fft_convolution_tpu.utils.selftest import selftest
 from cuda_fft_convolution_tpu.utils.transfer import fetch
 
 __version__ = "0.1.0"
@@ -70,6 +73,11 @@ __all__ = [
     "make_mesh",
     "shard_kernel_bank",
     "fetch",
+    "load_spectral",
+    "save_spectral",
+    "get_config",
+    "set_config",
+    "selftest",
     "FftSizePolicy",
     "compute_fft_size",
     "next_fast_len",

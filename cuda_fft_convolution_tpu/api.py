@@ -53,6 +53,7 @@ from cuda_fft_convolution_tpu.types import (
     SpectralKernels,
     TiledSpectralData,
 )
+from cuda_fft_convolution_tpu.utils.config import get_config
 from cuda_fft_convolution_tpu.utils.errors import InvalidInputError, validate
 from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_size
 
@@ -220,6 +221,27 @@ def _conv_from_spectra_chunked(
     return jnp.moveaxis(out[:n], 0, 1)  # (B, N, fft_h, fft_w)
 
 
+def _resolve_policy(policy):
+    return get_config().policy if policy is None else FftSizePolicy(policy)
+
+
+def _resolve_pallas(use_pallas):
+    return get_config().use_pallas if use_pallas is None else use_pallas
+
+
+def _device_memory_budget() -> int:
+    """Usable HBM bytes on the default device (conservative fraction from
+    Config.hbm_fraction), falling back to 8 GiB when the runtime exposes no
+    stats (e.g. CPU)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(get_config().hbm_fraction * stats["bytes_limit"])
+    except Exception:
+        pass
+    return 8 << 30
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -230,7 +252,7 @@ def fft_data(
     max_kernel_h: int,
     max_kernel_w: int,
     *,
-    policy: FftSizePolicy | str = FftSizePolicy.FAST,
+    policy: FftSizePolicy | str | None = None,
 ) -> SpectralData:
     """Precompute the reusable data spectrum — ≈ ``cudaFFTData(data, Kh, Kw)``
     (src/cudaFFTData.cu:18-150).
@@ -242,6 +264,7 @@ def fft_data(
     policy pluggable per SURVEY.md §7).
     """
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
+    policy = _resolve_policy(policy)
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     fft_h, fft_w = compute_fft_size(h, w, max_kernel_h, max_kernel_w, policy)
@@ -414,11 +437,29 @@ def conv_spectral(
         sk = fft_kernels(
             kernels, spectral=spectral, correlation=correlation
         )
+    use_pallas = _resolve_pallas(use_pallas)
     batched = spectral.batched
     dfft = spectral.fft if batched else spectral.fft[None]
-    maps = _conv_from_spectra(
-        dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas
+    # Memory safety: when the whole bank's products + maps don't fit the
+    # device budget, transparently run the chunked pipeline (identical
+    # results; the reference would simply OOM — its buffers are sized for
+    # one kernel at a time, src/cudaConvolutionFFT.cu:116-127, at the cost
+    # of no intra-bank batching at all).
+    from cuda_fft_convolution_tpu.runtime.planner import plan_bank
+
+    plan = plan_bank(
+        sk.num_kernels, spectral.feature_dim, spectral.fft_h, spectral.fft_w,
+        batch=spectral.batch_size, hbm_budget_bytes=_device_memory_budget(),
     )
+    if plan.chunk_size < sk.num_kernels:
+        maps = _conv_from_spectra_chunked(
+            dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas,
+            plan.chunk_size,
+        )
+    else:
+        maps = _conv_from_spectra(
+            dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas
+        )
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
 
 
@@ -453,6 +494,7 @@ def _conv_spectral_tiled(
         f"bank kernels up to ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) exceed "
         f"the tiled spectra's planned max ({spectral.max_kh},{spectral.max_kw})",
     )
+    use_pallas = _resolve_pallas(use_pallas)
     batched = spectral.batched
     dfft = spectral.fft if batched else spectral.fft[None]
     maps = conv_blocks(
@@ -467,7 +509,7 @@ def conv_spectral_pipelined(
     spectral: SpectralData,
     kernels,
     *,
-    chunk_size: int = 8,
+    chunk_size: int | None = None,
     mode: str = "fftmap",
     correlation: bool = False,
     use_pallas: bool | None = None,
@@ -476,15 +518,33 @@ def conv_spectral_pipelined(
     (src/cudaConvFFTDataStreams.cu): the bank is processed ``chunk_size``
     kernels at a time so product/output buffers stay bounded while XLA
     overlaps chunks (the reference's 2-streams-per-GPU double buffering,
-    :292-327). Use for 1000+-filter banks on big images."""
+    :292-327). Use for 1000+-filter banks on big images.
+
+    ``chunk_size=None`` → the runtime planner sizes chunks from the device's
+    memory budget (runtime/planner.py plan_bank — the decision the reference
+    hard-codes as 2 slots)."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
-    validate(chunk_size >= 1, "chunk_size must be >= 1")
     if isinstance(kernels, SpectralKernels):
         sk = kernels
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
     else:
         sk = fft_kernels(kernels, spectral=spectral, correlation=correlation)
+    use_pallas = _resolve_pallas(use_pallas)
+    if chunk_size is None:
+        chunk_size = get_config().chunk_size
+    if chunk_size is None:
+        from cuda_fft_convolution_tpu.runtime.planner import plan_bank
+
+        chunk_size = plan_bank(
+            sk.num_kernels,
+            spectral.feature_dim,
+            spectral.fft_h,
+            spectral.fft_w,
+            batch=spectral.batch_size,
+            hbm_budget_bytes=_device_memory_budget(),
+        ).chunk_size
+    validate(chunk_size >= 1, "chunk_size must be >= 1")
     batched = spectral.batched
     dfft = spectral.fft if batched else spectral.fft[None]
     maps = _conv_from_spectra_chunked(
@@ -502,7 +562,7 @@ def fft_conv(
     *,
     mode: str = "fftmap",
     correlation: bool = False,
-    policy: FftSizePolicy | str = FftSizePolicy.FAST,
+    policy: FftSizePolicy | str | None = None,
     use_pallas: bool | None = None,
     algorithm: str = "auto",
 ):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
-from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_einsum
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
 from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_size
 
 
@@ -67,9 +67,8 @@ def detect(
 ) -> jnp.ndarray:
     """Score maps (B, N, H, W) — 'same'-window correlation responses + bias.
 
-    Uses the einsum spectral MAC (not Pallas) so the model is differentiable
-    end-to-end; the Pallas MAC is inference-path only until its custom VJP
-    lands."""
+    Differentiable end-to-end (jnp.fft has exact VJPs; the Pallas MAC
+    carries a custom VJP)."""
     b, f, h, w = images.shape
     n, kf, kh, kw = model.kernels.shape
     assert kf == f, f"feature dim mismatch: images {f}, bank {kf}"
@@ -78,7 +77,7 @@ def detect(
     # Correlation = convolution with the spatially flipped kernel
     # (demoCudaConvolutionFFT.m:67-69).
     kfft = rfft2_padded(model.kernels[..., ::-1, ::-1], fft_h, fft_w)
-    maps = irfft2_norm(spectral_mac_einsum(dfft, kfft), fft_h, fft_w)
+    maps = irfft2_norm(spectral_mac_auto(dfft, kfft), fft_h, fft_w)
     r0, c0 = (kh - 1) // 2, (kw - 1) // 2
     same = maps[:, :, r0 : r0 + h, c0 : c0 + w]
     return same + model.bias[None, :, None, None]

@@ -144,6 +144,29 @@ def spectral_mac_pallas(
     return jax.lax.complex(o_r, o_i).reshape(b, n, h, wc)
 
 
+@jax.custom_vjp
+def _mac_pallas_ad(data_fft: jnp.ndarray, kernel_fft: jnp.ndarray) -> jnp.ndarray:
+    interpret = jax.default_backend() != "tpu"
+    return spectral_mac_pallas(data_fft, kernel_fft, interpret=interpret)
+
+
+def _mac_pallas_ad_fwd(data_fft, kernel_fft):
+    return _mac_pallas_ad(data_fft, kernel_fft), (data_fft, kernel_fft)
+
+
+def _mac_pallas_ad_bwd(res, g):
+    # The MAC is linear in both operands; its VJP is defined to be exactly
+    # einsum's (both cotangents are themselves MAC-shaped contractions, so
+    # training through the Pallas forward stays consistent with the einsum
+    # path bit-for-fp32).
+    data_fft, kernel_fft = res
+    _, vjp = jax.vjp(spectral_mac_einsum, data_fft, kernel_fft)
+    return vjp(g)
+
+
+_mac_pallas_ad.defvjp(_mac_pallas_ad_fwd, _mac_pallas_ad_bwd)
+
+
 def spectral_mac_auto(
     data_fft: jnp.ndarray,
     kernel_fft: jnp.ndarray,
@@ -153,7 +176,8 @@ def spectral_mac_auto(
     """Backend-aware dispatch. ``use_pallas=None`` → Pallas on TPU when the
     spectrum is big enough to amortize kernel launch + lane padding, einsum
     otherwise (XLA's fused einsum is already near the HBM floor for small
-    problems and is portable)."""
+    problems and is portable). The Pallas path is differentiable via a
+    custom VJP (backward = the einsum contractions)."""
     if use_pallas is None:
         h, wc = data_fft.shape[-2], data_fft.shape[-1]
         use_pallas = (
@@ -161,5 +185,4 @@ def spectral_mac_auto(
         )
     if not use_pallas:
         return spectral_mac_einsum(data_fft, kernel_fft)
-    interpret = jax.default_backend() != "tpu"
-    return spectral_mac_pallas(data_fft, kernel_fft, interpret=interpret)
+    return _mac_pallas_ad(data_fft, kernel_fft)

@@ -81,7 +81,9 @@ def plan_bank(
     wc = fft_w // 2 + 1
     spec = fft_h * wc * 8
     map_bytes = fft_h * fft_w * 4
-    per_kernel = 2 * (feature_dim * spec + batch * spec + batch * map_bytes)
+    per_kernel = 2 * (
+        feature_dim * spec + batch * spec + batch * (3 * map_bytes)
+    )
     fixed = batch * feature_dim * spec + batch * feature_dim * fft_h * fft_w * 4
     budget = max(hbm_budget_bytes - fixed, per_kernel)
     chunk = max(1, min(n_kernels, budget // per_kernel))

@@ -5,7 +5,12 @@ TPU-native replacement of the reference's host utility header
 computeFFTsize/computeFFTsize16 policies).
 """
 
+from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
+from cuda_fft_convolution_tpu.utils.config import Config, get_config, set_config
 from cuda_fft_convolution_tpu.utils.errors import InvalidInputError, validate
+from cuda_fft_convolution_tpu.utils.profiling import Timer, benchmark, trace
+from cuda_fft_convolution_tpu.utils.selftest import selftest
+from cuda_fft_convolution_tpu.utils.transfer import fetch
 from cuda_fft_convolution_tpu.utils.fft_size import (
     FftSizePolicy,
     compute_fft_size,
@@ -17,8 +22,18 @@ from cuda_fft_convolution_tpu.utils.fft_size import (
 )
 
 __all__ = [
+    "load_spectral",
+    "save_spectral",
+    "Config",
+    "get_config",
+    "set_config",
     "InvalidInputError",
     "validate",
+    "Timer",
+    "benchmark",
+    "trace",
+    "selftest",
+    "fetch",
     "FftSizePolicy",
     "compute_fft_size",
     "next_fast_len",

@@ -1,0 +1,81 @@
+"""Spectral-state persistence (checkpoint / resume).
+
+SURVEY.md §5: the reference's nearest checkpoint analogue is the
+*materialized intermediate* — cudaFFTData's persistent on-device gpuArray
+(src/cudaFFTData.cu:97-150) that later calls resume from, but it dies with
+the MATLAB session. Here the spectral objects are real checkpoints: any
+SpectralData / TiledSpectralData / SpectralKernels saves to one ``.npz``
+and loads back on any backend (complex spectra stored as re/im planes, so
+the save path never hits runtimes that cannot D2H complex buffers).
+Serving systems use this to ship precomputed filter-bank spectra to fleets
+instead of re-FFT-ing at startup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_fft_convolution_tpu.types import (
+    SpectralData,
+    SpectralKernels,
+    TiledSpectralData,
+)
+from cuda_fft_convolution_tpu.utils.errors import validate
+from cuda_fft_convolution_tpu.utils.transfer import fetch
+
+_KINDS = {
+    "SpectralData": SpectralData,
+    "TiledSpectralData": TiledSpectralData,
+    "SpectralKernels": SpectralKernels,
+}
+
+
+def save_spectral(path: str, obj) -> None:
+    """Serialize a spectral object to ``path`` (.npz)."""
+    kind = type(obj).__name__
+    validate(kind in _KINDS, f"not a spectral object: {type(obj)}")
+    meta = {
+        f.name: getattr(obj, f.name)
+        for f in dataclasses.fields(obj)
+        if f.name != "fft"
+    }
+    spec = fetch(obj.fft)
+    np.savez(
+        path,
+        kind=kind,
+        fft_re=np.real(spec).astype(np.float32),
+        fft_im=np.imag(spec).astype(np.float32),
+        **{
+            k: (np.asarray(v) if not isinstance(v, tuple) else np.asarray(v))
+            for k, v in meta.items()
+        },
+    )
+
+
+def load_spectral(path: str):
+    """Load a spectral object saved by ``save_spectral``; spectra land on
+    the default device."""
+    with np.load(path, allow_pickle=False) as z:
+        kind = str(z["kind"])
+        validate(kind in _KINDS, f"unknown spectral kind {kind!r}")
+        cls = _KINDS[kind]
+        # lax.complex under jit: eager complex construction trips runtimes
+        # with partial complex support (see utils/transfer.py).
+        fft = jax.jit(jax.lax.complex)(
+            jnp.asarray(z["fft_re"], jnp.float32),
+            jnp.asarray(z["fft_im"], jnp.float32),
+        )
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name == "fft":
+                continue
+            v = z[f.name]
+            if v.ndim == 0:
+                kwargs[f.name] = int(v)
+            else:
+                kwargs[f.name] = tuple(int(x) for x in v)
+        return cls(fft=fft, **kwargs)

@@ -1,0 +1,66 @@
+"""Central runtime configuration.
+
+The reference's "config system" is positional MEX args + compile-time
+constants (SURVEY.md §5: thread-dim 4-vectors, GPU id, `static bool debug`,
+FFT-size policy chosen by editing the source). Here it is one runtime
+config object with env-var overrides:
+
+  FFTCONV_POLICY        default FFT-size policy (multiple16|pow2|fast|tpu)
+  FFTCONV_USE_PALLAS    1/0 force the Pallas MAC on/off ('' = auto)
+  FFTCONV_HBM_FRACTION  fraction of device HBM the bank planner may use
+  FFTCONV_CHUNK         fixed pipeline chunk size ('' = planner decides)
+  FFTCONV_DEBUG         1 = debug logging (utils/logging.py)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy
+
+
+def _env_bool(name: str) -> bool | None:
+    v = os.environ.get(name, "")
+    if v == "":
+        return None
+    return v not in ("0", "false", "False")
+
+
+def _env_int(name: str) -> int | None:
+    v = os.environ.get(name, "")
+    return int(v) if v else None
+
+
+@dataclasses.dataclass
+class Config:
+    policy: FftSizePolicy = FftSizePolicy.FAST
+    use_pallas: bool | None = None  # None = auto per backend/size
+    hbm_fraction: float = 0.75
+    chunk_size: int | None = None  # None = planner decides
+
+    @classmethod
+    def from_env(cls) -> "Config":
+        return cls(
+            policy=FftSizePolicy(os.environ.get("FFTCONV_POLICY", "fast")),
+            use_pallas=_env_bool("FFTCONV_USE_PALLAS"),
+            hbm_fraction=float(os.environ.get("FFTCONV_HBM_FRACTION", "0.75")),
+            chunk_size=_env_int("FFTCONV_CHUNK"),
+        )
+
+
+_CONFIG = Config.from_env()
+
+
+def get_config() -> Config:
+    return _CONFIG
+
+
+def set_config(**kwargs) -> Config:
+    """Update global defaults, e.g. ``set_config(policy='tpu')``."""
+    global _CONFIG
+    updates = dict(kwargs)
+    if "policy" in updates:
+        updates["policy"] = FftSizePolicy(updates["policy"])
+    _CONFIG = dataclasses.replace(_CONFIG, **updates)
+    return _CONFIG

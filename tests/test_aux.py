@@ -1,0 +1,75 @@
+"""Aux subsystem tests: config, checkpoint/resume, selftest (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
+from cuda_fft_convolution_tpu.utils.config import Config, get_config, set_config
+from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy
+from cuda_fft_convolution_tpu.utils.selftest import selftest
+
+
+def test_config_set_and_policy_effect():
+    orig = get_config().policy
+    try:
+        set_config(policy="multiple16")
+        assert get_config().policy is FftSizePolicy.MULTIPLE16
+        # fft_data with policy=None picks the configured default
+        sd = fc.fft_data(np.zeros((64, 8, 1), np.float32), 10, 4)
+        assert (sd.fft_h, sd.fft_w) == (80, 16)
+    finally:
+        set_config(policy=orig)
+
+
+def test_config_from_env(monkeypatch):
+    monkeypatch.setenv("FFTCONV_POLICY", "pow2")
+    monkeypatch.setenv("FFTCONV_USE_PALLAS", "0")
+    monkeypatch.setenv("FFTCONV_CHUNK", "4")
+    cfg = Config.from_env()
+    assert cfg.policy is FftSizePolicy.POW2
+    assert cfg.use_pallas is False
+    assert cfg.chunk_size == 4
+
+
+@pytest.mark.parametrize("kind", ["data", "tiled", "kernels"])
+def test_checkpoint_roundtrip(tmp_path, rng, kind):
+    data = rng.standard_normal((40, 30, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 2)).astype(np.float32) for _ in range(3)]
+    if kind == "data":
+        obj = fc.fft_data(data, 5, 5)
+    elif kind == "tiled":
+        obj = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
+    else:
+        obj = fc.fft_kernels(kerns, fft_h=64, fft_w=48, feature_dim=2)
+    path = str(tmp_path / f"{kind}.npz")
+    save_spectral(path, obj)
+    back = load_spectral(path)
+    assert type(back) is type(obj)
+    np.testing.assert_allclose(fc.fetch(back.fft), fc.fetch(obj.fft), atol=1e-6)
+    for field in ("fft_h", "fft_w", "data_h", "block_h", "kernel_hs"):
+        if hasattr(obj, field):
+            assert getattr(back, field) == getattr(obj, field)
+
+
+def test_checkpoint_resume_produces_identical_results(tmp_path, rng):
+    """A conv resumed from a loaded spectrum matches the live one — the
+    reference's 'materialized intermediate' (src/cudaFFTData.cu:150) made
+    durable."""
+    data = rng.standard_normal((32, 32, 1)).astype(np.float32)
+    kern = rng.standard_normal((5, 5, 1)).astype(np.float32)
+    sd = fc.fft_data(data, 5, 5)
+    want = np.array(fc.conv_spectral(sd, [kern]))
+    path = str(tmp_path / "sd.npz")
+    save_spectral(path, sd)
+    got = np.array(fc.conv_spectral(load_spectral(path), [kern]))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_selftest_reports():
+    rep = selftest()
+    assert rep["fft_ok"] is True
+    assert "backend" in rep and "device_kind" in rep
+    assert isinstance(rep["complex_d2h_ok"], bool)
+    assert rep["pallas_ok"] is True
+    assert isinstance(rep["native_planner_ok"], bool)
