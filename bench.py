@@ -40,16 +40,17 @@ def _device_hbm_gbps() -> float:
 
 
 def _time_fn(fn, *args, warmup=2, iters=5) -> float:
-    import jax
+    from cuda_fft_convolution_tpu.utils.profiling import device_sync
 
+    # device_sync per iteration: (a) block_until_ready alone returns early on
+    # tunneled runtimes (a tiny D2H fetch is the only true barrier), and
+    # (b) unsynced dispatch would enqueue every iteration's multi-GB working
+    # set at once (OOM on 16 GB v5e).
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        # block every iteration: unblocked dispatch would enqueue all iters
-        # at once and hold every iteration's multi-GB working set live
-        # simultaneously (OOM on 16 GB v5e)
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 

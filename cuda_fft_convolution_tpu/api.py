@@ -619,3 +619,17 @@ def fft_conv(
         spectral, kernels, mode=mode, correlation=correlation,
         use_pallas=use_pallas,
     )
+
+
+# Jitted workers whose traced bodies read the global config (transform
+# engine dispatch): registered so set_config invalidates their caches.
+from cuda_fft_convolution_tpu.utils.config import register_jit_consumer  # noqa: E402
+
+for _fn in (
+    _fft_data_worker,
+    _fft_kernels_worker,
+    _conv_from_spectra,
+    _conv_from_spectra_chunked,
+):
+    register_jit_consumer(_fn)
+del _fn

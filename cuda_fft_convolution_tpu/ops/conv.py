@@ -34,13 +34,43 @@ from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_s
 _SPECTRAL_REAL = jnp.float32
 
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _use_matmul_fft(fft_h: int, fft_w: int) -> bool:
+    from cuda_fft_convolution_tpu.ops.dft import matmul_fft_profitable
+    from cuda_fft_convolution_tpu.utils.config import get_config
+
+    cfg = get_config()
+    if cfg.use_matmul_fft is not None:
+        return cfg.use_matmul_fft
+    return matmul_fft_profitable(fft_h, fft_w)
+
+
+def _matmul_precision():
+    from cuda_fft_convolution_tpu.utils.config import get_config
+
+    return _PRECISIONS[get_config().matmul_precision]
+
+
 def rfft2_padded(x: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
     """Zero-pad the trailing (H, W) axes to (fft_h, fft_w) and take rfft2.
 
     ≈ padData + cufftExecR2C batched over all leading axes
-    (src/cudaConvolutionFFT.cu:155-167).
+    (src/cudaConvolutionFFT.cu:155-167). Transform engine dispatch: MXU-DFT
+    matmuls (ops/dft.py) on TPU up to the size cap — XLA's TPU FFT runs on
+    the vector unit at ~100 GFLOP/s while the MXU path is >10× faster at
+    these sizes — else XLA FFT HLO.
     """
     x = x.astype(_SPECTRAL_REAL)
+    if _use_matmul_fft(fft_h, fft_w):
+        from cuda_fft_convolution_tpu.ops.dft import rfft2_mm
+
+        return rfft2_mm(x, fft_h, fft_w, precision=_matmul_precision())
     return jnp.fft.rfft2(pad_to_fft(x, fft_h, fft_w))
 
 
@@ -67,8 +97,12 @@ def irfft2_norm(s: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
 
     jnp.fft.irfft2 applies the 1/(fft_h·fft_w) normalization itself —
     equivalent to the reference's explicit scale (src/cudaConvolutionFFT.cu:270)
-    on top of unnormalized cuFFT C2R.
+    on top of unnormalized cuFFT C2R. Same engine dispatch as rfft2_padded.
     """
+    if _use_matmul_fft(fft_h, fft_w):
+        from cuda_fft_convolution_tpu.ops.dft import irfft2_mm
+
+        return irfft2_mm(s, fft_h, fft_w, precision=_matmul_precision())
     return jnp.fft.irfft2(s, s=(fft_h, fft_w))
 
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
 from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.utils.config import register_jit_consumer
 from cuda_fft_convolution_tpu.utils.fft_size import next_fast_len
 
 
@@ -95,7 +96,9 @@ def fft_data_blocks(
     xb = x[:, :, r, :]  # (B, F, nbh, block_h, Wp)
     xb = xb[..., c]  # (B, F, nbh, block_h, nbw, block_w)
     xb = jnp.moveaxis(xb, (2, 4), (1, 2))  # (B, nbh, nbw, F, block_h, block_w)
-    return jnp.fft.rfft2(xb)
+    # rfft2_padded is a no-op pad here (blocks are already full size) but
+    # routes through the transform-engine dispatch (MXU-DFT vs XLA FFT).
+    return rfft2_padded(xb, block_h, block_w)
 
 
 @functools.partial(
@@ -131,3 +134,9 @@ def conv_blocks(
         b, n, nbh * vh, nbw * vw
     )
     return out[:, :, :out_h, :out_w]
+
+
+# These jitted workers read the global config (transform-engine dispatch)
+# at trace time; register so set_config can invalidate their caches.
+register_jit_consumer(fft_data_blocks)
+register_jit_consumer(conv_blocks)

@@ -38,6 +38,11 @@ class Config:
     use_pallas: bool | None = None  # None = auto per backend/size
     hbm_fraction: float = 0.75
     chunk_size: int | None = None  # None = planner decides
+    # Transform engine: None = auto (MXU-DFT matmuls on TPU up to the size
+    # cap, XLA FFT otherwise). 'matmul_precision' applies to the DFT
+    # matmuls: 'highest' (fp32-exact, default) | 'high' | 'default'.
+    use_matmul_fft: bool | None = None
+    matmul_precision: str = "highest"
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -46,10 +51,21 @@ class Config:
             use_pallas=_env_bool("FFTCONV_USE_PALLAS"),
             hbm_fraction=float(os.environ.get("FFTCONV_HBM_FRACTION", "0.75")),
             chunk_size=_env_int("FFTCONV_CHUNK"),
+            use_matmul_fft=_env_bool("FFTCONV_USE_MATMUL_FFT"),
+            matmul_precision=os.environ.get("FFTCONV_MATMUL_PRECISION", "highest"),
         )
 
 
 _CONFIG = Config.from_env()
+
+# jitted functions whose traced bodies read the config (transform-engine
+# dispatch happens at trace time): set_config clears them so a config flip
+# is not shadowed by a stale executable cached under the same static args.
+_JIT_CONSUMERS: list = []
+
+
+def register_jit_consumer(fn) -> None:
+    _JIT_CONSUMERS.append(fn)
 
 
 def get_config() -> Config:
@@ -63,4 +79,10 @@ def set_config(**kwargs) -> Config:
     if "policy" in updates:
         updates["policy"] = FftSizePolicy(updates["policy"])
     _CONFIG = dataclasses.replace(_CONFIG, **updates)
+    if {"use_matmul_fft", "matmul_precision", "use_pallas"} & set(updates):
+        for fn in _JIT_CONSUMERS:
+            try:
+                fn.clear_cache()
+            except Exception:
+                pass
     return _CONFIG

@@ -31,16 +31,31 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def device_sync(out) -> None:
+    """Truly wait for ``out``: block_until_ready PLUS a tiny D2H fetch.
+
+    On some remote TPU runtimes (observed on the tunneled v5e here)
+    block_until_ready returns before remote execution finishes — only a
+    host fetch round-trips through actual completion. The fetched slice is
+    4 elements, so the added cost is one tunnel RTT."""
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    from cuda_fft_convolution_tpu.utils.transfer import fetch
+
+    fetch(jax.numpy.ravel(leaf)[:4])
+
+
 def benchmark(fn, *args, warmup: int = 2, iters: int = 10) -> dict:
-    """Median/mean wall time of ``fn(*args)`` with proper device sync.
+    """Median/mean wall time of ``fn(*args)`` with REAL device sync (see
+    device_sync — block_until_ready alone lies on tunneled runtimes).
 
     Returns {"mean_s", "median_s", "min_s", "iters"}."""
     for _ in range(max(warmup, 1)):
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     times = []
     for _ in range(max(iters, 1)):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     n = len(times)

@@ -1,0 +1,95 @@
+"""MXU-DFT matmul transform tests (ops/dft.py): must be fp32-exact against
+jnp.fft on every geometry, and the engine flip must be invisible through the
+public API (set_config invalidates cached executables)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.ops.dft import irfft2_mm, rfft2_mm
+from tests.oracles import fft_conv_full_f64, rel_err
+
+
+@pytest.mark.parametrize(
+    "h,w,fh,fw",
+    [
+        (13, 9, 16, 16),
+        (64, 64, 80, 90),
+        (100, 50, 128, 135),
+        (7, 7, 8, 9),  # odd fft_w (Wc covers Nyquist-less case)
+        (1, 1, 8, 8),
+    ],
+)
+def test_matmul_transforms_match_fft(rng, h, w, fh, fw):
+    x = jnp.asarray(rng.standard_normal((3, h, w)).astype(np.float32))
+    s_mm = rfft2_mm(x, fh, fw)
+    s_ref = jnp.fft.rfft2(jnp.pad(x, ((0, 0), (0, fh - h), (0, fw - w))))
+    scale = float(jnp.max(jnp.abs(jnp.real(s_ref))))
+    assert float(jnp.max(jnp.abs(jnp.real(s_mm) - jnp.real(s_ref)))) / scale < 1e-5
+    assert float(jnp.max(jnp.abs(jnp.imag(s_mm) - jnp.imag(s_ref)))) / max(
+        float(jnp.max(jnp.abs(jnp.imag(s_ref)))), 1e-9
+    ) < 1e-5
+
+    y_mm = irfft2_mm(s_ref, fh, fw)
+    y_ref = jnp.fft.irfft2(s_ref, s=(fh, fw))
+    assert (
+        float(jnp.max(jnp.abs(y_mm - y_ref))) / float(jnp.max(jnp.abs(y_ref)))
+        < 1e-5
+    )
+
+
+def test_engine_flip_through_public_api(rng):
+    """conv results must be identical (fp32 tolerance) under both transform
+    engines, and set_config must actually take effect on cached workers."""
+    data = rng.standard_normal((48, 40, 2)).astype(np.float32)
+    kern = rng.standard_normal((7, 5, 2)).astype(np.float32)
+    ref = fft_conv_full_f64(data, kern)
+    try:
+        fc.set_config(use_matmul_fft=False)
+        a = np.array(fc.fft_conv(data, kernels=[kern], mode="full")[0]
+                     if isinstance(fc.fft_conv(data, kernels=[kern], mode="full"), list)
+                     else fc.fft_conv(data, kernels=[kern], mode="full")[0])
+        fc.set_config(use_matmul_fft=True)
+        b = np.array(fc.fft_conv(data, kernels=[kern], mode="full")[0]
+                     if isinstance(fc.fft_conv(data, kernels=[kern], mode="full"), list)
+                     else fc.fft_conv(data, kernels=[kern], mode="full")[0])
+    finally:
+        fc.set_config(use_matmul_fft=None)
+    assert rel_err(a, ref) < 1e-5
+    assert rel_err(b, ref) < 1e-5
+
+
+def test_matmul_engine_tiled_path(rng):
+    data = rng.standard_normal((100, 90, 1)).astype(np.float32)
+    kern = rng.standard_normal((6, 6, 1)).astype(np.float32)
+    ref = fft_conv_full_f64(data, kern)
+    try:
+        fc.set_config(use_matmul_fft=True)
+        sd = fc.fft_data_tiled(data, 6, 6, block_h=32, block_w=32)
+        out = np.array(fc.conv_spectral(sd, [kern], mode="full")[0])
+    finally:
+        fc.set_config(use_matmul_fft=None)
+    assert rel_err(out, ref) < 1e-5
+
+
+def test_matmul_gradients(rng):
+    """The matmul transforms are einsum → differentiable; grads must match
+    the FFT engine's."""
+    import jax
+
+    data = jnp.asarray(rng.standard_normal((24, 24, 1)).astype(np.float32))
+    kern = jnp.asarray(rng.standard_normal((5, 5, 1)).astype(np.float32))
+
+    def loss(k):
+        out = fc.fft_conv(data, kernels=k[None], mode="same")
+        return jnp.sum(out**2)
+
+    try:
+        fc.set_config(use_matmul_fft=False)
+        g_fft = np.array(jax.grad(loss)(kern))
+        fc.set_config(use_matmul_fft=True)
+        g_mm = np.array(jax.grad(loss)(kern))
+    finally:
+        fc.set_config(use_matmul_fft=None)
+    np.testing.assert_allclose(g_mm, g_fft, rtol=1e-3, atol=1e-2)
