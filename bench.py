@@ -3,17 +3,21 @@
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Headline config (BASELINE.json): 2048×2048 image × 100 kernels of 64×64,
-fp32 — the one-shot ``fft_conv`` path (≈ cudaConvolutionFFT, the reference's
-flagship entry point: data FFT + per-kernel FFT/MAC/iFFT all included).
-``vs_baseline`` is measured throughput over the HBM-bandwidth roofline for
-the same work (the north star: "HBM-bandwidth-bound speed" == 1.0).
+fp32 — the library's recommended one-shot path (`fft_conv` with
+algorithm='auto', 'same' maps), jit-wrapped end-to-end (the public API is
+jit-transparent) so one call is one XLA program. Kernel FFTs are INCLUDED —
+this is the cudaConvolutionFFT-equivalent workload.
 
-Secondary configs (reported in "detail"): the amortized path with
-precomputed kernel spectra (≈ cudaFFTData + cudaConvFFTData), the pipelined
-big-bank path (≈ cudaConvFFTDataStreams), and bf16 inputs.
+``vs_baseline`` = measured throughput / the algorithm-independent HBM floor
+(read image + read bank + write output maps at device bandwidth — the
+speed-of-light no implementation can beat). The reference publishes no
+numbers (SURVEY.md §6), so this floor is the only stable yardstick; it does
+not move as our implementation changes.
 
-The reference itself publishes no numbers (SURVEY.md §6) — roofline is the
-only honest baseline.
+Secondary configs in "detail": reference-parity fftmap one-shot, amortized
+(precomputed spectra ≈ cudaFFTData+cudaConvFFTData), tiled amortized
+(overlap-save serving path), pipelined big bank, bf16 inputs, and accuracy
+vs a float64 CPU FFT oracle.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ import time
 
 import numpy as np
 
-# v5e HBM bandwidth (GB/s); used only for the roofline denominator.
+# HBM bandwidth (GB/s) for the roofline denominator, by device kind.
 _HBM_GBPS = {"v5 lite": 819.0, "v5e": 819.0, "v4": 1228.0, "v5p": 2765.0,
              "v6e": 1640.0}
 
@@ -58,8 +62,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: first-compile of 2048^2 FFT programs through
-    # the remote-compile tunnel is minutes; cached reruns are seconds.
+    # Persistent compile cache: first-compile of big programs through the
+    # remote-compile tunnel is minutes; cached reruns are seconds.
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -77,97 +81,101 @@ def main() -> None:
     data = jnp.asarray(rng.standard_normal((H, W, F)).astype(np.float32))
     kernels = jnp.asarray(rng.standard_normal((N, KH, KW, F)).astype(np.float32))
     jax.block_until_ready((data, kernels))
-
-    fft_h, fft_w = compute_fft_size(H, W, KH, KW, "fast")
-    wc = fft_w // 2 + 1
     gpix_filters = H * W * N / 1e9
 
-    # --- accuracy vs float64 CPU FFT oracle on a decimated config, run
-    # FIRST while HBM is empty (512²×8 kernels shares every code path)
+    # --- accuracy vs float64 CPU FFT oracle first, while HBM is empty
+    # (512²×8 kernels shares every code path incl. the tiled engine)
     dh = np.asarray(data[:512, :512, :])
     ks = np.asarray(kernels[:8, :, :, :])
-    got = np.array(fc.fft_conv(dh, KH, KW, ks, mode="fftmap"))
-    ofh, ofw = compute_fft_size(512, 512, KH, KW, "fast")
+    got = np.array(fc.fft_conv(dh, KH, KW, ks, mode="full"))
+    oh, ow = 512 + KH - 1, 512 + KW - 1
     err = 0.0
     for i in range(ks.shape[0]):
-        ref = np.zeros((ofh, ofw))
+        ref = np.zeros((oh, ow))
         for c in range(F):
             ref += np.real(
                 np.fft.ifft2(
-                    np.fft.fft2(dh[:, :, c].astype(np.float64), (ofh, ofw))
-                    * np.fft.fft2(ks[i, :, :, c].astype(np.float64), (ofh, ofw))
+                    np.fft.fft2(dh[:, :, c].astype(np.float64), (oh, ow))
+                    * np.fft.fft2(ks[i, :, :, c].astype(np.float64), (oh, ow))
                 )
             )
         err = max(err, np.max(np.abs(got[i] - ref)) / np.max(np.abs(ref)))
     del got
 
-    # --- headline: one-shot fft_conv (fftmap mode = raw maps, no trim copy)
-    def one_shot(d, k):
-        return fc.fft_conv(d, KH, KW, k, mode="fftmap")
+    # --- headline: recommended one-shot, jit-fused end-to-end
+    one_shot = jax.jit(
+        lambda d, k: fc.fft_conv(d, KH, KW, k, mode="same", algorithm="auto")
+    )
+    t_head = _time_fn(one_shot, data, kernels)
+    v_head = gpix_filters / t_head
 
-    t_one = _time_fn(one_shot, data, kernels)
-    v_one = gpix_filters / t_one
+    # --- reference-parity one-shot: raw circular fftmaps, direct engine
+    fftmap_shot = jax.jit(
+        lambda d, k: fc.fft_conv(d, KH, KW, k, mode="fftmap")
+    )
+    t_fftmap = _time_fn(fftmap_shot, data, kernels, iters=3)
+    v_fftmap = gpix_filters / t_fftmap
 
-    # --- amortized: precomputed data + kernel spectra, MAC + iFFT only
+    # --- amortized direct: precomputed data + kernel spectra (split API)
     sd = fc.fft_data(data, KH, KW)
     sk = fc.fft_kernels(kernels, spectral=sd)
     jax.block_until_ready((sd.fft, sk.fft))
-    t_amort = _time_fn(lambda s, k: fc.conv_spectral(s, k), sd, sk)
+    conv_d = jax.jit(lambda s, k: fc.conv_spectral(s, k))
+    t_amort = _time_fn(conv_d, sd, sk, iters=3)
     v_amort = gpix_filters / t_amort
 
     # --- pipelined big-bank path (chunked ≈ streams variant)
-    t_pipe = _time_fn(
-        lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16), sd, sk
+    conv_p = jax.jit(
+        lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16)
     )
+    t_pipe = _time_fn(conv_p, sd, sk, iters=3)
     v_pipe = gpix_filters / t_pipe
     del sd, sk
 
-    # --- tiled overlap-save engine ('same' maps — linear conv windows)
-    def tiled(d, k):
-        return fc.fft_conv(d, KH, KW, k, mode="same", algorithm="tiled")
-
-    t_tiled = _time_fn(tiled, data, kernels)
+    # --- tiled amortized (overlap-save serving path: block spectra + bank
+    # spectra precomputed, MAC + windowed MXU-DFT inverse per call)
+    sdt = fc.fft_data_tiled(data, KH, KW)
+    skt = fc.fft_kernels(kernels, spectral=sdt)
+    jax.block_until_ready((sdt.fft, skt.fft))
+    conv_t = jax.jit(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+    t_tiled = _time_fn(conv_t, sdt, skt)
     v_tiled = gpix_filters / t_tiled
+    del sdt, skt
 
     # --- bf16 inputs, fp32 spectral accumulation (BASELINE config 5)
     t_bf16 = _time_fn(
-        one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16)
+        one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16),
+        iters=3,
     )
     v_bf16 = gpix_filters / t_bf16
 
-    # --- HBM roofline for the one-shot path (minimum traffic, c64 spectra):
-    # data read + data spectrum write/read, kernel reads, bank spectra
-    # write+read, product materialize+read (FFT is a fusion barrier), real
-    # maps write. FFT-internal passes are NOT charged — this keeps the
-    # roofline an upper bound on achievable speed (so vs_baseline <= 1 means
-    # what it says).
-    c = fft_h * wc * 8  # one c64 spectrum
-    bytes_one = (
-        H * W * F * 4  # read data
-        + 2 * F * c  # write+read data spectrum
-        + N * KH * KW * F * 4  # read kernels
-        + 2 * N * F * c  # write+read bank spectra
-        + 2 * N * c  # write+read MAC product
-        + N * fft_h * fft_w * 4  # write real maps
+    # --- algorithm-independent HBM floor: any implementation must at least
+    # read the image, read the bank, and write N 'same' maps.
+    floor_bytes = (
+        H * W * F * 4 + N * KH * KW * F * 4 + N * H * W * 4
     )
-    roofline_one = gpix_filters / (bytes_one / (_device_hbm_gbps() * 1e9))
+    floor_s = floor_bytes / (_device_hbm_gbps() * 1e9)
+    roofline = gpix_filters / floor_s
 
+    fft_h, fft_w = compute_fft_size(H, W, KH, KW, "fast")
     result = {
-        "metric": "GPix*filters/s, one-shot fft_conv, 2048^2 image x 100 64x64 kernels, fp32",
-        "value": round(v_one, 3),
+        "metric": "GPix*filters/s, one-shot fft_conv (jit-fused, auto engine), "
+                  "2048^2 image x 100 64x64 kernels, fp32, 'same' maps",
+        "value": round(v_head, 3),
         "unit": "GPix*filters/s",
-        "vs_baseline": round(v_one / roofline_one, 4),
+        "vs_baseline": round(v_head / roofline, 4),
         "detail": {
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,
-            "fft_size": [fft_h, fft_w],
-            "one_shot_ms": round(t_one * 1e3, 3),
-            "amortized_GPixF_s": round(v_amort, 3),
-            "amortized_ms": round(t_amort * 1e3, 3),
+            "headline_ms": round(t_head * 1e3, 3),
+            "fftmap_parity_GPixF_s": round(v_fftmap, 3),
+            "amortized_direct_GPixF_s": round(v_amort, 3),
+            "amortized_tiled_GPixF_s": round(v_tiled, 3),
+            "amortized_tiled_ms": round(t_tiled * 1e3, 3),
             "pipelined_GPixF_s": round(v_pipe, 3),
-            "tiled_GPixF_s": round(v_tiled, 3),
             "bf16_GPixF_s": round(v_bf16, 3),
-            "hbm_roofline_GPixF_s": round(roofline_one, 3),
+            "hbm_floor_GPixF_s": round(roofline, 3),
+            "direct_fft_size": [fft_h, fft_w],
             "max_rel_err_vs_f64_fft": float(f"{err:.3e}"),
         },
     }

@@ -15,6 +15,19 @@ from cuda_fft_convolution_tpu.models.filter_bank import (
     loss_fn,
     train_step,
 )
+from cuda_fft_convolution_tpu.models.mosse import (
+    MosseFilter,
+    gaussian_target,
+    respond,
+    train_mosse,
+    update_mosse,
+)
+from cuda_fft_convolution_tpu.models.pyramid import (
+    Pyramid,
+    build_pyramid,
+    detect_pyramid,
+    top_detections,
+)
 
 __all__ = [
     "FilterBankDetector",
@@ -22,4 +35,13 @@ __all__ = [
     "init_detector",
     "loss_fn",
     "train_step",
+    "MosseFilter",
+    "gaussian_target",
+    "respond",
+    "train_mosse",
+    "update_mosse",
+    "Pyramid",
+    "build_pyramid",
+    "detect_pyramid",
+    "top_detections",
 ]

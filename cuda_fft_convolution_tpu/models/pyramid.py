@@ -1,0 +1,108 @@
+"""Multi-scale (image-pyramid) filter-bank detection.
+
+The reference's intended deployment: DPM/HOG detectors evaluate the same
+filter bank against every level of an image pyramid, reusing each level's
+data FFT across the bank (SURVEY.md §3.3 "a detector evaluating new filter
+batches against the same image pyramid level"). This module makes the
+pyramid a first-class object: build levels once, precompute one
+SpectralData per level (each a reusable checkpointable spectrum), and score
+the bank against all levels.
+
+Levels have different static shapes, so each level is its own jitted
+program (compiled once per shape) — the idiomatic JAX treatment of a
+ragged multiscale workload.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cuda_fft_convolution_tpu import api as _api
+from cuda_fft_convolution_tpu.types import SpectralData
+from cuda_fft_convolution_tpu.utils.errors import validate
+
+
+@dataclasses.dataclass(frozen=True)
+class Pyramid:
+    """Image pyramid + per-level precomputed spectra."""
+
+    levels: tuple  # tuple of (Hi, Wi, F) arrays, level 0 = full resolution
+    spectra: tuple  # tuple of SpectralData, aligned with levels
+    scale: float
+
+
+def build_pyramid(
+    image: jnp.ndarray,  # (H, W, F)
+    max_kernel_h: int,
+    max_kernel_w: int,
+    *,
+    num_levels: int = 5,
+    scale: float = 2 ** -0.5,
+    policy=None,
+) -> Pyramid:
+    """Downscale ``image`` by ``scale`` per level (bilinear) until either
+    ``num_levels`` levels exist or a level would be smaller than the kernel,
+    precomputing each level's reusable data spectrum (≈ one cudaFFTData per
+    level)."""
+    validate(image.ndim == 3, f"image must be (H, W, F); got {image.shape}")
+    image = jnp.asarray(image, jnp.float32)
+    h, w, f = image.shape
+    levels = []
+    spectra = []
+    cur = image
+    for lvl in range(num_levels):
+        lh, lw = cur.shape[0], cur.shape[1]
+        if lh < max_kernel_h or lw < max_kernel_w:
+            break
+        levels.append(cur)
+        spectra.append(
+            _api.fft_data(cur, max_kernel_h, max_kernel_w, policy=policy)
+        )
+        nh, nw = max(int(round(lh * scale)), 1), max(int(round(lw * scale)), 1)
+        if (nh, nw) == (lh, lw):
+            break
+        cur = jax.image.resize(cur, (nh, nw, f), method="bilinear")
+    validate(len(levels) > 0, "image smaller than the kernel at level 0")
+    return Pyramid(levels=tuple(levels), spectra=tuple(spectra), scale=scale)
+
+
+def detect_pyramid(
+    pyramid: Pyramid,
+    kernels,
+    *,
+    mode: str = "same",
+    correlation: bool = True,
+) -> list:
+    """Score the bank against every pyramid level → list (one entry per
+    level) of per-kernel maps. Each level's data FFT is reused across the
+    whole bank; the bank's spectra are recomputed per level (levels have
+    different FFT sizes — the same constraint the reference has)."""
+    return [
+        _api.conv_spectral(sd, kernels, mode=mode, correlation=correlation)
+        for sd in pyramid.spectra
+    ]
+
+
+def top_detections(
+    level_scores: list, k: int = 5
+) -> list[tuple[int, int, int, int, float]]:
+    """Collect the top-k (level, kernel, row, col, score) peaks across all
+    levels of a detect_pyramid result (stacked-mode outputs)."""
+    hits = []
+    for lvl, scores in enumerate(level_scores):
+        arr = jnp.asarray(scores)
+        n = arr.shape[0]
+        flat = arr.reshape(n, -1)
+        idx = jnp.argmax(flat, axis=1)
+        best = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        hh, ww = arr.shape[1], arr.shape[2]
+        import numpy as np
+
+        for kk in range(n):
+            r, c = divmod(int(idx[kk]), ww)
+            hits.append((lvl, kk, r, c, float(best[kk])))
+    hits.sort(key=lambda t: -t[4])
+    return hits[:k]

@@ -30,8 +30,10 @@ import numpy as np
 
 # Max axis size for which the matmul transform is considered by the auto
 # dispatcher: beyond this the O(L^3)/O(L^2 logL) flop ratio eats the MXU
-# advantage and matrices get big.
-MATMUL_FFT_MAX_AXIS = 2048
+# advantage and matrices get big. (2160-per-axis direct transforms still
+# measured faster via MXU-DFT than XLA FFT on v5e: 601 ms vs 953 ms for the
+# 2048²×100-kernel amortized pass.)
+MATMUL_FFT_MAX_AXIS = 2304
 
 
 @functools.lru_cache(maxsize=64)
@@ -124,16 +126,25 @@ def rfft2_mm(
 def irfft2_mm(
     s: jnp.ndarray, fft_h: int, fft_w: int,
     *, precision=jax.lax.Precision.HIGHEST,
+    window: tuple[int, int, int, int] | None = None,
 ) -> jnp.ndarray:
     """irfft2 (..., fft_h, fft_w//2+1) c64 → (..., fft_h, fft_w) f32 via MXU
-    matmuls, normalization 1/(fft_h·fft_w) folded into the matrices."""
+    matmuls, normalization 1/(fft_h·fft_w) folded into the matrices.
+
+    ``window=(row0, nrows, col0, ncols)`` computes ONLY that output window —
+    the inverse matrices are row-sliced, so flops and output bytes shrink
+    proportionally. An FFT cannot do partial outputs; the overlap-save
+    engine uses this to synthesize just each block's valid region."""
     sr, si = jnp.real(s), jnp.imag(s)
+    r0, nr, c0, nc = (
+        window if window is not None else (0, fft_h, 0, fft_w)
+    )
     gr, gi = _inv_full_mats(fft_h)
-    gr = jnp.asarray(gr)
-    gi = jnp.asarray(gi)
+    gr = jnp.asarray(gr[r0 : r0 + nr])  # (nr, fft_h)
+    gi = jnp.asarray(gi[r0 : r0 + nr])
     mr, mi = _inv_packed_mats(fft_w)
-    mr = jnp.asarray(mr)  # (Wc, fft_w)
-    mi = jnp.asarray(mi)
+    mr = jnp.asarray(mr[:, c0 : c0 + nc])  # (Wc, nc)
+    mi = jnp.asarray(mi[:, c0 : c0 + nc])
     # H axis inverse (complex): (gr + i gi) @ (sr + i si)
     xr = _mml(gr, sr, precision) - _mml(gi, si, precision)
     xi = _mml(gr, si, precision) + _mml(gi, sr, precision)

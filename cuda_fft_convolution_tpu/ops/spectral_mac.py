@@ -179,9 +179,16 @@ def spectral_mac_auto(
     problems and is portable). The Pallas path is differentiable via a
     custom VJP (backward = the einsum contractions)."""
     if use_pallas is None:
+        f = data_fft.shape[-3]
         h, wc = data_fft.shape[-2], data_fft.shape[-1]
+        # Measured on v5e: for small F the einsum MAC wins because XLA fuses
+        # the elementwise complex product into the neighbouring transform
+        # matmuls (a fusion the Pallas custom-call blocks); the fused Pallas
+        # pass pays off once the F-reduction itself is the hot loop.
         use_pallas = (
-            jax.default_backend() == "tpu" and h * wc >= 64 * 1024
+            jax.default_backend() == "tpu"
+            and f >= 8
+            and h * wc >= 64 * 1024
         )
     if not use_pallas:
         return spectral_mac_einsum(data_fft, kernel_fft)

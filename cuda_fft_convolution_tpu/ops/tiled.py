@@ -33,23 +33,61 @@ from cuda_fft_convolution_tpu.utils.config import register_jit_consumer
 from cuda_fft_convolution_tpu.utils.fft_size import next_fast_len
 
 
+def _lane_aligned_block_w(target: int) -> int:
+    """Smallest even W ≥ target with W/2+1 a multiple of 128: the Hermitian
+    width Wc is the LANE axis of every spectral tensor, and Wc = 128·m fills
+    lane tiles exactly (Wc = L/2+1 = 129 at L=256 wastes half the lanes).
+    W = 256·m − 2."""
+    m = -(-(target + 2) // 256)
+    return 256 * m - 2
+
+
 def choose_block_fft(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
-    *, min_ratio: int = 8, max_block: int = 1024,
+    *, min_ratio: int | None = None, max_block: int = 1024,
+    matmul_engine: bool | None = None,
 ) -> tuple[int, int] | None:
     """Pick the overlap-save block FFT size, or None when tiling won't pay.
 
-    Policy: block ≈ min_ratio × kernel (keeps the (L/(L−K+1))² redundancy
-    under ~1.3) rounded to a 5-smooth size, capped at max_block; tiling is
-    declined when the image doesn't span at least ~2 blocks per axis or the
-    kernel is a large fraction of the image (the direct big-FFT engine wins
-    there — BASELINE config 3's 2048²×512² regime)."""
-    lh = next_fast_len(min(max(min_ratio * max_kh, 128), max_block))
-    lw = next_fast_len(min(max(min_ratio * max_kw, 128), max_block))
-    # Decline when the block can't be ≥4× the kernel pad: the overlap
-    # redundancy (L/(L−K+1))² exceeds ~1.8 and the direct engine wins.
-    if lh < 4 * (max_kh - 1) or lw < 4 * (max_kw - 1):
-        return None
+    Engine-aware: the MXU-DFT engine's per-output-pixel cost grows ~linearly
+    with block size (dense O(L³) over (L−K+1)² outputs) and works for ANY
+    size, so it wants the smallest block that keeps overlap redundancy sane
+    (≈4×K) with a lane-aligned Hermitian width. The XLA-FFT engine wants
+    5-smooth sizes and larger blocks (≈8×K) since its cost/pixel only grows
+    with log L. Tiling is declined when the kernel is a large fraction of
+    the image (direct engine wins — BASELINE config 3's 2048²×512² regime)
+    or the image doesn't span ≥2 blocks."""
+    if matmul_engine is None:
+        from cuda_fft_convolution_tpu.ops.conv import _use_matmul_fft
+
+        matmul_engine = _use_matmul_fft(max_block, max_block)
+    if matmul_engine:
+        # Measured on v5e (2048²×100×64² sweep): H blocks want to be SMALL
+        # (~3×K — dense-DFT cost/pixel grows with L, and the windowed
+        # inverse removes the redundancy penalty) while W blocks want to be
+        # WIDER (~8×K — lane tiles amortize): (192, 510) beat (256, 254),
+        # (512, 512) and (256, 1022).
+        ratio_h = 3 if min_ratio is None else min_ratio
+        ratio_w = 8 if min_ratio is None else 2 * min_ratio
+        lh = min(max(-(-(ratio_h * max_kh) // 8) * 8, 128), max_block)
+        lw = min(
+            _lane_aligned_block_w(max(ratio_w * (max_kw - 1), 126)),
+            max_block,
+        )
+        # Decline when overlap redundancy gets extreme (>~2x per axis):
+        # windowed inverses absorb most redundancy, so the bar is lower
+        # than the FFT engine's.
+        if lh < 2 * (max_kh - 1) or lw < 2 * (max_kw - 1):
+            return None
+    else:
+        if min_ratio is None:
+            min_ratio = 8
+        lh = next_fast_len(min(max(min_ratio * max_kh, 128), max_block))
+        lw = next_fast_len(min(max(min_ratio * max_kw, 128), max_block))
+        # Decline when the block can't be ≥4× the kernel pad: the overlap
+        # redundancy (L/(L−K+1))² exceeds ~1.8 and the direct engine wins.
+        if lh < 4 * (max_kh - 1) or lw < 4 * (max_kw - 1):
+            return None
     # decline when the image is small enough that one big FFT is comparable
     if data_h + max_kh - 1 <= 2 * lh and data_w + max_kw - 1 <= 2 * lw:
         return None
@@ -120,15 +158,29 @@ def conv_blocks(
 ) -> jnp.ndarray:
     """Spectral MAC per block + inverse FFT + overlap-save reassembly →
     (B, N, out_h, out_w) linear-convolution maps ('full' window)."""
+    from cuda_fft_convolution_tpu.ops.conv import _matmul_precision, _use_matmul_fft
+
     b, nbh, nbw, f, lh, lwc = dfft_blocks.shape
     n = kernel_fft.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     # Fold (B, nbh, nbw) into one batch axis for the MAC.
     dflat = dfft_blocks.reshape(b * nbh * nbw, f, lh, lwc)
     prod = spectral_mac_auto(dflat, kernel_fft, use_pallas=use_pallas)
-    maps = irfft2_norm(prod, block_h, block_w)  # (B*nbh*nbw, N, Lh, Lw)
-    # Valid (non-wrapped) region of each block: rows/cols [K−1, K−1+V).
-    valid = maps[:, :, kh - 1 : kh - 1 + vh, kw - 1 : kw - 1 + vw]
+    if _use_matmul_fft(block_h, block_w):
+        # MXU-DFT inverse synthesizes ONLY each block's valid (non-wrapped)
+        # window — flops and intermediate bytes shrink by the overlap
+        # redundancy factor (L/(L−K+1))², something an FFT cannot do.
+        from cuda_fft_convolution_tpu.ops.dft import irfft2_mm
+
+        valid = irfft2_mm(
+            prod, block_h, block_w,
+            precision=_matmul_precision(),
+            window=(kh - 1, vh, kw - 1, vw),
+        )
+    else:
+        maps = irfft2_norm(prod, block_h, block_w)  # (B*nbh*nbw, N, Lh, Lw)
+        # Valid (non-wrapped) region of each block: rows/cols [K−1, K−1+V).
+        valid = maps[:, :, kh - 1 : kh - 1 + vh, kw - 1 : kw - 1 + vw]
     valid = valid.reshape(b, nbh, nbw, n, vh, vw)
     out = jnp.transpose(valid, (0, 3, 1, 4, 2, 5)).reshape(
         b, n, nbh * vh, nbw * vw

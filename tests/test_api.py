@@ -146,3 +146,27 @@ def test_spectral_data_fetch_roundtrip(rng):
     assert spec.shape == (2, sd.fft_h, sd.fft_w // 2 + 1)
     ref = np.fft.rfft2(data[:, :, 0].astype(np.float64), (sd.fft_h, sd.fft_w))
     assert rel_err(np.abs(spec[0]), np.abs(ref)) < 1e-4
+
+
+def test_api_is_jit_transparent(rng):
+    """The whole public API is traceable: users wrap hot loops in jax.jit
+    and every stage (pad, FFT, MAC, inverse, trim) fuses into ONE program —
+    the serving-latency answer to the reference's per-call MEX dispatch."""
+    import jax
+
+    data = rng.standard_normal((40, 30, 2)).astype(np.float32)
+    kerns = rng.standard_normal((3, 5, 5, 2)).astype(np.float32)
+    want = np.array(fc.fft_conv(data, 5, 5, kerns, mode="same"))
+    got = np.array(
+        jax.jit(lambda d, k: fc.fft_conv(d, 5, 5, k, mode="same"))(
+            jnp.asarray(data), jnp.asarray(kerns)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    sd = fc.fft_data(data, 5, 5)
+    got2 = np.array(
+        jax.jit(lambda s, k: fc.conv_spectral(s, k, mode="same"))(
+            sd, jnp.asarray(kerns)
+        )
+    )
+    np.testing.assert_allclose(got2, want, atol=1e-6)

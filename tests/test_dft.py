@@ -93,3 +93,16 @@ def test_matmul_gradients(rng):
     finally:
         fc.set_config(use_matmul_fft=None)
     np.testing.assert_allclose(g_mm, g_fft, rtol=1e-3, atol=1e-2)
+
+
+def test_irfft2_mm_partial_window(rng):
+    """window=(r0,nr,c0,nc) equals the full inverse sliced."""
+    s = jnp.asarray(
+        (rng.standard_normal((2, 32, 17)) + 1j * rng.standard_normal((2, 32, 17)))
+        .astype(np.complex64)
+    )
+    full = irfft2_mm(s, 32, 32)
+    part = irfft2_mm(s, 32, 32, window=(5, 12, 7, 20))
+    np.testing.assert_allclose(
+        np.array(part), np.array(full[:, 5:17, 7:27]), atol=1e-5
+    )
