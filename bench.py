@@ -109,29 +109,6 @@ def main() -> None:
     t_head = _time_fn(one_shot, data, kernels)
     v_head = gpix_filters / t_head
 
-    # --- reference-parity one-shot: raw circular fftmaps, direct engine
-    fftmap_shot = jax.jit(
-        lambda d, k: fc.fft_conv(d, KH, KW, k, mode="fftmap")
-    )
-    t_fftmap = _time_fn(fftmap_shot, data, kernels, iters=3)
-    v_fftmap = gpix_filters / t_fftmap
-
-    # --- amortized direct: precomputed data + kernel spectra (split API)
-    sd = fc.fft_data(data, KH, KW)
-    sk = fc.fft_kernels(kernels, spectral=sd)
-    jax.block_until_ready((sd.fft, sk.fft))
-    conv_d = jax.jit(lambda s, k: fc.conv_spectral(s, k))
-    t_amort = _time_fn(conv_d, sd, sk, iters=3)
-    v_amort = gpix_filters / t_amort
-
-    # --- pipelined big-bank path (chunked ≈ streams variant)
-    conv_p = jax.jit(
-        lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16)
-    )
-    t_pipe = _time_fn(conv_p, sd, sk, iters=3)
-    v_pipe = gpix_filters / t_pipe
-    del sd, sk
-
     # --- tiled amortized (overlap-save serving path: block spectra + bank
     # spectra precomputed, MAC + windowed MXU-DFT inverse per call)
     sdt = fc.fft_data_tiled(data, KH, KW)
@@ -142,12 +119,36 @@ def main() -> None:
     v_tiled = gpix_filters / t_tiled
     del sdt, skt
 
-    # --- bf16 inputs, fp32 spectral accumulation (BASELINE config 5)
-    t_bf16 = _time_fn(
-        one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16),
-        iters=3,
-    )
-    v_bf16 = gpix_filters / t_bf16
+    # Secondary configs compile several more whole programs (minutes from a
+    # cold compile cache through the remote-compile tunnel) — opt-in.
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+    v_fftmap = v_amort = v_pipe = v_bf16 = None
+    if full:
+        # reference-parity one-shot: raw circular fftmaps, direct engine
+        fftmap_shot = jax.jit(
+            lambda d, k: fc.fft_conv(d, KH, KW, k, mode="fftmap")
+        )
+        v_fftmap = gpix_filters / _time_fn(fftmap_shot, data, kernels, iters=3)
+
+        # amortized direct: precomputed data + kernel spectra (split API)
+        sd = fc.fft_data(data, KH, KW)
+        sk = fc.fft_kernels(kernels, spectral=sd)
+        jax.block_until_ready((sd.fft, sk.fft))
+        conv_d = jax.jit(lambda s, k: fc.conv_spectral(s, k))
+        v_amort = gpix_filters / _time_fn(conv_d, sd, sk, iters=3)
+
+        # pipelined big-bank path (chunked ≈ streams variant)
+        conv_p = jax.jit(
+            lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16)
+        )
+        v_pipe = gpix_filters / _time_fn(conv_p, sd, sk, iters=3)
+        del sd, sk
+
+        # bf16 inputs, fp32 spectral accumulation (BASELINE config 5)
+        v_bf16 = gpix_filters / _time_fn(
+            one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16),
+            iters=3,
+        )
 
     # --- algorithm-independent HBM floor: any implementation must at least
     # read the image, read the bank, and write N 'same' maps.
@@ -168,15 +169,16 @@ def main() -> None:
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,
             "headline_ms": round(t_head * 1e3, 3),
-            "fftmap_parity_GPixF_s": round(v_fftmap, 3),
-            "amortized_direct_GPixF_s": round(v_amort, 3),
             "amortized_tiled_GPixF_s": round(v_tiled, 3),
             "amortized_tiled_ms": round(t_tiled * 1e3, 3),
-            "pipelined_GPixF_s": round(v_pipe, 3),
-            "bf16_GPixF_s": round(v_bf16, 3),
             "hbm_floor_GPixF_s": round(roofline, 3),
             "direct_fft_size": [fft_h, fft_w],
             "max_rel_err_vs_f64_fft": float(f"{err:.3e}"),
+            # BENCH_FULL=1 extras (null when skipped):
+            "fftmap_parity_GPixF_s": None if v_fftmap is None else round(v_fftmap, 3),
+            "amortized_direct_GPixF_s": None if v_amort is None else round(v_amort, 3),
+            "pipelined_GPixF_s": None if v_pipe is None else round(v_pipe, 3),
+            "bf16_GPixF_s": None if v_bf16 is None else round(v_bf16, 3),
         },
     }
     print(json.dumps(result))

@@ -30,17 +30,14 @@ exact reference-parity output (src/cudaConvolutionFFT.cu:284-288); 'full' /
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cuda_fft_convolution_tpu.ops.conv import (
     irfft2_norm,
     rfft2_padded,
 )
-from cuda_fft_convolution_tpu.ops.padding import pad_to_fft
 from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
 from cuda_fft_convolution_tpu.ops.tiled import (
     choose_block_fft,

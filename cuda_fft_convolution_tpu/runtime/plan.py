@@ -72,9 +72,17 @@ def make_plan(
     policy: FftSizePolicy | str = FftSizePolicy.FAST,
     correlation: bool = False,
     use_pallas: bool | None = None,
+    algorithm: str = "direct",
+    mode: str = "fftmap",
 ) -> FftConvPlan:
     """AOT-compile a plan for channel-last ``data_shape`` ((H, W, F) or
-    (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F)."""
+    (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F).
+
+    ``algorithm='tiled'`` compiles the overlap-save engine instead (block
+    spectra; requires a linear mode, default 'full'); ``mode`` picks the
+    output window baked into the compiled program ('fftmap' only for
+    'direct')."""
+    validate(algorithm in ("direct", "tiled"), "algorithm: 'direct'|'tiled'")
     if len(data_shape) == 3:
         h, w, f = data_shape
         b = 1
@@ -84,8 +92,63 @@ def make_plan(
         batched = True
     n, kh, kw, kf = kernel_shape
     validate(kf == f, f"feature dim mismatch: data {f}, kernels {kf}")
+
+    if algorithm == "tiled":
+        from cuda_fft_convolution_tpu import api as _api
+        from cuda_fft_convolution_tpu.ops.tiled import (
+            choose_block_fft,
+            fallback_block_fft,
+        )
+        from cuda_fft_convolution_tpu.types import SpectralKernels, TiledSpectralData
+
+        if mode == "fftmap":
+            mode = "full"
+        # static block geometry, resolved once on host
+        blk = choose_block_fft(h, w, kh, kw) or fallback_block_fft(kh, kw)
+        block_h, block_w = blk
+
+        def _data_fft_t(data):
+            return _api.fft_data_tiled(
+                data, kh, kw, block_h=block_h, block_w=block_w
+            ).fft
+
+        def _kernel_fft_t(kernels):
+            return _api.fft_kernels(
+                kernels, fft_h=block_h, fft_w=block_w, correlation=correlation
+            ).fft
+
+        def _conv(dfft_blocks, kfft):
+            # always batched internally; execute_spectral unwraps
+            sd = TiledSpectralData(
+                fft=dfft_blocks if dfft_blocks.ndim == 6 else dfft_blocks[None],
+                block_h=block_h, block_w=block_w,
+                max_kh=kh, max_kw=kw, data_h=h, data_w=w,
+            )
+            sk = SpectralKernels(
+                fft=kfft, fft_h=block_h, fft_w=block_w,
+                kernel_hs=(kh,) * n, kernel_ws=(kw,) * n,
+            )
+            return _api.conv_spectral(sd, sk, mode=mode, use_pallas=use_pallas)
+
+        data_aval = jax.ShapeDtypeStruct(data_shape, jnp.float32)
+        kern_aval = jax.ShapeDtypeStruct(kernel_shape, jnp.float32)
+        dfft_aval = jax.eval_shape(_data_fft_t, data_aval)
+        kfft_aval = jax.ShapeDtypeStruct(
+            (n, f, block_h, block_w // 2 + 1), jnp.complex64
+        )
+        return FftConvPlan(
+            data_shape=tuple(data_shape),
+            kernel_shape=tuple(kernel_shape),
+            fft_h=block_h,
+            fft_w=block_w,
+            _data_fft_exec=jax.jit(_data_fft_t).lower(data_aval).compile(),
+            _kernel_fft_exec=jax.jit(_kernel_fft_t).lower(kern_aval).compile(),
+            _conv_exec=jax.jit(_conv).lower(dfft_aval, kfft_aval).compile(),
+        )
+
     fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
     wc = fft_w // 2 + 1
+    validate(mode == "fftmap", "direct plans currently compile 'fftmap' maps")
 
     def _data_fft(data):
         x = (

@@ -94,3 +94,31 @@ def test_plan_full_window_correct(rng):
     maps = np.array(plan.execute(data, kerns))
     for i in range(2):
         assert rel_err(maps[i][:24, :24], fft_conv_full_f64(data, kerns[i])) < 1e-5
+
+
+def test_aot_plan_tiled(rng):
+    """Tiled plans compile the overlap-save engine with a baked 'full'
+    window and match the direct plan's results."""
+    data = rng.standard_normal((80, 70, 2)).astype(np.float32)
+    kerns = rng.standard_normal((3, 6, 6, 2)).astype(np.float32)
+    plan = make_plan(data.shape, kerns.shape, algorithm="tiled", mode="full")
+    got = np.array(plan.execute(data, kerns))
+    assert got.shape == (3, 85, 75)
+    for i in range(3):
+        assert rel_err(got[i], fft_conv_full_f64(data, kerns[i])) < 1e-5
+    # amortized: block spectra + bank spectra precomputed
+    dfft = plan.data_fft(data)
+    kfft = plan.kernel_fft(kerns)
+    got2 = np.array(plan.execute_spectral(dfft, kfft))
+    np.testing.assert_allclose(got2, got, atol=1e-6)
+
+
+def test_aot_plan_tiled_batched(rng):
+    data = rng.standard_normal((2, 60, 60, 1)).astype(np.float32)
+    kerns = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)
+    plan = make_plan(data.shape, kerns.shape, algorithm="tiled", mode="same")
+    got = np.array(plan.execute(data, kerns))
+    assert got.shape == (2, 2, 60, 60)
+    want = np.array(fc.fft_conv(data, kernels=kerns, mode="same",
+                                algorithm="direct"))
+    np.testing.assert_allclose(got, want, atol=2e-4)
