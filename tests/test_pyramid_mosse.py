@@ -96,3 +96,33 @@ def test_mosse_online_update_runs(rng):
     assert filt2.h_conj.shape == filt.h_conj.shape
     d = float(jnp.max(jnp.abs(jnp.real(filt2.h_conj - filt.h_conj))))
     assert d > 0  # it moved
+
+
+def test_hog_features_shapes_and_norm(rng):
+    from cuda_fft_convolution_tpu.models.hog import hog_features
+
+    img = rng.standard_normal((64, 48)).astype(np.float32)
+    f = hog_features(jnp.asarray(img), cell=8, bins=9)
+    assert f.shape == (8, 6, 9)
+    a = np.array(f)
+    assert np.all(a >= 0) and np.all(np.isfinite(a))
+    # per-cell unit-ish norm after L2-hys
+    norms = np.sqrt((a**2).sum(-1))
+    assert np.all(norms < 1.5)
+    # gradient-free image → near-zero (normalized garbage but finite)
+    flat = hog_features(jnp.ones((32, 32)), cell=8, bins=9)
+    assert np.all(np.isfinite(np.array(flat)))
+
+
+def test_hog_orientation_selectivity(rng):
+    """Vertical vs horizontal stripes land in different orientation bins."""
+    from cuda_fft_convolution_tpu.models.hog import hog_features
+
+    # sinusoidal gratings (alternating stripes have zero central-difference
+    # gradient); v varies along x → vertical edges, h along y
+    x = np.sin(2 * np.pi * np.arange(64) / 16).astype(np.float32)
+    v = np.tile(x, (64, 1))
+    h = v.T.copy()
+    fv = np.array(hog_features(jnp.asarray(v), cell=8, bins=9)).sum((0, 1))
+    fh = np.array(hog_features(jnp.asarray(h), cell=8, bins=9)).sum((0, 1))
+    assert np.argmax(fv) != np.argmax(fh)
