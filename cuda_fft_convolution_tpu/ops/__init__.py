@@ -5,7 +5,11 @@ TPU-native replacement of the reference's device-kernel layer
 sumAlongFeatures) and its cuFFT plan usage.
 """
 
-from cuda_fft_convolution_tpu.ops.padding import pad_to_fft, pad_clamp_to_border
+from cuda_fft_convolution_tpu.ops.padding import (
+    pad_clamp_to_border,
+    pad_kernel_centered,
+    pad_to_fft,
+)
 from cuda_fft_convolution_tpu.ops.conv import (
     direct_conv_single,
     fft_conv_single,
@@ -16,6 +20,7 @@ from cuda_fft_convolution_tpu.ops.conv import (
 __all__ = [
     "pad_to_fft",
     "pad_clamp_to_border",
+    "pad_kernel_centered",
     "direct_conv_single",
     "fft_conv_single",
     "fft_conv_stack",

@@ -39,6 +39,28 @@ def pad_to_fft(x: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
     return jnp.pad(x, pad_widths)
 
 
+def pad_kernel_centered(
+    kernel: jnp.ndarray, fft_h: int, fft_w: int
+) -> jnp.ndarray:
+    """Zero-pad a (..., Kh, Kw) kernel to (fft_h, fft_w) with its CENTER at
+    the origin, wrapping the upper-left quadrant to the far corners.
+
+    ≈ the vestigial ``padKernel`` (src/convolutionFFTkernel.cu:13-40), which
+    centers kernels so convolution outputs are un-shifted ('same' window at
+    rows/cols [0, H) directly). The library's main paths anchor kernels
+    top-left like the reference's built path and trim windows instead; this
+    op exists for users porting kernel-centered pipelines."""
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
+    if kh > fft_h or kw > fft_w:
+        raise ValueError(
+            f"kernel ({kh},{kw}) exceeds FFT dims ({fft_h},{fft_w})"
+        )
+    padded = pad_to_fft(kernel, fft_h, fft_w)
+    # shift so the center lands at (0, 0); circular wrap moves the
+    # upper-left of the kernel into the array's far corners
+    return jnp.roll(padded, (-(kh // 2), -(kw // 2)), axis=(-2, -1))
+
+
 def pad_clamp_to_border(
     x: jnp.ndarray, fft_h: int, fft_w: int, border_h: int, border_w: int
 ) -> jnp.ndarray:

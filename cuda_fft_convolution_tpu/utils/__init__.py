@@ -8,6 +8,12 @@ computeFFTsize/computeFFTsize16 policies).
 from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
 from cuda_fft_convolution_tpu.utils.config import Config, get_config, set_config
 from cuda_fft_convolution_tpu.utils.errors import InvalidInputError, validate
+from cuda_fft_convolution_tpu.utils.image_io import (
+    compare_l2,
+    compare_max,
+    load_pgm,
+    save_pgm,
+)
 from cuda_fft_convolution_tpu.utils.profiling import Timer, benchmark, trace
 from cuda_fft_convolution_tpu.utils.selftest import selftest
 from cuda_fft_convolution_tpu.utils.transfer import fetch
@@ -29,6 +35,10 @@ __all__ = [
     "set_config",
     "InvalidInputError",
     "validate",
+    "compare_l2",
+    "compare_max",
+    "load_pgm",
+    "save_pgm",
     "Timer",
     "benchmark",
     "trace",

@@ -35,3 +35,55 @@ def test_pad_clamp_to_border(rng):
     # beyond the band: zeros
     assert np.all(out[6:, :] == 0)
     assert np.all(out[:, 9:] == 0)
+
+
+def test_pad_kernel_centered(rng):
+    """Centered kernel padding (≈ padKernel, src/convolutionFFTkernel.cu:13-40):
+    convolving with a centered kernel yields the 'same' window at rows [0, H)
+    with no trim offset."""
+    import jax.numpy as jnp
+    from cuda_fft_convolution_tpu.ops.padding import pad_kernel_centered
+
+    k = rng.standard_normal((5, 3)).astype(np.float32)
+    p = np.array(pad_kernel_centered(jnp.asarray(k), 16, 16))
+    assert p.shape == (16, 16)
+    # center element of the kernel sits at (0, 0)
+    assert p[0, 0] == k[2, 1]
+    # lower-right part at positive indices, upper-left wrapped to far corners
+    assert p[1, 1] == k[3, 2]
+    assert p[15, 15] == k[1, 0]
+    # full circular conv with centered kernel == 'same' window of standard conv
+    x = rng.standard_normal((12, 12)).astype(np.float32)
+    xf = np.fft.fft2(x, (16, 16))
+    kf = np.fft.fft2(p)
+    circ = np.real(np.fft.ifft2(xf * kf))[:12, :12]
+    from scipy import signal  # available? fall back to manual
+    ref = None
+    try:
+        ref = signal.convolve2d(x, k, mode="same")
+    except Exception:
+        pass
+    if ref is not None:
+        np.testing.assert_allclose(circ, ref, atol=1e-4)
+
+
+def test_image_io_roundtrip(tmp_path, rng):
+    from cuda_fft_convolution_tpu.utils.image_io import (
+        compare_l2,
+        compare_max,
+        load_pgm,
+        save_pgm,
+    )
+
+    img = rng.random((17, 23)).astype(np.float32)
+    p = str(tmp_path / "t.pgm")
+    save_pgm(p, img)
+    back = load_pgm(p)
+    assert back.shape == img.shape
+    assert np.max(np.abs(back - img)) <= 1.0 / 255 + 1e-6
+    assert compare_l2(back, img, eps=0.01)
+    assert compare_max(img, img, atol=1e-9)
+    # 16-bit roundtrip is near-exact
+    save_pgm(p, img, maxval=65535)
+    back16 = load_pgm(p)
+    assert np.max(np.abs(back16 - img)) <= 1.0 / 65535 + 1e-7
