@@ -159,12 +159,30 @@ def conv_blocks(
     """Spectral MAC per block + inverse FFT + overlap-save reassembly →
     (B, N, out_h, out_w) linear-convolution maps ('full' window)."""
     from cuda_fft_convolution_tpu.ops.conv import _matmul_precision, _use_matmul_fft
+    from cuda_fft_convolution_tpu.utils.config import get_config
 
     b, nbh, nbw, f, lh, lwc = dfft_blocks.shape
     n = kernel_fft.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     # Fold (B, nbh, nbw) into one batch axis for the MAC.
     dflat = dfft_blocks.reshape(b * nbh * nbw, f, lh, lwc)
+    fused = get_config().use_fused_block_conv
+    if fused is None:
+        fused = False  # auto: off pending per-backend measurement
+    if fused:
+        # Single Pallas kernel: MAC + windowed inverse-DFT matmuls, nothing
+        # between stages touches HBM (ops/block_conv.py).
+        from cuda_fft_convolution_tpu.ops.block_conv import block_conv_pallas
+
+        valid = block_conv_pallas(
+            dflat, kernel_fft, block_h, block_w, kh, kw,
+            interpret=jax.default_backend() != "tpu",
+        )
+        valid = valid.reshape(b, nbh, nbw, n, vh, vw)
+        out = jnp.transpose(valid, (0, 3, 1, 4, 2, 5)).reshape(
+            b, n, nbh * vh, nbw * vw
+        )
+        return out[:, :, :out_h, :out_w]
     prod = spectral_mac_auto(dflat, kernel_fft, use_pallas=use_pallas)
     if _use_matmul_fft(block_h, block_w):
         # MXU-DFT inverse synthesizes ONLY each block's valid (non-wrapped)

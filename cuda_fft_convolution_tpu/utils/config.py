@@ -43,6 +43,10 @@ class Config:
     # matmuls: 'highest' (fp32-exact, default) | 'high' | 'default'.
     use_matmul_fft: bool | None = None
     matmul_precision: str = "highest"
+    # Fused Pallas block-conv kernel (ops/block_conv.py): MAC + windowed
+    # inverse-DFT matmuls in one VMEM pass. None = auto (off pending
+    # per-backend measurement), True/False force.
+    use_fused_block_conv: bool | None = None
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -53,6 +57,7 @@ class Config:
             chunk_size=_env_int("FFTCONV_CHUNK"),
             use_matmul_fft=_env_bool("FFTCONV_USE_MATMUL_FFT"),
             matmul_precision=os.environ.get("FFTCONV_MATMUL_PRECISION", "highest"),
+            use_fused_block_conv=_env_bool("FFTCONV_FUSED_BLOCK_CONV"),
         )
 
 
@@ -79,7 +84,10 @@ def set_config(**kwargs) -> Config:
     if "policy" in updates:
         updates["policy"] = FftSizePolicy(updates["policy"])
     _CONFIG = dataclasses.replace(_CONFIG, **updates)
-    if {"use_matmul_fft", "matmul_precision", "use_pallas"} & set(updates):
+    if {
+        "use_matmul_fft", "matmul_precision", "use_pallas",
+        "use_fused_block_conv",
+    } & set(updates):
         for fn in _JIT_CONSUMERS:
             try:
                 fn.clear_cache()

@@ -122,3 +122,20 @@ def test_tiled_correlation(rng):
                     algorithm="tiled")
     )
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fused_block_conv_matches_unfused(rng):
+    """ops/block_conv.py (single Pallas kernel: MAC + windowed inverse DFT)
+    must be numerically identical to the unfused pipeline."""
+    data = rng.standard_normal((100, 90, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((6, 6, 2)).astype(np.float32) for _ in range(3)]
+    sd = fc.fft_data_tiled(data, 6, 6, block_h=32, block_w=32)
+    want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    try:
+        fc.set_config(use_fused_block_conv=True)
+        got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    finally:
+        fc.set_config(use_fused_block_conv=None)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    ref = fft_conv_full_f64(data, kerns[0])
+    assert rel_err(got[0], ref) < 1e-5
