@@ -35,23 +35,56 @@ from cuda_fft_convolution_tpu.ops.dft import _inv_full_mats, _inv_packed_mats
 
 def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref, mi_ref,
             out_ref):
+    # One grid cell = one data block × a CHUNK of NK kernels. Both inverse
+    # stages run as single wide matmuls over the whole chunk (kernels
+    # concatenated along the non-contracted axis) — small per-kernel
+    # matrices underutilize the MXU and per-cell overhead dominates.
     dr, di = dr_ref[0], di_ref[0]  # (F, Lh, Wc)
-    kr, ki = kr_ref[0], ki_ref[0]
-    # 1. MAC over channels (VPU)
-    sr = jnp.sum(kr * dr - ki * di, axis=0)  # (Lh, Wc)
-    si = jnp.sum(kr * di + ki * dr, axis=0)
-    # 2. windowed H-inverse (complex): (gr + i gi) @ (sr + i si)
+    kr, ki = kr_ref[...], ki_ref[...]  # (NK, F, Lh, Wc)
+    # 1. MAC over channels (VPU) → (NK, Lh, Wc)
+    sr = jnp.sum(kr * dr[None], axis=1) - jnp.sum(ki * di[None], axis=1)
+    si = jnp.sum(kr * di[None], axis=1) + jnp.sum(ki * dr[None], axis=1)
     gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
-    dot = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    xr = dot(gr, sr) - dot(gi, si)  # (Vh, Wc)
-    xi = dot(gr, si) + dot(gi, sr)
-    # 3. windowed W-inverse (real output): Re((xr + i xi) @ (mr + i mi))
     mr, mi = mr_ref[...], mi_ref[...]  # (Wc, Vw)
-    out_ref[0, 0] = dot(xr, mr) + dot(xi, mi)  # (Vh, Vw)
+    # HIGHEST: fp32-exact multi-pass matmul — the default MXU precision is
+    # single-pass bf16 (measured 2.3e-3 rel err, far above the 1e-5 bar).
+    # Chunk axes ride along as free dot_general dimensions (no explicit VPU
+    # transposes — measured slower than letting Mosaic pick layouts).
+    hstage = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # (Vh,Lh)x(NK,Lh,Wc)→(Vh,NK,Wc)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    wstage = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (0,)), ((), ())),  # (Vh,NK,Wc)x(Wc,Vw)→(Vh,NK,Vw)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # 2. windowed H-inverse (complex): (gr + i gi) @ (sr + i si)
+    xr = hstage(gr, sr) - hstage(gi, si)  # (Vh, NK, Wc)
+    xi = hstage(gr, si) + hstage(gi, sr)
+    # 3. windowed W-inverse (real output): Re((xr + i xi) @ (mr + i mi))
+    out = wstage(xr, mr) + wstage(xi, mi)  # (Vh, NK, Vw)
+    out_ref[0] = jnp.transpose(out, (1, 0, 2))
+
+
+def _choose_nk(n: int, f: int, lh: int, wc: int, vh: int, vw: int) -> int:
+    """Kernels per grid cell. Measured on v5e: NK=1 wins (131 ms vs 137-139
+    at NK=4 for the 2048²×100×64² config) — the HIGHEST-precision matmul
+    passes dominate and chunking only adds relayout work. Kept as a knob for
+    future backends."""
+    return 1
+
+
+def block_conv_fits_vmem(f: int, lh: int, wc: int, vh: int, vw: int) -> bool:
+    """Whether one grid cell's working set (data+kernel spectra planes,
+    double-buffered, plus DFT matrices and intermediates) fits VMEM."""
+    cell = 4 * (2 * 2 * f * lh * wc)  # d+k, re+im, fp32
+    mats = 4 * 2 * (vh * lh + wc * vw)
+    inter = 4 * (2 * vh * wc + vh * vw)
+    return 2 * cell + mats + 2 * inter < (10 << 20)
 
 
 @functools.partial(
@@ -74,6 +107,12 @@ def block_conv_pallas(
     n = kernel_fft.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     assert lh == block_h and wc == block_w // 2 + 1
+    nk = _choose_nk(n, f, lh, wc, vh, vw)
+    n_pad = -(-n // nk) * nk
+    if n_pad != n:
+        kernel_fft = jnp.pad(
+            kernel_fft, ((0, n_pad - n), (0, 0), (0, 0), (0, 0))
+        )
 
     def planes(x):
         return (
@@ -91,24 +130,25 @@ def block_conv_pallas(
     mr = jnp.asarray(mr_np[:, kw - 1 : kw - 1 + vw])  # (Wc, Vw)
     mi = jnp.asarray(mi_np[:, kw - 1 : kw - 1 + vw])
 
-    grid = (nb, n)  # n innermost → data block stays VMEM-resident per block
+    # chunk-of-kernels innermost → data block stays VMEM-resident per block
+    grid = (nb, n_pad // nk)
     spec_d = pl.BlockSpec(
         (1, f, lh, wc), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
     spec_k = pl.BlockSpec(
-        (1, f, lh, wc), lambda b, j: (j, 0, 0, 0), memory_space=pltpu.VMEM
+        (nk, f, lh, wc), lambda b, j: (j, 0, 0, 0), memory_space=pltpu.VMEM
     )
     spec_const2 = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, 1, vh, vw), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
+        (1, nk, vh, vw), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
     )
 
     flops_mac = 8 * f * lh * wc
     flops_h = 8 * vh * lh * wc
     flops_w = 4 * vh * wc * vw
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
@@ -117,12 +157,13 @@ def block_conv_pallas(
             spec_const2((wc, vw)), spec_const2((wc, vw)),
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, n, vh, vw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, n_pad, vh, vw), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=nb * n * (flops_mac + flops_h + flops_w),
-            bytes_accessed=8 * f * lh * wc * (nb + nb * n)
-            + 4 * nb * n * vh * vw,
+            flops=nb * n_pad * (flops_mac + flops_h + flops_w),
+            bytes_accessed=8 * f * lh * wc * (nb + nb * n_pad)
+            + 4 * nb * n_pad * vh * vw,
             transcendentals=0,
         ),
         interpret=interpret,
     )(dr, di, kr, ki, gr, gi, mr, mi)
+    return out[:, :n]

@@ -168,7 +168,15 @@ def conv_blocks(
     dflat = dfft_blocks.reshape(b * nbh * nbw, f, lh, lwc)
     fused = get_config().use_fused_block_conv
     if fused is None:
-        fused = False  # auto: off pending per-backend measurement
+        # auto: on TPU, when the matmul engine applies and one grid cell's
+        # working set fits VMEM (measured strictly faster and fp32-exact)
+        from cuda_fft_convolution_tpu.ops.block_conv import block_conv_fits_vmem
+
+        fused = (
+            jax.default_backend() == "tpu"
+            and _use_matmul_fft(block_h, block_w)
+            and block_conv_fits_vmem(f, lh, lwc, vh, vw)
+        )
     if fused:
         # Single Pallas kernel: MAC + windowed inverse-DFT matmuls, nothing
         # between stages touches HBM (ops/block_conv.py).

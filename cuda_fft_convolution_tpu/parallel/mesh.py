@@ -30,7 +30,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cuda_fft_convolution_tpu import api as _api
 from cuda_fft_convolution_tpu.ops.conv import irfft2_norm
 from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
-from cuda_fft_convolution_tpu.types import SpectralData, SpectralKernels
+from cuda_fft_convolution_tpu.ops.tiled import conv_blocks
+from cuda_fft_convolution_tpu.types import (
+    SpectralData,
+    SpectralKernels,
+    TiledSpectralData,
+)
 from cuda_fft_convolution_tpu.utils.errors import validate
 
 DATA_AXIS = "data"
@@ -104,17 +109,32 @@ def conv_spectral_sharded(
     axis when batched. Kernel bank: sharded over the kernel axis. Output maps
     come back sharded over (data, kernels) — downstream sharded consumers
     (e.g. detection NMS per filter) never gather them.
-    """
+
+    Accepts a ``TiledSpectralData`` too: the overlap-save engine runs
+    per-device on the bank shard (block spectra replicated like the direct
+    spectrum)."""
     if isinstance(kernels, SpectralKernels):
         sk = kernels
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
     else:
         sk = _api.fft_kernels(kernels, spectral=spectral, correlation=correlation)
-    validate(
-        sk.fft_h == spectral.fft_h and sk.fft_w == spectral.fft_w,
-        "SpectralKernels FFT dims do not match SpectralData",
-    )
+    tiled = isinstance(spectral, TiledSpectralData)
+    if tiled:
+        validate(
+            mode != "fftmap",
+            "mode='fftmap' requires the direct engine (tiled spectra hold "
+            "linear-convolution blocks only)",
+        )
+        validate(
+            sk.fft_h == spectral.block_h and sk.fft_w == spectral.block_w,
+            "SpectralKernels FFT dims do not match the tiled block dims",
+        )
+    else:
+        validate(
+            sk.fft_h == spectral.fft_h and sk.fft_w == spectral.fft_w,
+            "SpectralKernels FFT dims do not match SpectralData",
+        )
 
     batched = spectral.batched
     dfft = spectral.fft if batched else spectral.fft[None]
@@ -128,31 +148,43 @@ def conv_spectral_sharded(
 
     kfft, n = _pad_bank(sk.fft, kshards)
 
-    data_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
-    kern_sharding = NamedSharding(mesh, P(KERNEL_AXIS, None, None, None))
+    dspec = P(*([DATA_AXIS] + [None] * (dfft.ndim - 1)))
+    kspec = P(KERNEL_AXIS, None, None, None)
+    dfft = jax.device_put(dfft, NamedSharding(mesh, dspec))
+    kfft = jax.device_put(kfft, NamedSharding(mesh, kspec))
 
-    dfft = jax.device_put(dfft, data_sharding)
-    kfft = jax.device_put(kfft, kern_sharding)
+    if tiled:
+        bh, bw = spectral.block_h, spectral.block_w
+        mkh, mkw = spectral.max_kh, spectral.max_kw
+        oh, ow = spectral.out_h, spectral.out_w
 
-    fft_h, fft_w = spectral.fft_h, spectral.fft_w
+        def _local_conv(dfft_shard, kfft_shard):
+            # Per-device overlap-save on this device's bank shard; the block
+            # spectra are replicated along the kernel axis via their
+            # PartitionSpec (≈ the reference's peer-copy of the data FFT,
+            # src/cudaConvFFTDataStreams.cu:279-289, as a sharding).
+            return conv_blocks(
+                dfft_shard, kfft_shard, bh, bw, mkh, mkw, oh, ow, use_pallas
+            )
+    else:
+        fft_h, fft_w = spectral.fft_h, spectral.fft_w
 
-    def _local_conv(dfft_shard, kfft_shard):
-        # Per-device body: the exact single-device program on this device's
-        # (batch-shard × bank-shard) block. No collectives — bank convolution
-        # is embarrassingly parallel once the data spectrum is in place; the
-        # replication of dfft along the kernel axis is expressed by its
-        # PartitionSpec and rides ICI.
-        prod = spectral_mac_auto(dfft_shard, kfft_shard, use_pallas=use_pallas)
-        return irfft2_norm(prod, fft_h, fft_w)
+        def _local_conv(dfft_shard, kfft_shard):
+            # Per-device body: the exact single-device program on this
+            # device's (batch-shard × bank-shard) block. No collectives —
+            # bank convolution is embarrassingly parallel once the data
+            # spectrum is in place; the replication of dfft along the kernel
+            # axis is expressed by its PartitionSpec and rides ICI.
+            prod = spectral_mac_auto(
+                dfft_shard, kfft_shard, use_pallas=use_pallas
+            )
+            return irfft2_norm(prod, fft_h, fft_w)
 
     _sharded_conv = jax.jit(
         jax.shard_map(
             _local_conv,
             mesh=mesh,
-            in_specs=(
-                P(DATA_AXIS, None, None, None),
-                P(KERNEL_AXIS, None, None, None),
-            ),
+            in_specs=(dspec, kspec),
             out_specs=P(DATA_AXIS, KERNEL_AXIS, None, None),
         )
     )

@@ -74,3 +74,29 @@ def test_shard_kernel_bank_placement(rng):
 def test_make_mesh_validation():
     with pytest.raises(ValueError):
         fc.make_mesh(data=3, kernels=5)  # 15 != device count (1 or 8)
+
+
+@needs_multidevice
+def test_tiled_sharded_bank(rng):
+    """The overlap-save engine under shard_map: block spectra replicated,
+    bank sharded — matches the single-device tiled result."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((60, 50, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 2)).astype(np.float32) for _ in range(9)]
+    sd = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
+    want = np.array(fc.conv_spectral(sd, kerns, mode="same"))
+    got = np.array(fc.conv_spectral_sharded(sd, kerns, mesh, mode="same"))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_multidevice
+def test_tiled_sharded_batched_2d_mesh(rng):
+    if len(jax.devices()) % 2 != 0:
+        pytest.skip("needs even device count")
+    mesh = fc.make_mesh(data=2)
+    data = rng.standard_normal((2, 40, 40, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((3, 3, 1)).astype(np.float32) for _ in range(4)]
+    sd = fc.fft_data_tiled(data, 3, 3, block_h=16, block_w=16)
+    want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    got = np.array(fc.conv_spectral_sharded(sd, kerns, mesh, mode="full"))
+    np.testing.assert_allclose(got, want, atol=1e-6)
