@@ -122,7 +122,7 @@ def main() -> None:
     # Secondary configs compile several more whole programs (minutes from a
     # cold compile cache through the remote-compile tunnel) — opt-in.
     full = os.environ.get("BENCH_FULL", "0") == "1"
-    v_fftmap = v_amort = v_pipe = v_bf16 = None
+    v_fftmap = v_amort = v_pipe = v_bf16 = v_batch = None
     if full:
         # reference-parity one-shot: raw circular fftmaps, direct engine
         fftmap_shot = jax.jit(
@@ -149,6 +149,19 @@ def main() -> None:
             one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16),
             iters=3,
         )
+
+        # batch of 8 images (BASELINE config 4; 1024² so the (8, 100, H, W)
+        # output fits 16 GB HBM)
+        bdata = jnp.asarray(
+            rng.standard_normal((8, 1024, 1024, F)).astype(np.float32)
+        )
+        sdb = fc.fft_data_tiled(bdata, KH, KW)
+        skb = fc.fft_kernels(kernels, spectral=sdb)
+        jax.block_until_ready((sdb.fft, skb.fft))
+        conv_b = jax.jit(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+        t_batch = _time_fn(conv_b, sdb, skb, iters=3)
+        v_batch = 8 * 1024 * 1024 * N / 1e9 / t_batch
+        del sdb, skb, bdata
 
     # --- algorithm-independent HBM floor: any implementation must at least
     # read the image, read the bank, and write N 'same' maps.
@@ -179,6 +192,7 @@ def main() -> None:
             "amortized_direct_GPixF_s": None if v_amort is None else round(v_amort, 3),
             "pipelined_GPixF_s": None if v_pipe is None else round(v_pipe, 3),
             "bf16_GPixF_s": None if v_bf16 is None else round(v_bf16, 3),
+            "batch8_1024_GPixF_s": None if v_batch is None else round(v_batch, 3),
         },
     }
     print(json.dumps(result))

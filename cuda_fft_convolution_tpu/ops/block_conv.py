@@ -62,7 +62,9 @@ def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref, mi_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    # 2. windowed H-inverse (complex): (gr + i gi) @ (sr + i si)
+    # 2. windowed H-inverse (complex), 4-mult form. (3-mult Karatsuba was
+    # measured SLOWER here — at these small per-cell sizes the extra VPU
+    # adds cost more than the saved MXU passes: 145 vs 131 ms.)
     xr = hstage(gr, sr) - hstage(gi, si)  # (Vh, NK, Wc)
     xi = hstage(gr, si) + hstage(gi, sr)
     # 3. windowed W-inverse (real output): Re((xr + i xi) @ (mr + i mi))
