@@ -380,7 +380,7 @@ def _trim(
         )
         return kh - 1, kw - 1, h - kh + 1, w - kw + 1
 
-    if mode == "same" or not ragged:
+    if not ragged:
         r0, c0, rh, rw = window(khs[0], kws[0])
         out = maps[:, :, r0 : r0 + rh, c0 : c0 + rw]
         return out if batched else out[0]

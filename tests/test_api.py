@@ -170,3 +170,18 @@ def test_api_is_jit_transparent(rng):
         )
     )
     np.testing.assert_allclose(got2, want, atol=1e-6)
+
+
+def test_ragged_same_mode_uses_each_kernels_window(rng):
+    """'same' with a ragged bank must center per kernel size (MATLAB conv2
+    'same' semantics), not reuse the first kernel's offset."""
+    data = rng.standard_normal((20, 20, 1)).astype(np.float32)
+    k1 = rng.standard_normal((3, 3, 1)).astype(np.float32)
+    k2 = rng.standard_normal((7, 5, 1)).astype(np.float32)
+    outs = fc.fft_conv(data, kernels=[k1, k2], mode="same", algorithm="direct")
+    assert isinstance(outs, list)
+    for k, o in zip([k1, k2], outs):
+        assert o.shape == (20, 20)
+        full = fft_conv_full_f64(data, k)
+        r0, c0 = (k.shape[0] - 1) // 2, (k.shape[1] - 1) // 2
+        assert rel_err(np.array(o), full[r0 : r0 + 20, c0 : c0 + 20]) < TOL
