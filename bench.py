@@ -43,19 +43,51 @@ def _device_hbm_gbps() -> float:
     return 819.0
 
 
-def _time_fn(fn, *args, warmup=2, iters=5) -> float:
-    from cuda_fft_convolution_tpu.utils.profiling import device_sync
+def _probed(fn):
+    """Wrap a jittable fn so it ALSO returns a 4-element probe as the first
+    output: fetching the probe is then a single D2H round trip that waits
+    for the whole program (block_until_ready alone returns early on
+    tunneled runtimes, and an eager ravel+slice probe costs 2 extra
+    dispatch round trips ≈ 60 ms measured)."""
+    import jax
+    import jax.numpy as jnp
 
-    # device_sync per iteration: (a) block_until_ready alone returns early on
-    # tunneled runtimes (a tiny D2H fetch is the only true barrier), and
-    # (b) unsynced dispatch would enqueue every iteration's multi-GB working
-    # set at once (OOM on 16 GB v5e).
+    def wrapped(*args):
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.ravel(leaf)[:4], out
+
+    return jax.jit(wrapped)
+
+
+def _time_fn(fn, *args, warmup=2, iters=5) -> float:
+    """fn must be _probed: sync = one fetch of the tiny first output."""
     for _ in range(warmup):
-        device_sync(fn(*args))
+        probe, _ = fn(*args)
+        np.asarray(probe)
     t0 = time.perf_counter()
     for _ in range(iters):
-        device_sync(fn(*args))
+        probe, _ = fn(*args)
+        # per-iteration sync: bounds queue depth (multi-GB working sets
+        # would otherwise pile up) at the cost of one tunnel RTT each
+        np.asarray(probe)
     return (time.perf_counter() - t0) / iters
+
+
+def _rtt_floor() -> float:
+    """Measured per-sync round-trip floor (s): a trivial probed program."""
+    import jax.numpy as jnp
+
+    f = _probed(lambda x: x * 2.0)
+    x = jnp.ones((8, 128), jnp.float32)
+    ts = []
+    np.asarray(f(x)[0])
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(f(x)[0])
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main() -> None:
@@ -103,7 +135,7 @@ def main() -> None:
     del got
 
     # --- headline: recommended one-shot, jit-fused end-to-end
-    one_shot = jax.jit(
+    one_shot = _probed(
         lambda d, k: fc.fft_conv(d, KH, KW, k, mode="same", algorithm="auto")
     )
     t_head = _time_fn(one_shot, data, kernels)
@@ -114,7 +146,7 @@ def main() -> None:
     sdt = fc.fft_data_tiled(data, KH, KW)
     skt = fc.fft_kernels(kernels, spectral=sdt)
     jax.block_until_ready((sdt.fft, skt.fft))
-    conv_t = jax.jit(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+    conv_t = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
     t_tiled = _time_fn(conv_t, sdt, skt)
     v_tiled = gpix_filters / t_tiled
     del sdt, skt
@@ -125,7 +157,7 @@ def main() -> None:
     v_fftmap = v_amort = v_pipe = v_bf16 = v_batch = None
     if full:
         # reference-parity one-shot: raw circular fftmaps, direct engine
-        fftmap_shot = jax.jit(
+        fftmap_shot = _probed(
             lambda d, k: fc.fft_conv(d, KH, KW, k, mode="fftmap")
         )
         v_fftmap = gpix_filters / _time_fn(fftmap_shot, data, kernels, iters=3)
@@ -134,11 +166,11 @@ def main() -> None:
         sd = fc.fft_data(data, KH, KW)
         sk = fc.fft_kernels(kernels, spectral=sd)
         jax.block_until_ready((sd.fft, sk.fft))
-        conv_d = jax.jit(lambda s, k: fc.conv_spectral(s, k))
+        conv_d = _probed(lambda s, k: fc.conv_spectral(s, k))
         v_amort = gpix_filters / _time_fn(conv_d, sd, sk, iters=3)
 
         # pipelined big-bank path (chunked ≈ streams variant)
-        conv_p = jax.jit(
+        conv_p = _probed(
             lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16)
         )
         v_pipe = gpix_filters / _time_fn(conv_p, sd, sk, iters=3)
@@ -158,7 +190,7 @@ def main() -> None:
         sdb = fc.fft_data_tiled(bdata, KH, KW)
         skb = fc.fft_kernels(kernels, spectral=sdb)
         jax.block_until_ready((sdb.fft, skb.fft))
-        conv_b = jax.jit(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+        conv_b = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
         t_batch = _time_fn(conv_b, sdb, skb, iters=3)
         v_batch = 8 * 1024 * 1024 * N / 1e9 / t_batch
         del sdb, skb, bdata
@@ -182,6 +214,7 @@ def main() -> None:
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,
             "headline_ms": round(t_head * 1e3, 3),
+            "sync_rtt_floor_ms": round(_rtt_floor() * 1e3, 3),
             "amortized_tiled_GPixF_s": round(v_tiled, 3),
             "amortized_tiled_ms": round(t_tiled * 1e3, 3),
             "hbm_floor_GPixF_s": round(roofline, 3),
