@@ -62,18 +62,19 @@ def choose_block_fft(
 
         matmul_engine = _use_matmul_fft(max_block, max_block)
     if matmul_engine:
-        # Measured on v5e (2048²×100×64² sweep): H blocks want to be SMALL
-        # (~3×K — dense-DFT cost/pixel grows with L, and the windowed
-        # inverse removes the redundancy penalty) while W blocks want to be
-        # WIDER (~8×K — lane tiles amortize): (192, 510) beat (256, 254),
-        # (512, 512) and (256, 1022).
-        ratio_h = 3 if min_ratio is None else min_ratio
-        ratio_w = 8 if min_ratio is None else 2 * min_ratio
-        lh = min(max(-(-(ratio_h * max_kh) // 8) * 8, 128), max_block)
-        lw = min(
-            _lane_aligned_block_w(max(ratio_w * (max_kw - 1), 126)),
-            max_block,
-        )
+        # The dense DFT works at ANY size, so geometry is chosen for the
+        # hardware: the VALID window (V = L − K + 1) is what gets written,
+        # so align V itself — Vh to 8 sublanes, Vw to 128 lanes — which
+        # also satisfies the fused kernel's output-block constraints.
+        # Measured on v5e (2048²×100×64² sweeps): H blocks small (~2×K —
+        # dense-DFT cost/pixel grows with L; windowed inverses absorb the
+        # overlap redundancy), W blocks wider (~6×K).
+        ratio_h = 2 if min_ratio is None else min_ratio
+        ratio_w = 6 if min_ratio is None else 2 * min_ratio
+        vh = max(-(-(ratio_h * (max_kh - 1)) // 8) * 8, 8)
+        vw = max(-(-(ratio_w * (max_kw - 1)) // 128) * 128, 128)
+        lh = min(vh + max_kh - 1, max_block)
+        lw = min(vw + max_kw - 1, max_block)
         # Decline when overlap redundancy gets extreme (>~2x per axis):
         # windowed inverses absorb most redundancy, so the bar is lower
         # than the FFT engine's.
@@ -168,29 +169,29 @@ def conv_blocks(
     dflat = dfft_blocks.reshape(b * nbh * nbw, f, lh, lwc)
     fused = get_config().use_fused_block_conv
     if fused is None:
-        # auto: on TPU, when the matmul engine applies and one grid cell's
-        # working set fits VMEM (measured strictly faster and fp32-exact)
-        from cuda_fft_convolution_tpu.ops.block_conv import block_conv_fits_vmem
-
-        fused = (
-            jax.default_backend() == "tpu"
-            and _use_matmul_fft(block_h, block_w)
-            and block_conv_fits_vmem(f, lh, lwc, vh, vw)
-        )
+        # auto: OFF. With (8,128)-aligned valid windows the unfused XLA
+        # pipeline matches the fused Pallas kernel on v5e (84.7 vs 87.3 ms
+        # on the 2048²×100×64² config) and composes better with neighboring
+        # ops; the fused kernel stays available via config for backends
+        # where XLA's scheduling loses.
+        fused = False
+    if fused and jax.default_backend() == "tpu" and (
+        vh % 8 != 0 or vw % 128 != 0
+    ):
+        # Mosaic requires the output block's trailing dims to be
+        # (8, 128)-aligned; choose_block_fft picks aligned valid windows,
+        # but explicit user blocks may not — fall back to the unfused path.
+        fused = False
     if fused:
-        # Single Pallas kernel: MAC + windowed inverse-DFT matmuls, nothing
-        # between stages touches HBM (ops/block_conv.py).
+        # Single Pallas kernel: MAC + windowed inverse-DFT matmuls + direct
+        # clipped writes into the final map layout — nothing between stages
+        # touches HBM and there is no reassembly pass (ops/block_conv.py).
         from cuda_fft_convolution_tpu.ops.block_conv import block_conv_pallas
 
-        valid = block_conv_pallas(
-            dflat, kernel_fft, block_h, block_w, kh, kw,
+        return block_conv_pallas(
+            dfft_blocks, kernel_fft, block_h, block_w, kh, kw, out_h, out_w,
             interpret=jax.default_backend() != "tpu",
         )
-        valid = valid.reshape(b, nbh, nbw, n, vh, vw)
-        out = jnp.transpose(valid, (0, 3, 1, 4, 2, 5)).reshape(
-            b, n, nbh * vh, nbw * vw
-        )
-        return out[:, :, :out_h, :out_w]
     prod = spectral_mac_auto(dflat, kernel_fft, use_pallas=use_pallas)
     if _use_matmul_fft(block_h, block_w):
         # MXU-DFT inverse synthesizes ONLY each block's valid (non-wrapped)
