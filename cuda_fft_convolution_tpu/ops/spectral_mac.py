@@ -179,17 +179,12 @@ def spectral_mac_auto(
     problems and is portable). The Pallas path is differentiable via a
     custom VJP (backward = the einsum contractions)."""
     if use_pallas is None:
-        f = data_fft.shape[-3]
-        h, wc = data_fft.shape[-2], data_fft.shape[-1]
-        # Measured on v5e: for small F the einsum MAC wins because XLA fuses
-        # the elementwise complex product into the neighbouring transform
-        # matmuls (a fusion the Pallas custom-call blocks); the fused Pallas
-        # pass pays off once the F-reduction itself is the hot loop.
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and f >= 8
-            and h * wc >= 64 * 1024
-        )
+        # Measured on v5e at F=1 (209 vs 315 ms) AND F=31 (50 vs 68 ms):
+        # the einsum MAC wins because XLA fuses the complex product into
+        # the neighbouring transform matmuls — a fusion the Pallas
+        # custom-call blocks. Pallas MAC stays available explicitly
+        # (use_pallas=True) for backends where that fusion doesn't happen.
+        use_pallas = False
     if not use_pallas:
         return spectral_mac_einsum(data_fft, kernel_fft)
     return _mac_pallas_ad(data_fft, kernel_fft)

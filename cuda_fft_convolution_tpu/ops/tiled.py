@@ -66,10 +66,11 @@ def choose_block_fft(
         # hardware: the VALID window (V = L − K + 1) is what gets written,
         # so align V itself — Vh to 8 sublanes, Vw to 128 lanes — which
         # also satisfies the fused kernel's output-block constraints.
-        # Measured on v5e (2048²×100×64² sweeps): H blocks small (~2×K —
-        # dense-DFT cost/pixel grows with L; windowed inverses absorb the
-        # overlap redundancy), W blocks wider (~6×K).
-        ratio_h = 2 if min_ratio is None else min_ratio
+        # Measured on v5e (2048²×100×64² sweeps): H blocks SMALL (Vh ≈ K —
+        # dense-DFT cost/pixel grows with L and windowed inverses absorb the
+        # overlap redundancy: V=(64,384) gave 5.44 GPixF/s vs 4.86 at
+        # V=(128,384)), W blocks wider (Vw ≈ 6×K).
+        ratio_h = 1 if min_ratio is None else min_ratio
         ratio_w = 6 if min_ratio is None else 2 * min_ratio
         vh = max(-(-(ratio_h * (max_kh - 1)) // 8) * 8, 8)
         vw = max(-(-(ratio_w * (max_kw - 1)) // 128) * 128, 128)
