@@ -60,17 +60,22 @@ def _probed(fn):
     return jax.jit(wrapped)
 
 
-def _time_fn(fn, *args, warmup=2, iters=5) -> float:
-    """fn must be _probed: sync = one fetch of the tiny first output."""
+def _time_fn(fn, *args, warmup=2, iters=5, sync_every=1) -> float:
+    """fn must be _probed: sync = one fetch of the tiny first output.
+
+    ``sync_every`` > 1 pipelines dispatches between syncs (a streaming
+    server's steady state — amortizes the tunnel RTT) at the cost of
+    holding that many working sets concurrently."""
     for _ in range(warmup):
         probe, _ = fn(*args)
         np.asarray(probe)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    probe = None
+    for i in range(iters):
         probe, _ = fn(*args)
-        # per-iteration sync: bounds queue depth (multi-GB working sets
-        # would otherwise pile up) at the cost of one tunnel RTT each
-        np.asarray(probe)
+        if (i + 1) % sync_every == 0:
+            np.asarray(probe)
+    np.asarray(probe)
     return (time.perf_counter() - t0) / iters
 
 
@@ -149,6 +154,10 @@ def main() -> None:
     conv_t = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
     t_tiled = _time_fn(conv_t, sdt, skt)
     v_tiled = gpix_filters / t_tiled
+    # steady-state serving: dispatches pipelined, sync every 3rd call —
+    # amortizes the tunnel RTT the per-call numbers include
+    t_stream = _time_fn(conv_t, sdt, skt, iters=6, sync_every=3)
+    v_stream = gpix_filters / t_stream
     del sdt, skt
 
     # Secondary configs compile several more whole programs (minutes from a
@@ -217,6 +226,7 @@ def main() -> None:
             "sync_rtt_floor_ms": round(_rtt_floor() * 1e3, 3),
             "amortized_tiled_GPixF_s": round(v_tiled, 3),
             "amortized_tiled_ms": round(t_tiled * 1e3, 3),
+            "streaming_tiled_GPixF_s": round(v_stream, 3),
             "hbm_floor_GPixF_s": round(roofline, 3),
             "direct_fft_size": [fft_h, fft_w],
             "max_rel_err_vs_f64_fft": float(f"{err:.3e}"),
