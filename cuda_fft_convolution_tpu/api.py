@@ -503,7 +503,7 @@ def _conv_spectral_tiled(
 
 
 def conv_spectral_pipelined(
-    spectral: SpectralData,
+    spectral: SpectralData | TiledSpectralData,
     kernels,
     *,
     chunk_size: int | None = None,
@@ -515,12 +515,14 @@ def conv_spectral_pipelined(
     (src/cudaConvFFTDataStreams.cu): the bank is processed ``chunk_size``
     kernels at a time so product/output buffers stay bounded while XLA
     overlaps chunks (the reference's 2-streams-per-GPU double buffering,
-    :292-327). Use for 1000+-filter banks on big images.
+    :292-327). Use for 1000+-filter banks on big images. Works on direct
+    (SpectralData) and overlap-save (TiledSpectralData) spectra.
 
     ``chunk_size=None`` → the runtime planner sizes chunks from the device's
     memory budget (runtime/planner.py plan_bank — the decision the reference
     hard-codes as 2 slots)."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
+    tiled = isinstance(spectral, TiledSpectralData)
     if isinstance(kernels, SpectralKernels):
         sk = kernels
         validate(not correlation, "correlation must be baked into fft_kernels "
@@ -533,22 +535,56 @@ def conv_spectral_pipelined(
     if chunk_size is None:
         from cuda_fft_convolution_tpu.runtime.planner import plan_bank
 
+        fft_h = spectral.block_h if tiled else spectral.fft_h
+        fft_w = spectral.block_w if tiled else spectral.fft_w
+        n_blocks = 1
+        if tiled:
+            n_blocks = int(np_prod_blocks(spectral))
         chunk_size = plan_bank(
             sk.num_kernels,
             spectral.feature_dim,
-            spectral.fft_h,
-            spectral.fft_w,
-            batch=spectral.batch_size,
+            fft_h,
+            fft_w,
+            batch=spectral.batch_size * n_blocks,
             hbm_budget_bytes=_device_memory_budget(),
         ).chunk_size
     validate(chunk_size >= 1, "chunk_size must be >= 1")
+    chunk_size = min(chunk_size, sk.num_kernels)
+    if tiled:
+        validate(
+            mode != "fftmap",
+            "mode='fftmap' requires the direct engine; the tiled engine "
+            "computes linear convolution only",
+        )
+        # Chunk the bank in Python (host loop): each chunk runs the full
+        # tiled path; results concatenate along the bank axis. XLA's async
+        # dispatch overlaps consecutive chunks like the streams variant.
+        n = sk.num_kernels
+        outs = []
+        batched = spectral.batched
+        dfft = spectral.fft if batched else spectral.fft[None]
+        for s in range(0, n, chunk_size):
+            e = min(s + chunk_size, n)
+            maps = conv_blocks(
+                dfft, sk.fft[s:e], spectral.block_h, spectral.block_w,
+                spectral.max_kh, spectral.max_kw,
+                spectral.out_h, spectral.out_w, use_pallas,
+            )
+            outs.append(maps)
+        maps = jnp.concatenate(outs, axis=1)
+        return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
     batched = spectral.batched
     dfft = spectral.fft if batched else spectral.fft[None]
     maps = _conv_from_spectra_chunked(
         dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas,
-        min(chunk_size, sk.num_kernels),
+        chunk_size,
     )
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+
+
+def np_prod_blocks(spectral: TiledSpectralData) -> int:
+    shape = spectral.fft.shape
+    return int(shape[-5] * shape[-4])
 
 
 def fft_conv(

@@ -139,3 +139,19 @@ def test_fused_block_conv_matches_unfused(rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
     ref = fft_conv_full_f64(data, kerns[0])
     assert rel_err(got[0], ref) < 1e-5
+
+
+def test_pipelined_tiled_matches_plain(rng):
+    """conv_spectral_pipelined on TiledSpectralData: chunked tiled path
+    equals the unchunked result for dividing and non-dividing chunks."""
+    data = rng.standard_normal((60, 50, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 1)).astype(np.float32) for _ in range(7)]
+    sd = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
+    want = np.array(fc.conv_spectral(sd, kerns, mode="same"))
+    for chunk in (2, 3, 7, 16):
+        got = np.array(
+            fc.conv_spectral_pipelined(sd, kerns, chunk_size=chunk, mode="same")
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral_pipelined(sd, kerns, chunk_size=2, mode="fftmap")
