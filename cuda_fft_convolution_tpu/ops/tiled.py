@@ -33,15 +33,6 @@ from cuda_fft_convolution_tpu.utils.config import register_jit_consumer
 from cuda_fft_convolution_tpu.utils.fft_size import next_fast_len
 
 
-def _lane_aligned_block_w(target: int) -> int:
-    """Smallest even W ≥ target with W/2+1 a multiple of 128: the Hermitian
-    width Wc is the LANE axis of every spectral tensor, and Wc = 128·m fills
-    lane tiles exactly (Wc = L/2+1 = 129 at L=256 wastes half the lanes).
-    W = 256·m − 2."""
-    m = -(-(target + 2) // 256)
-    return 256 * m - 2
-
-
 def choose_block_fft(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
     *, min_ratio: int | None = None, max_block: int = 1024,
