@@ -70,6 +70,10 @@ def _data_to_cfirst(data) -> tuple[jnp.ndarray, bool]:
     """(H, W, F) → (1, F, H, W); (B, H, W, F) → (B, F, H, W). Returns
     (array, batched)."""
     data = _as_array(data)
+    validate(
+        all(d > 0 for d in data.shape),
+        f"data has zero-size dimension: shape {data.shape}",
+    )
     if data.ndim == 3:
         return jnp.transpose(data, (2, 0, 1))[None], False
     if data.ndim == 4:
