@@ -346,7 +346,22 @@ def fft_kernels(
         f"kernel ({max(khs)},{max(kws)}) exceeds FFT dims ({fft_h},{fft_w}) "
         "(reference check src/cudaConvolutionFFT.cu:242-243)",
     )
-    fft = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
+    n, f = kstack.shape[0], kstack.shape[1]
+    spectra_bytes = n * f * fft_h * (fft_w // 2 + 1) * 8
+    budget = _device_memory_budget() // 4  # transform temps ≈ 2-3× spectra
+    if spectra_bytes > budget and n > 1:
+        # chunk the forward transform so its temporaries stay bounded
+        # (big DPM banks at large FFT sizes OOM otherwise)
+        n_chunks = -(-spectra_bytes // budget)
+        step = max(1, -(-n // n_chunks))
+        fft = jnp.concatenate(
+            [
+                _fft_kernels_worker(kstack[s : s + step], fft_h, fft_w, correlation)
+                for s in range(0, n, step)
+            ]
+        )
+    else:
+        fft = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
     return SpectralKernels(
         fft=fft, fft_h=fft_h, fft_w=fft_w, kernel_hs=khs, kernel_ws=kws
     )

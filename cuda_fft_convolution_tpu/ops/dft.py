@@ -117,12 +117,13 @@ def rfft2_mm(
     # W axis: real x → complex planes (..., h, Wc)
     xr = _mm(x, wr, precision)
     xi = _mm(x, wi, precision)
-    # H axis: complex (fr + i fi) @ (xr + i xi), 3-mult Karatsuba (25%
-    # fewer MXU passes than the 4-mult form)
-    t1 = _mml(fr, xr, precision)
-    t2 = _mml(fi, xi, precision)
-    t3 = _mml(fr + fi, xr + xi, precision)
-    return jax.lax.complex(t1 - t2, t3 - t1 - t2)
+    # H axis: complex (fr + i fi) @ (xr + i xi), 4-mult form. (3-mult
+    # Karatsuba keeps THREE full-size temporaries live simultaneously —
+    # measured speed-neutral but it OOM'd the F=31 direct-engine config by
+    # the extra temp.)
+    sr = _mml(fr, xr, precision) - _mml(fi, xi, precision)
+    si = _mml(fr, xi, precision) + _mml(fi, xr, precision)
+    return jax.lax.complex(sr, si)
 
 
 def irfft2_mm(
@@ -147,12 +148,10 @@ def irfft2_mm(
     mr, mi = _inv_packed_mats(fft_w)
     mr = jnp.asarray(mr[:, c0 : c0 + nc])  # (Wc, nc)
     mi = jnp.asarray(mi[:, c0 : c0 + nc])
-    # H axis inverse (complex): (gr + i gi) @ (sr + i si), 3-mult Karatsuba
-    t1 = _mml(gr, sr, precision)
-    t2 = _mml(gi, si, precision)
-    t3 = _mml(gr + gi, sr + si, precision)
-    xr = t1 - t2
-    xi = t3 - t1 - t2
+    # H axis inverse (complex): (gr + i gi) @ (sr + i si), 4-mult form
+    # (Karatsuba's third live temporary costs peak HBM; speed-neutral here)
+    xr = _mml(gr, sr, precision) - _mml(gi, si, precision)
+    xi = _mml(gr, si, precision) + _mml(gi, sr, precision)
     # W axis inverse (real output): Re part only
     return _mm(xr, mr, precision) + _mm(xi, mi, precision)
 

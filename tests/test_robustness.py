@@ -68,3 +68,13 @@ def test_bank_of_one_and_many(rng):
     many = fc.fft_conv(data, kernels=[k] * 257, mode="full")
     assert rel_err(np.array(many[0]), ref) < 1e-5
     assert rel_err(np.array(many[256]), ref) < 1e-5
+
+
+def test_fft_kernels_chunked_transform(rng, monkeypatch):
+    """Large banks transform in chunks (bounded temporaries) with results
+    identical to the one-shot transform."""
+    kerns = rng.standard_normal((9, 5, 5, 2)).astype(np.float32)
+    want = fc.fetch(fc.fft_kernels(kerns, fft_h=64, fft_w=64).fft)
+    monkeypatch.setattr(_api, "_device_memory_budget", lambda: 1 << 16)
+    got = fc.fetch(fc.fft_kernels(kerns, fft_h=64, fft_w=64).fft)
+    np.testing.assert_allclose(got, want, atol=1e-6)
