@@ -82,6 +82,16 @@ def _inv_full_mats(l: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+# Karatsuba 3-mult complex matmuls save 25% of MXU passes but keep a THIRD
+# full-size temporary live; use them only when that temp is small enough not
+# to matter for peak HBM (the F=31 direct config OOM'd with it).
+_KARATSUBA_MAX_TEMP_BYTES = 2 << 30  # tiled-path temps ~1.1 GB: keep fast
+
+
+def _use_karatsuba(out_elems: int) -> bool:
+    return out_elems * 4 <= _KARATSUBA_MAX_TEMP_BYTES
+
+
 def _mm(a, b, precision):
     """a (..., K) @ b (K, M) → (..., M), fp32 accumulate on the MXU."""
     return jnp.einsum(
@@ -117,10 +127,14 @@ def rfft2_mm(
     # W axis: real x → complex planes (..., h, Wc)
     xr = _mm(x, wr, precision)
     xi = _mm(x, wi, precision)
-    # H axis: complex (fr + i fi) @ (xr + i xi), 4-mult form. (3-mult
-    # Karatsuba keeps THREE full-size temporaries live simultaneously —
-    # measured speed-neutral but it OOM'd the F=31 direct-engine config by
-    # the extra temp.)
+    # H axis: complex (fr + i fi) @ (xr + i xi); Karatsuba when the extra
+    # temporary is cheap, 4-mult when it would push peak HBM.
+    out_elems = int(np.prod(xr.shape[:-2])) * fft_h * xr.shape[-1]
+    if _use_karatsuba(out_elems):
+        t1 = _mml(fr, xr, precision)
+        t2 = _mml(fi, xi, precision)
+        t3 = _mml(fr + fi, xr + xi, precision)
+        return jax.lax.complex(t1 - t2, t3 - t1 - t2)
     sr = _mml(fr, xr, precision) - _mml(fi, xi, precision)
     si = _mml(fr, xi, precision) + _mml(fi, xr, precision)
     return jax.lax.complex(sr, si)
@@ -148,10 +162,18 @@ def irfft2_mm(
     mr, mi = _inv_packed_mats(fft_w)
     mr = jnp.asarray(mr[:, c0 : c0 + nc])  # (Wc, nc)
     mi = jnp.asarray(mi[:, c0 : c0 + nc])
-    # H axis inverse (complex): (gr + i gi) @ (sr + i si), 4-mult form
-    # (Karatsuba's third live temporary costs peak HBM; speed-neutral here)
-    xr = _mml(gr, sr, precision) - _mml(gi, si, precision)
-    xi = _mml(gr, si, precision) + _mml(gi, sr, precision)
+    # H axis inverse (complex): (gr + i gi) @ (sr + i si); Karatsuba when
+    # the extra temporary is cheap, 4-mult when it would push peak HBM.
+    out_elems = int(np.prod(sr.shape[:-2])) * nr * sr.shape[-1]
+    if _use_karatsuba(out_elems):
+        t1 = _mml(gr, sr, precision)
+        t2 = _mml(gi, si, precision)
+        t3 = _mml(gr + gi, sr + si, precision)
+        xr = t1 - t2
+        xi = t3 - t1 - t2
+    else:
+        xr = _mml(gr, sr, precision) - _mml(gi, si, precision)
+        xi = _mml(gr, si, precision) + _mml(gi, sr, precision)
     # W axis inverse (real output): Re part only
     return _mm(xr, mr, precision) + _mm(xi, mi, precision)
 
