@@ -205,21 +205,30 @@ def _conv_from_spectra_chunked(
     ``chunk_size`` kernels via lax.map so peak memory is bounded by one chunk
     of product/output buffers while XLA's async dispatch overlaps chunk k+1's
     spectra fetch with chunk k's inverse FFT (the role CUDA streams play in
-    the reference)."""
-    n = kernel_fft.shape[0]
-    n_pad = -(-n // chunk_size) * chunk_size
-    kfft = jnp.pad(kernel_fft, ((0, n_pad - n), (0, 0), (0, 0), (0, 0)))
-    kfft = kfft.reshape(n_pad // chunk_size, chunk_size, *kernel_fft.shape[1:])
+    the reference).
 
-    def one_chunk(kc):
+    Chunks are taken with dynamic slices — NOT a padded copy of the whole
+    bank, which would double the bank's multi-GB footprint (it OOM'd the
+    F=31 direct config). dynamic_slice clamps the last chunk's start, so
+    reassembly takes the clamped tail explicitly."""
+    n = kernel_fft.shape[0]
+    num_chunks = -(-n // chunk_size)
+    starts = jnp.arange(num_chunks) * chunk_size
+
+    def one_chunk(start):
+        kc = jax.lax.dynamic_slice_in_dim(kernel_fft, start, chunk_size, axis=0)
         prod = spectral_mac_auto(data_fft, kc, use_pallas=use_pallas)
         return irfft2_norm(prod, fft_h, fft_w)
 
-    out = jax.lax.map(one_chunk, kfft)  # (n_chunks, B, C, fft_h, fft_w)
-    out = jnp.moveaxis(out, 2, 1).reshape(
-        -1, data_fft.shape[0], fft_h, fft_w
-    )  # (n_pad, B, H, W) with chunk-major order == kernel order
-    return jnp.moveaxis(out[:n], 0, 1)  # (B, N, fft_h, fft_w)
+    out = jax.lax.map(one_chunk, starts)  # (num_chunks, B, C, fft_h, fft_w)
+    out = jnp.moveaxis(out, 2, 1).reshape(-1, data_fft.shape[0], fft_h, fft_w)
+    if n % chunk_size:
+        # last chunk was clamped to [n - chunk_size, n): keep the full
+        # chunks then the clamped tail's last n - (num_chunks-1)*chunk_size
+        head = out[: (num_chunks - 1) * chunk_size]
+        tail = out[-(n - (num_chunks - 1) * chunk_size) :]
+        out = jnp.concatenate([head, tail])
+    return jnp.moveaxis(out, 0, 1)  # (B, N, fft_h, fft_w)
 
 
 def _resolve_policy(policy):
