@@ -103,8 +103,11 @@ void ffc_plan_bank(int64_t n, int64_t f, int64_t fft_h, int64_t fft_w,
   // materializes a full-size c64 intermediate, ~2*map). x2 for double
   // buffering (XLA overlaps the next chunk while this one retires).
   const int64_t per_kernel = 2 * (f * spec + b * spec + b * (3 * map));
-  // Fixed: data spectra (b*f planes), input data, bank inputs.
-  const int64_t fixed = b * f * spec + b * f * fft_h * fft_w * 4;
+  // Fixed: data spectra (b*f planes), input data, and the RESIDENT bank
+  // spectra (n*f planes) — in the amortized path the whole bank lives in
+  // HBM while chunks stream through it.
+  const int64_t fixed =
+      b * f * spec + b * f * fft_h * fft_w * 4 + n * f * spec;
   int64_t budget = hbm_budget_bytes - fixed;
   if (budget < per_kernel) budget = per_kernel;
   int64_t chunk = budget / per_kernel;

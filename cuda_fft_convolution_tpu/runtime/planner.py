@@ -84,7 +84,13 @@ def plan_bank(
     per_kernel = 2 * (
         feature_dim * spec + batch * spec + batch * (3 * map_bytes)
     )
-    fixed = batch * feature_dim * spec + batch * feature_dim * fft_h * fft_w * 4
+    # resident bank spectra count as fixed: the whole bank lives in HBM
+    # while chunks stream through it (csrc/planner.cpp keeps in sync)
+    fixed = (
+        batch * feature_dim * spec
+        + batch * feature_dim * fft_h * fft_w * 4
+        + n_kernels * feature_dim * spec
+    )
     budget = max(hbm_budget_bytes - fixed, per_kernel)
     chunk = max(1, min(n_kernels, budget // per_kernel))
     return BankPlan(int(chunk), int(fixed + chunk * per_kernel))
