@@ -168,6 +168,13 @@ def _fft_kernels_worker(
     return rfft2_padded(kstack, fft_h, fft_w)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_bank_chunk(acc, chunk, start):
+    """Write a bank-spectra chunk into the donated accumulator (in-place
+    buffer reuse: peak memory = bank + one chunk, not 2× bank)."""
+    return jax.lax.dynamic_update_slice_in_dim(acc, chunk, start, axis=0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas")
 )
@@ -359,16 +366,20 @@ def fft_kernels(
     spectra_bytes = n * f * fft_h * (fft_w // 2 + 1) * 8
     budget = _device_memory_budget() // 4  # transform temps ≈ 2-3× spectra
     if spectra_bytes > budget and n > 1:
-        # chunk the forward transform so its temporaries stay bounded
-        # (big DPM banks at large FFT sizes OOM otherwise)
+        # Chunk the forward transform so its temporaries stay bounded (big
+        # DPM banks at large FFT sizes OOM otherwise). Chunks land in a
+        # DONATED accumulator — a concatenate would hold all chunks plus the
+        # result live at once (2× the multi-GB bank, measured OOM).
         n_chunks = -(-spectra_bytes // budget)
         step = max(1, -(-n // n_chunks))
-        fft = jnp.concatenate(
-            [
-                _fft_kernels_worker(kstack[s : s + step], fft_h, fft_w, correlation)
-                for s in range(0, n, step)
-            ]
+        fft = jnp.zeros(
+            (n, f, fft_h, fft_w // 2 + 1), jnp.complex64
         )
+        for s in range(0, n, step):
+            chunk = _fft_kernels_worker(
+                kstack[s : s + min(step, n - s)], fft_h, fft_w, correlation
+            )
+            fft = _write_bank_chunk(fft, chunk, s)
     else:
         fft = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
     return SpectralKernels(
