@@ -270,6 +270,7 @@ def fft_data(
     max_kernel_w: int,
     *,
     policy: FftSizePolicy | str | None = None,
+    device=None,
 ) -> SpectralData:
     """Precompute the reusable data spectrum — ≈ ``cudaFFTData(data, Kh, Kw)``
     (src/cudaFFTData.cu:18-150).
@@ -282,6 +283,11 @@ def fft_data(
     """
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
     policy = _resolve_policy(policy)
+    if device is not None:
+        # ≈ the reference's optional 0-based GPU id argument
+        # (src/cudaConvolutionFFT.cu:84-89 cudaSetDevice): place the input on
+        # an explicit device; all downstream compute follows the data.
+        data = jax.device_put(_as_array(data), device)
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     fft_h, fft_w = compute_fft_size(h, w, max_kernel_h, max_kernel_w, policy)

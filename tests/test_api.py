@@ -185,3 +185,14 @@ def test_ragged_same_mode_uses_each_kernels_window(rng):
         full = fft_conv_full_f64(data, k)
         r0, c0 = (k.shape[0] - 1) // 2, (k.shape[1] - 1) // 2
         assert rel_err(np.array(o), full[r0 : r0 + 20, c0 : c0 + 20]) < TOL
+
+
+def test_device_argument(rng):
+    """fft_data(device=...) pins placement — ≈ the reference's gpuId arg
+    (src/cudaConvolutionFFT.cu:84-89)."""
+    import jax
+
+    dev = jax.devices()[0]
+    data = rng.standard_normal((8, 8, 1)).astype(np.float32)
+    sd = fc.fft_data(data, 3, 3, device=dev)
+    assert list(sd.fft.devices())[0] == dev
