@@ -539,12 +539,63 @@ def _conv_spectral_tiled(
     use_pallas = _resolve_pallas(use_pallas)
     batched = spectral.batched
     dfft = spectral.fft if batched else spectral.fft[None]
-    maps = conv_blocks(
-        dfft, sk.fft, spectral.block_h, spectral.block_w,
-        spectral.max_kh, spectral.max_kw, spectral.out_h, spectral.out_w,
-        use_pallas,
-    )
+    # Memory safety: when the whole bank's per-block products exceed the
+    # device budget, run the bank in chunks (same transparency as the
+    # direct engine's auto-chunking).
+    chunk = _tiled_chunk_size(spectral, dfft, sk.num_kernels)
+    maps = _tiled_chunked_maps(spectral, dfft, sk, chunk, use_pallas)
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+
+
+def _tiled_chunk_size(
+    spectral: TiledSpectralData, dfft: jnp.ndarray, n: int
+) -> int:
+    """Bank chunk size for the tiled engine from an explicit memory model:
+    per-kernel cost = MAC products + inverse temps over every block, plus
+    its slice of the output maps; fixed cost = block + bank spectra + the
+    full output allocation."""
+    b, nbh, nbw = dfft.shape[0], dfft.shape[1], dfft.shape[2]
+    f = spectral.feature_dim
+    lh, wc = spectral.block_h, spectral.block_w // 2 + 1
+    nb = b * nbh * nbw
+    per_kernel = 2 * nb * lh * wc * 8 + b * spectral.out_h * spectral.out_w * 4
+    fixed = (
+        nb * f * lh * wc * 8  # block spectra
+        + n * f * lh * wc * 8  # bank spectra
+        + b * n * spectral.out_h * spectral.out_w * 4  # output maps
+    )
+    budget = max(_device_memory_budget() - fixed, per_kernel)
+    return max(1, min(n, budget // per_kernel))
+
+
+def _tiled_chunked_maps(
+    spectral: TiledSpectralData,
+    dfft: jnp.ndarray,
+    sk: SpectralKernels,
+    chunk_size: int,
+    use_pallas: bool | None,
+) -> jnp.ndarray:
+    """Run the bank through conv_blocks in ``chunk_size`` slices (one call
+    when the whole bank fits). XLA's async dispatch overlaps consecutive
+    chunks — the streams variant's role."""
+    n = sk.num_kernels
+    if chunk_size >= n:
+        return conv_blocks(
+            dfft, sk.fft, spectral.block_h, spectral.block_w,
+            spectral.max_kh, spectral.max_kw,
+            spectral.out_h, spectral.out_w, use_pallas,
+        )
+    outs = []
+    for s in range(0, n, chunk_size):
+        e = min(s + chunk_size, n)
+        outs.append(
+            conv_blocks(
+                dfft, sk.fft[s:e], spectral.block_h, spectral.block_w,
+                spectral.max_kh, spectral.max_kw,
+                spectral.out_h, spectral.out_w, use_pallas,
+            )
+        )
+    return jnp.concatenate(outs, axis=1)
 
 
 def conv_spectral_pipelined(
@@ -601,22 +652,11 @@ def conv_spectral_pipelined(
             "mode='fftmap' requires the direct engine; the tiled engine "
             "computes linear convolution only",
         )
-        # Chunk the bank in Python (host loop): each chunk runs the full
-        # tiled path; results concatenate along the bank axis. XLA's async
-        # dispatch overlaps consecutive chunks like the streams variant.
-        n = sk.num_kernels
-        outs = []
         batched = spectral.batched
         dfft = spectral.fft if batched else spectral.fft[None]
-        for s in range(0, n, chunk_size):
-            e = min(s + chunk_size, n)
-            maps = conv_blocks(
-                dfft, sk.fft[s:e], spectral.block_h, spectral.block_w,
-                spectral.max_kh, spectral.max_kw,
-                spectral.out_h, spectral.out_w, use_pallas,
-            )
-            outs.append(maps)
-        maps = jnp.concatenate(outs, axis=1)
+        maps = _tiled_chunked_maps(
+            spectral, dfft, sk, min(chunk_size, sk.num_kernels), use_pallas
+        )
         return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
     batched = spectral.batched
     dfft = spectral.fft if batched else spectral.fft[None]
