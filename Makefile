@@ -27,6 +27,7 @@ demo:
 	python examples/demo.py
 	python examples/demo_bank.py
 	python examples/demo_dpm.py
+	python examples/demo_train.py
 
 clean:
 	rm -f $(SO)

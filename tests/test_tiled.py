@@ -155,3 +155,24 @@ def test_pipelined_tiled_matches_plain(rng):
         np.testing.assert_allclose(got, want, atol=1e-6)
     with pytest.raises(InvalidInputError):
         fc.conv_spectral_pipelined(sd, kerns, chunk_size=2, mode="fftmap")
+
+
+def test_matmul_tiled_property_sweep(rng):
+    """Property sweep of the matmul-engine tiled path (forced on CPU) over
+    auto-chosen geometry for varied kernel sizes."""
+    try:
+        fc.set_config(use_matmul_fft=True)
+        for (h, w, kh, kw, f) in [
+            (140, 130, 9, 9, 1),
+            (200, 90, 17, 5, 2),
+            (96, 300, 4, 32, 1),
+        ]:
+            data = rng.standard_normal((h, w, f)).astype(np.float32)
+            kern = rng.standard_normal((kh, kw, f)).astype(np.float32)
+            got = fc.fft_conv(data, kernels=[kern], mode="full",
+                              algorithm="tiled")
+            assert rel_err(np.array(got[0]), fft_conv_full_f64(data, kern)) < TOL, (
+                h, w, kh, kw, f,
+            )
+    finally:
+        fc.set_config(use_matmul_fft=None)
