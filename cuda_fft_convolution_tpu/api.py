@@ -35,10 +35,10 @@ import jax
 import jax.numpy as jnp
 
 from cuda_fft_convolution_tpu.ops.conv import (
-    irfft2_norm,
-    rfft2_padded,
+    irfft2_norm_planes,
+    rfft2_padded_planes,
 )
-from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto_planes
 from cuda_fft_convolution_tpu.ops.tiled import (
     choose_block_fft,
     conv_blocks,
@@ -143,21 +143,22 @@ def _kernels_to_stack(
 
 
 @functools.partial(jax.jit, static_argnames=("fft_h", "fft_w"))
-def _fft_data_worker(data_cf: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
-    """(B, F, H, W) → (B, F, fft_h, fft_w//2+1) c64.
+def _fft_data_worker(data_cf: jnp.ndarray, fft_h: int, fft_w: int):
+    """(B, F, H, W) → (re, im) f32 planes (B, F, fft_h, fft_w//2+1).
 
     ≈ padData + batched cufftExecR2C (src/cudaFFTData.cu:115-146); the batch
     over B·F leading axes is XLA FFT HLO's native batching (the reference's
-    cufftPlanMany BATCH=F, src/cudaFFTData.cu:137-143).
+    cufftPlanMany BATCH=F, src/cudaFFTData.cu:137-143). Split-plane output:
+    no complex64 at the program boundary (see types.py).
     """
-    return rfft2_padded(data_cf, fft_h, fft_w)
+    return rfft2_padded_planes(data_cf, fft_h, fft_w)
 
 
 @functools.partial(jax.jit, static_argnames=("fft_h", "fft_w", "correlation"))
 def _fft_kernels_worker(
     kstack: jnp.ndarray, fft_h: int, fft_w: int, correlation: bool
-) -> jnp.ndarray:
-    """(N, F, Kh, Kw) → (N, F, fft_h, fft_w//2+1) c64.
+):
+    """(N, F, Kh, Kw) → (re, im) f32 planes (N, F, fft_h, fft_w//2+1).
 
     ``correlation=True`` flips kernels spatially before the FFT — the demo
     does this flip by hand to turn convolution into template correlation
@@ -165,22 +166,28 @@ def _fft_kernels_worker(
     """
     if correlation:
         kstack = kstack[..., ::-1, ::-1]
-    return rfft2_padded(kstack, fft_h, fft_w)
+    return rfft2_padded_planes(kstack, fft_h, fft_w)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _write_bank_chunk(acc, chunk, start):
-    """Write a bank-spectra chunk into the donated accumulator (in-place
-    buffer reuse: peak memory = bank + one chunk, not 2× bank)."""
-    return jax.lax.dynamic_update_slice_in_dim(acc, chunk, start, axis=0)
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _write_bank_chunk(acc_re, acc_im, chunk_re, chunk_im, start):
+    """Write a bank-spectra chunk into the donated plane accumulators
+    (in-place buffer reuse: peak memory = bank + one chunk, not 2× bank —
+    and f32 planes actually alias under donation, unlike emulated complex)."""
+    return (
+        jax.lax.dynamic_update_slice_in_dim(acc_re, chunk_re, start, axis=0),
+        jax.lax.dynamic_update_slice_in_dim(acc_im, chunk_im, start, axis=0),
+    )
 
 
 @functools.partial(
     jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas")
 )
 def _conv_from_spectra(
-    data_fft: jnp.ndarray,  # (B, F, H, Wc) c64
-    kernel_fft: jnp.ndarray,  # (N, F, H, Wc) c64
+    d_re: jnp.ndarray,  # (B, F, H, Wc) f32
+    d_im: jnp.ndarray,
+    k_re: jnp.ndarray,  # (N, F, H, Wc) f32
+    k_im: jnp.ndarray,
     fft_h: int,
     fft_w: int,
     use_pallas: bool | None,
@@ -190,18 +197,23 @@ def _conv_from_spectra(
     ≈ elementwiseProductAndNormalize + cufftExecC2R + sumAlongFeatures
     (src/cudaConvolutionFFT.cu:263-282), with the channel sum moved into the
     spectral domain so each kernel needs ONE C2R instead of F (SURVEY.md §7
-    step 1 note); normalization 1/(fft_h·fft_w) (:270) is irfft2's own.
+    step 1 note); normalization 1/(fft_h·fft_w) (:270) folded into the
+    inverse transform. Pure f32 planes in, f32 maps out.
     """
-    prod = spectral_mac_auto(data_fft, kernel_fft, use_pallas=use_pallas)
-    return irfft2_norm(prod, fft_h, fft_w)
+    p_re, p_im = spectral_mac_auto_planes(
+        d_re, d_im, k_re, k_im, use_pallas=use_pallas
+    )
+    return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
 
 
 @functools.partial(
     jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas", "chunk_size")
 )
 def _conv_from_spectra_chunked(
-    data_fft: jnp.ndarray,
-    kernel_fft: jnp.ndarray,
+    d_re: jnp.ndarray,
+    d_im: jnp.ndarray,
+    k_re: jnp.ndarray,
+    k_im: jnp.ndarray,
     fft_h: int,
     fft_w: int,
     use_pallas: bool | None,
@@ -218,17 +230,20 @@ def _conv_from_spectra_chunked(
     bank, which would double the bank's multi-GB footprint (it OOM'd the
     F=31 direct config). dynamic_slice clamps the last chunk's start, so
     reassembly takes the clamped tail explicitly."""
-    n = kernel_fft.shape[0]
+    n = k_re.shape[0]
     num_chunks = -(-n // chunk_size)
     starts = jnp.arange(num_chunks) * chunk_size
 
     def one_chunk(start):
-        kc = jax.lax.dynamic_slice_in_dim(kernel_fft, start, chunk_size, axis=0)
-        prod = spectral_mac_auto(data_fft, kc, use_pallas=use_pallas)
-        return irfft2_norm(prod, fft_h, fft_w)
+        kc_re = jax.lax.dynamic_slice_in_dim(k_re, start, chunk_size, axis=0)
+        kc_im = jax.lax.dynamic_slice_in_dim(k_im, start, chunk_size, axis=0)
+        p_re, p_im = spectral_mac_auto_planes(
+            d_re, d_im, kc_re, kc_im, use_pallas=use_pallas
+        )
+        return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
 
     out = jax.lax.map(one_chunk, starts)  # (num_chunks, B, C, fft_h, fft_w)
-    out = jnp.moveaxis(out, 2, 1).reshape(-1, data_fft.shape[0], fft_h, fft_w)
+    out = jnp.moveaxis(out, 2, 1).reshape(-1, d_re.shape[0], fft_h, fft_w)
     if n % chunk_size:
         # last chunk was clamped to [n - chunk_size, n): keep the full
         # chunks then the clamped tail's last n - (num_chunks-1)*chunk_size
@@ -291,11 +306,11 @@ def fft_data(
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     fft_h, fft_w = compute_fft_size(h, w, max_kernel_h, max_kernel_w, policy)
-    fft = _fft_data_worker(data_cf, fft_h, fft_w)
+    re, im = _fft_data_worker(data_cf, fft_h, fft_w)
     if not batched:
-        fft = fft[0]
+        re, im = re[0], im[0]
     return SpectralData(
-        fft=fft, fft_h=fft_h, fft_w=fft_w, data_h=h, data_w=w
+        re=re, im=im, fft_h=fft_h, fft_w=fft_w, data_h=h, data_w=w
     )
 
 
@@ -306,6 +321,7 @@ def fft_data_tiled(
     *,
     block_h: int | None = None,
     block_w: int | None = None,
+    device=None,
 ) -> TiledSpectralData:
     """Precompute overlap-save BLOCK spectra of the data (ops/tiled.py).
 
@@ -314,6 +330,9 @@ def fft_data_tiled(
     its engine always transforms at full image+pad size. Block size defaults
     to the planner's choice (``choose_block_fft``)."""
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
+    if device is not None:
+        # gpuId parity (src/cudaConvolutionFFT.cu:84-89): explicit placement.
+        data = jax.device_put(_as_array(data), device)
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     if block_h is None or block_w is None:
@@ -328,11 +347,13 @@ def fft_data_tiled(
         f"block ({block_h},{block_w}) smaller than kernel "
         f"({max_kernel_h},{max_kernel_w})",
     )
-    fft = fft_data_blocks(data_cf, block_h, block_w, max_kernel_h, max_kernel_w)
+    re, im = fft_data_blocks(
+        data_cf, block_h, block_w, max_kernel_h, max_kernel_w
+    )
     if not batched:
-        fft = fft[0]
+        re, im = re[0], im[0]
     return TiledSpectralData(
-        fft=fft, block_h=block_h, block_w=block_w,
+        re=re, im=im, block_h=block_h, block_w=block_w,
         max_kh=max_kernel_h, max_kw=max_kernel_w, data_h=h, data_w=w,
     )
 
@@ -345,6 +366,7 @@ def fft_kernels(
     spectral: SpectralData | TiledSpectralData | None = None,
     feature_dim: int | None = None,
     correlation: bool = False,
+    device=None,
 ) -> SpectralKernels:
     """Precompute a kernel bank's spectra at a fixed FFT size.
 
@@ -363,33 +385,35 @@ def fft_kernels(
         "pass fft_h/fft_w or spectral=SpectralData",
     )
     kstack, khs, kws = _kernels_to_stack(kernels, feature_dim)
+    if device is not None:
+        # gpuId parity (src/cudaConvolutionFFT.cu:84-89): explicit placement.
+        kstack = jax.device_put(kstack, device)
     validate(
         max(khs) <= fft_h and max(kws) <= fft_w,
         f"kernel ({max(khs)},{max(kws)}) exceeds FFT dims ({fft_h},{fft_w}) "
         "(reference check src/cudaConvolutionFFT.cu:242-243)",
     )
     n, f = kstack.shape[0], kstack.shape[1]
-    spectra_bytes = n * f * fft_h * (fft_w // 2 + 1) * 8
+    spectra_bytes = n * f * fft_h * (fft_w // 2 + 1) * 8  # re + im planes
     budget = _device_memory_budget() // 4  # transform temps ≈ 2-3× spectra
     if spectra_bytes > budget and n > 1:
         # Chunk the forward transform so its temporaries stay bounded (big
-        # DPM banks at large FFT sizes OOM otherwise). Chunks land in a
-        # DONATED accumulator — a concatenate would hold all chunks plus the
-        # result live at once (2× the multi-GB bank, measured OOM).
+        # DPM banks at large FFT sizes OOM otherwise). Chunks land in
+        # DONATED plane accumulators — a concatenate would hold all chunks
+        # plus the result live at once (2× the multi-GB bank, measured OOM).
         n_chunks = -(-spectra_bytes // budget)
         step = max(1, -(-n // n_chunks))
-        fft = jnp.zeros(
-            (n, f, fft_h, fft_w // 2 + 1), jnp.complex64
-        )
+        re = jnp.zeros((n, f, fft_h, fft_w // 2 + 1), jnp.float32)
+        im = jnp.zeros((n, f, fft_h, fft_w // 2 + 1), jnp.float32)
         for s in range(0, n, step):
-            chunk = _fft_kernels_worker(
+            c_re, c_im = _fft_kernels_worker(
                 kstack[s : s + min(step, n - s)], fft_h, fft_w, correlation
             )
-            fft = _write_bank_chunk(fft, chunk, s)
+            re, im = _write_bank_chunk(re, im, c_re, c_im, s)
     else:
-        fft = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
+        re, im = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
     return SpectralKernels(
-        fft=fft, fft_h=fft_h, fft_w=fft_w, kernel_hs=khs, kernel_ws=kws
+        re=re, im=im, fft_h=fft_h, fft_w=fft_w, kernel_hs=khs, kernel_ws=kws
     )
 
 
@@ -404,9 +428,11 @@ def _trim(
     """Slice the circular FFT maps down to the requested window.
 
     'fftmap' → raw maps (reference-parity). 'full' → top-left
-    (H+Kh−1)×(W+Kw−1) (demoCudaConvolutionFFT.m:149); 'same' → centered H×W;
-    'valid' → (H−Kh+1)×(W−Kw+1) starting at (Kh−1, Kw−1). Ragged banks
-    return a list for modes whose window depends on kernel size."""
+    (H+Kh−1)×(W+Kw−1) (demoCudaConvolutionFFT.m:149); 'same' → centered H×W
+    with the scipy/numpy offset convention ((Kh−1)//2 — note MATLAB's conv2
+    'same' uses Kh//2, one pixel lower for even kernels); 'valid' →
+    (H−Kh+1)×(W−Kw+1) starting at (Kh−1, Kw−1). Ragged banks return a list
+    for modes whose window depends on kernel size."""
     h, w = spectral.data_h, spectral.data_w
     if mode == "fftmap":
         out = maps
@@ -479,9 +505,26 @@ def conv_spectral(
         sk = fft_kernels(
             kernels, spectral=spectral, correlation=correlation
         )
+    if mode != "fftmap":
+        # Linear-conv windows are only valid when the FFT dims cover
+        # data + kernel − 1: a kernel larger than the maxK used to size
+        # fft_data (but still ≤ FFT dims) would silently return circularly
+        # aliased maps (the reference's FFT sizing guarantees this by
+        # construction, src/cudaConvolutionFFT.cu:103-110).
+        validate(
+            spectral.data_h + max(sk.kernel_hs) - 1 <= spectral.fft_h
+            and spectral.data_w + max(sk.kernel_ws) - 1 <= spectral.fft_w,
+            f"kernel ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) too large for "
+            f"linear convolution at FFT dims ({spectral.fft_h},"
+            f"{spectral.fft_w}) with data ({spectral.data_h},"
+            f"{spectral.data_w}): output would be circularly aliased. "
+            "Recompute fft_data with larger max_kernel dims, or use "
+            "mode='fftmap' for raw circular maps",
+        )
     use_pallas = _resolve_pallas(use_pallas)
     batched = spectral.batched
-    dfft = spectral.fft if batched else spectral.fft[None]
+    d_re = spectral.re if batched else spectral.re[None]
+    d_im = spectral.im if batched else spectral.im[None]
     # Memory safety: when the whole bank's products + maps don't fit the
     # device budget, transparently run the chunked pipeline (identical
     # results; the reference would simply OOM — its buffers are sized for
@@ -495,12 +538,13 @@ def conv_spectral(
     )
     if plan.chunk_size < sk.num_kernels:
         maps = _conv_from_spectra_chunked(
-            dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas,
-            plan.chunk_size,
+            d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
+            use_pallas, plan.chunk_size,
         )
     else:
         maps = _conv_from_spectra(
-            dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas
+            d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
+            use_pallas,
         )
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
 
@@ -538,23 +582,24 @@ def _conv_spectral_tiled(
     )
     use_pallas = _resolve_pallas(use_pallas)
     batched = spectral.batched
-    dfft = spectral.fft if batched else spectral.fft[None]
+    d_re = spectral.re if batched else spectral.re[None]
+    d_im = spectral.im if batched else spectral.im[None]
     # Memory safety: when the whole bank's per-block products exceed the
     # device budget, run the bank in chunks (same transparency as the
     # direct engine's auto-chunking).
-    chunk = _tiled_chunk_size(spectral, dfft, sk.num_kernels)
-    maps = _tiled_chunked_maps(spectral, dfft, sk, chunk, use_pallas)
+    chunk = _tiled_chunk_size(spectral, d_re, sk.num_kernels)
+    maps = _tiled_chunked_maps(spectral, d_re, d_im, sk, chunk, use_pallas)
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
 
 
 def _tiled_chunk_size(
-    spectral: TiledSpectralData, dfft: jnp.ndarray, n: int
+    spectral: TiledSpectralData, d_re: jnp.ndarray, n: int
 ) -> int:
     """Bank chunk size for the tiled engine from an explicit memory model:
     per-kernel cost = MAC products + inverse temps over every block, plus
     its slice of the output maps; fixed cost = block + bank spectra + the
     full output allocation."""
-    b, nbh, nbw = dfft.shape[0], dfft.shape[1], dfft.shape[2]
+    b, nbh, nbw = d_re.shape[0], d_re.shape[1], d_re.shape[2]
     f = spectral.feature_dim
     lh, wc = spectral.block_h, spectral.block_w // 2 + 1
     nb = b * nbh * nbw
@@ -570,7 +615,8 @@ def _tiled_chunk_size(
 
 def _tiled_chunked_maps(
     spectral: TiledSpectralData,
-    dfft: jnp.ndarray,
+    d_re: jnp.ndarray,
+    d_im: jnp.ndarray,
     sk: SpectralKernels,
     chunk_size: int,
     use_pallas: bool | None,
@@ -581,7 +627,7 @@ def _tiled_chunked_maps(
     n = sk.num_kernels
     if chunk_size >= n:
         return conv_blocks(
-            dfft, sk.fft, spectral.block_h, spectral.block_w,
+            d_re, d_im, sk.re, sk.im, spectral.block_h, spectral.block_w,
             spectral.max_kh, spectral.max_kw,
             spectral.out_h, spectral.out_w, use_pallas,
         )
@@ -590,7 +636,8 @@ def _tiled_chunked_maps(
         e = min(s + chunk_size, n)
         outs.append(
             conv_blocks(
-                dfft, sk.fft[s:e], spectral.block_h, spectral.block_w,
+                d_re, d_im, sk.re[s:e], sk.im[s:e],
+                spectral.block_h, spectral.block_w,
                 spectral.max_kh, spectral.max_kw,
                 spectral.out_h, spectral.out_w, use_pallas,
             )
@@ -652,23 +699,33 @@ def conv_spectral_pipelined(
             "mode='fftmap' requires the direct engine; the tiled engine "
             "computes linear convolution only",
         )
+        validate(
+            max(sk.kernel_hs) <= spectral.max_kh
+            and max(sk.kernel_ws) <= spectral.max_kw,
+            f"bank kernels up to ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) "
+            f"exceed the tiled spectra's planned max "
+            f"({spectral.max_kh},{spectral.max_kw})",
+        )
         batched = spectral.batched
-        dfft = spectral.fft if batched else spectral.fft[None]
+        d_re = spectral.re if batched else spectral.re[None]
+        d_im = spectral.im if batched else spectral.im[None]
         maps = _tiled_chunked_maps(
-            spectral, dfft, sk, min(chunk_size, sk.num_kernels), use_pallas
+            spectral, d_re, d_im, sk, min(chunk_size, sk.num_kernels),
+            use_pallas,
         )
         return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
     batched = spectral.batched
-    dfft = spectral.fft if batched else spectral.fft[None]
+    d_re = spectral.re if batched else spectral.re[None]
+    d_im = spectral.im if batched else spectral.im[None]
     maps = _conv_from_spectra_chunked(
-        dfft, sk.fft, spectral.fft_h, spectral.fft_w, use_pallas,
+        d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w, use_pallas,
         chunk_size,
     )
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
 
 
 def np_prod_blocks(spectral: TiledSpectralData) -> int:
-    shape = spectral.fft.shape
+    shape = spectral.re.shape
     return int(shape[-5] * shape[-4])
 
 
@@ -683,10 +740,13 @@ def fft_conv(
     policy: FftSizePolicy | str | None = None,
     use_pallas: bool | None = None,
     algorithm: str = "auto",
+    device=None,
 ):
     """One-shot bank convolution — ≈ ``cudaConvolutionFFT(data, maxKh, maxKw,
     kernelCell)`` (src/cudaConvolutionFFT.cu:27-310): one forward data FFT
     amortized across the whole bank, per-kernel spectral MAC + inverse FFT.
+    ``device=`` mirrors the reference's optional gpuId argument
+    (src/cudaConvolutionFFT.cu:84-89).
 
     ``max_kernel_h/w`` may be omitted (inferred from the bank; the reference
     requires them because it sizes buffers before reading the cell array).
@@ -709,6 +769,12 @@ def fft_conv(
             max_kernel_h = int(karr.shape[kh_ax])
             max_kernel_w = int(karr.shape[kw_ax])
 
+    if algorithm == "auto" and policy is not None:
+        # An explicitly pinned FFT-size policy (e.g. 'multiple16' for
+        # reference parity) only applies to the direct engine — the tiled
+        # engine's block geometry supersedes it. Honor the pin rather than
+        # silently ignoring it.
+        algorithm = "direct"
     if algorithm != "direct" and mode != "fftmap":
         data_arr = _as_array(data)
         h, w = (
@@ -722,6 +788,7 @@ def fft_conv(
                 data, max_kernel_h, max_kernel_w,
                 block_h=None if blk is None else blk[0],
                 block_w=None if blk is None else blk[1],
+                device=device,
             )
             return conv_spectral(
                 spectral, kernels, mode=mode, correlation=correlation,
@@ -732,7 +799,9 @@ def fft_conv(
         "algorithm='tiled' computes linear convolution only — "
         "use mode='full'/'same'/'valid'",
     )
-    spectral = fft_data(data, max_kernel_h, max_kernel_w, policy=policy)
+    spectral = fft_data(
+        data, max_kernel_h, max_kernel_w, policy=policy, device=device
+    )
     return conv_spectral(
         spectral, kernels, mode=mode, correlation=correlation,
         use_pallas=use_pallas,

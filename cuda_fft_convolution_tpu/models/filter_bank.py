@@ -24,8 +24,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
-from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.ops.conv import (
+    irfft2_norm_planes,
+    rfft2_padded_planes,
+)
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto_planes
 from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_size
 
 
@@ -73,11 +76,14 @@ def detect(
     n, kf, kh, kw = model.kernels.shape
     assert kf == f, f"feature dim mismatch: images {f}, bank {kf}"
     fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
-    dfft = rfft2_padded(images, fft_h, fft_w)
+    d_re, d_im = rfft2_padded_planes(images, fft_h, fft_w)
     # Correlation = convolution with the spatially flipped kernel
     # (demoCudaConvolutionFFT.m:67-69).
-    kfft = rfft2_padded(model.kernels[..., ::-1, ::-1], fft_h, fft_w)
-    maps = irfft2_norm(spectral_mac_auto(dfft, kfft), fft_h, fft_w)
+    k_re, k_im = rfft2_padded_planes(
+        model.kernels[..., ::-1, ::-1], fft_h, fft_w
+    )
+    p_re, p_im = spectral_mac_auto_planes(d_re, d_im, k_re, k_im)
+    maps = irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
     r0, c0 = (kh - 1) // 2, (kw - 1) // 2
     same = maps[:, :, r0 : r0 + h, c0 : c0 + w]
     return same + model.bias[None, :, None, None]

@@ -14,17 +14,26 @@ the FFT) with a one-shot closed form.
 Per-channel formulation: each feature channel gets its own filter; the
 detection response sums channels — matching the library's spectral-MAC
 channel reduction.
+
+The filter spectrum is stored as split (re, im) f32 planes like every
+spectral object in this library (types.py): no complex64 at any program
+boundary. Training math uses complex inside a single jitted program where
+it is free.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 
-from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
-from cuda_fft_convolution_tpu.types import SpectralData
+from cuda_fft_convolution_tpu.ops.conv import (
+    irfft2_norm_planes,
+    rfft2_padded_planes,
+)
+from cuda_fft_convolution_tpu.types import SpectralData, combine_planes
 from cuda_fft_convolution_tpu.utils.errors import validate
 
 
@@ -32,11 +41,17 @@ from cuda_fft_convolution_tpu.utils.errors import validate
 @dataclasses.dataclass(frozen=True)
 class MosseFilter:
     """Spectral-domain correlation filter: conj-filter spectrum Ĥ* per
-    channel, at a fixed FFT size."""
+    channel as split (re, im) f32 planes, at a fixed FFT size."""
 
-    h_conj: jnp.ndarray  # (F, fft_h, fft_w//2+1) c64
+    h_re: jnp.ndarray  # (F, fft_h, fft_w//2+1) f32
+    h_im: jnp.ndarray
     fft_h: int = dataclasses.field(metadata=dict(static=True))
     fft_w: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def h_conj(self) -> jnp.ndarray:
+        """Complex64 view of Ĥ* (interop/debug only)."""
+        return combine_planes(self.h_re, self.h_im)
 
 
 def gaussian_target(
@@ -51,6 +66,17 @@ def gaussian_target(
     ).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("fft_h", "fft_w"))
+def _train_worker(patches, targets, fft_h: int, fft_w: int, reg: float):
+    fr, fi = rfft2_padded_planes(patches, fft_h, fft_w)  # (S, F, fh, wc)
+    f_hat = jax.lax.complex(fr, fi)
+    g_hat = jnp.fft.rfft2(targets.astype(jnp.float32))  # (S, fh, wc)
+    num = jnp.sum(g_hat[:, None] * jnp.conj(f_hat), axis=0)  # (F, fh, wc)
+    den = jnp.sum(f_hat * jnp.conj(f_hat), axis=0) + reg  # (F, fh, wc)
+    h = num / den
+    return jnp.real(h), jnp.imag(h)
+
+
 def train_mosse(
     patches: jnp.ndarray,  # (S, F, H, W) training patches (channel-leading)
     targets: jnp.ndarray,  # (S, fft_h, fft_w) desired responses
@@ -61,11 +87,23 @@ def train_mosse(
 ) -> MosseFilter:
     """Closed-form MOSSE solve over S training patches."""
     validate(patches.ndim == 4, f"patches must be (S, F, H, W); got {patches.shape}")
-    f_hat = rfft2_padded(patches, fft_h, fft_w)  # (S, F, fh, wc)
-    g_hat = jnp.fft.rfft2(targets.astype(jnp.float32))  # (S, fh, wc)
-    num = jnp.sum(g_hat[:, None] * jnp.conj(f_hat), axis=0)  # (F, fh, wc)
-    den = jnp.sum(f_hat * jnp.conj(f_hat), axis=0) + reg  # (F, fh, wc)
-    return MosseFilter(h_conj=num / den, fft_h=fft_h, fft_w=fft_w)
+    h_re, h_im = _train_worker(
+        jnp.asarray(patches), jnp.asarray(targets), fft_h, fft_w, reg
+    )
+    return MosseFilter(h_re=h_re, h_im=h_im, fft_h=fft_h, fft_w=fft_w)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_h", "fft_w"))
+def _update_worker(h_re, h_im, patch, target, fft_h: int, fft_w: int,
+                   lr: float, reg: float):
+    fr, fi = rfft2_padded_planes(patch[None], fft_h, fft_w)
+    f_hat = jax.lax.complex(fr, fi)[0]
+    g_hat = jnp.fft.rfft2(target.astype(jnp.float32))
+    new = (g_hat[None] * jnp.conj(f_hat)) / (
+        jnp.sum(f_hat * jnp.conj(f_hat), axis=0, keepdims=True) + reg
+    )
+    h = (1.0 - lr) * jax.lax.complex(h_re, h_im) + lr * new
+    return jnp.real(h), jnp.imag(h)
 
 
 def update_mosse(
@@ -80,28 +118,28 @@ def update_mosse(
 
     Note: maintains the *ratio* with an exponential moving average — the
     standard practical variant."""
-    f_hat = rfft2_padded(patch[None], filt.fft_h, filt.fft_w)[0]
-    g_hat = jnp.fft.rfft2(target.astype(jnp.float32))
-    new = (g_hat[None] * jnp.conj(f_hat)) / (
-        jnp.sum(f_hat * jnp.conj(f_hat), axis=0, keepdims=True) + reg
+    h_re, h_im = _update_worker(
+        filt.h_re, filt.h_im, jnp.asarray(patch), jnp.asarray(target),
+        filt.fft_h, filt.fft_w, lr, reg,
     )
     return MosseFilter(
-        h_conj=(1.0 - lr) * filt.h_conj + lr * new,
-        fft_h=filt.fft_h,
-        fft_w=filt.fft_w,
+        h_re=h_re, h_im=h_im, fft_h=filt.fft_h, fft_w=filt.fft_w
     )
 
 
 def respond(filt: MosseFilter, spectral: SpectralData) -> jnp.ndarray:
     """Correlation response of a precomputed data spectrum against the
     filter: Σ_f IFFT(D̂_f ⊙ Ĥ*_f) — one spectral MAC + one inverse
-    transform, exactly the serving path."""
+    transform, exactly the serving path. Pure split-plane math."""
     validate(
         spectral.fft_h == filt.fft_h and spectral.fft_w == filt.fft_w,
         f"FFT dims mismatch: data ({spectral.fft_h},{spectral.fft_w}), "
         f"filter ({filt.fft_h},{filt.fft_w})",
     )
-    dfft = spectral.fft if spectral.batched else spectral.fft[None]
-    prod = jnp.sum(dfft * filt.h_conj[None], axis=1)  # (B, fh, wc)
-    out = irfft2_norm(prod, filt.fft_h, filt.fft_w)
+    d_re = spectral.re if spectral.batched else spectral.re[None]
+    d_im = spectral.im if spectral.batched else spectral.im[None]
+    # (dr + i di)(hr + i hi) summed over channels, split-plane:
+    p_re = jnp.sum(d_re * filt.h_re[None] - d_im * filt.h_im[None], axis=1)
+    p_im = jnp.sum(d_re * filt.h_im[None] + d_im * filt.h_re[None], axis=1)
+    out = irfft2_norm_planes(p_re, p_im, filt.fft_h, filt.fft_w)
     return out if spectral.batched else out[0]

@@ -102,8 +102,10 @@ def _choose_mbh(nbh: int, f: int, lh: int, wc: int, vh: int, vw: int) -> int:
                      "interpret"),
 )
 def block_conv_pallas(
-    dfft_blocks: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) c64
-    kernel_fft: jnp.ndarray,  # (N, F, Lh, Wc) c64
+    dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32
+    di: jnp.ndarray,
+    kr: jnp.ndarray,  # (N, F, Lh, Wc) f32
+    ki: jnp.ndarray,
     block_h: int,
     block_w: int,
     kh: int,
@@ -114,28 +116,19 @@ def block_conv_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
-    assembled in place by clipped block writes, normalization folded in."""
-    b, nbh, nbw, f, lh, wc = dfft_blocks.shape
-    n = kernel_fft.shape[0]
+    assembled in place by clipped block writes, normalization folded in.
+    Spectra arrive as split (re, im) f32 planes — the kernel's native form."""
+    b, nbh, nbw, f, lh, wc = dr.shape
+    n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     assert lh == block_h and wc == block_w // 2 + 1
     mbh = _choose_mbh(nbh, f, lh, wc, vh, vw)
     gbh = -(-nbh // mbh)  # block groups along H
     if gbh * mbh != nbh:
         # pad block axis; padded blocks write rows beyond out_h → clipped
-        dfft_blocks = jnp.pad(
-            dfft_blocks,
-            ((0, 0), (0, gbh * mbh - nbh), (0, 0), (0, 0), (0, 0), (0, 0)),
-        )
-
-    def planes(x):
-        return (
-            jnp.real(x).astype(jnp.float32),
-            jnp.imag(x).astype(jnp.float32),
-        )
-
-    dr, di = planes(dfft_blocks)
-    kr, ki = planes(kernel_fft)
+        pad = ((0, 0), (0, gbh * mbh - nbh), (0, 0), (0, 0), (0, 0), (0, 0))
+        dr = jnp.pad(dr, pad)
+        di = jnp.pad(di, pad)
 
     gr_np, gi_np = _inv_full_mats(block_h)
     gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh])  # (Vh, Lh)

@@ -57,21 +57,33 @@ def _matmul_precision():
     return _PRECISIONS[get_config().matmul_precision]
 
 
-def rfft2_padded(x: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
-    """Zero-pad the trailing (H, W) axes to (fft_h, fft_w) and take rfft2.
+def rfft2_padded_planes(
+    x: jnp.ndarray, fft_h: int, fft_w: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-pad the trailing (H, W) axes to (fft_h, fft_w) and take rfft2,
+    returning split (re, im) f32 planes — the library's native spectral
+    representation (no complex64 ever crosses a program boundary).
 
     ≈ padData + cufftExecR2C batched over all leading axes
     (src/cudaConvolutionFFT.cu:155-167). Transform engine dispatch: MXU-DFT
     matmuls (ops/dft.py) on TPU up to the size cap — XLA's TPU FFT runs on
     the vector unit at ~100 GFLOP/s while the MXU path is >10× faster at
-    these sizes — else XLA FFT HLO.
+    these sizes — else XLA FFT HLO (complex internally, split on return;
+    inside one XLA program that split is free).
     """
     x = x.astype(_SPECTRAL_REAL)
     if _use_matmul_fft(fft_h, fft_w):
-        from cuda_fft_convolution_tpu.ops.dft import rfft2_mm
+        from cuda_fft_convolution_tpu.ops.dft import rfft2_mm_planes
 
-        return rfft2_mm(x, fft_h, fft_w, precision=_matmul_precision())
-    return jnp.fft.rfft2(pad_to_fft(x, fft_h, fft_w))
+        return rfft2_mm_planes(x, fft_h, fft_w, precision=_matmul_precision())
+    s = jnp.fft.rfft2(pad_to_fft(x, fft_h, fft_w))
+    return jnp.real(s), jnp.imag(s)
+
+
+def rfft2_padded(x: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
+    """Complex-output wrapper of ``rfft2_padded_planes`` (interop)."""
+    sr, si = rfft2_padded_planes(x, fft_h, fft_w)
+    return jax.lax.complex(sr, si)
 
 
 def spectral_mac(
@@ -92,18 +104,42 @@ def spectral_mac(
     return jnp.einsum("...fhw,fhw->...hw", kernel_fft, data_fft, precision=precision)
 
 
-def irfft2_norm(s: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
-    """Inverse real FFT back to an (fft_h, fft_w) map.
+def spectral_mac_planes(
+    dr: jnp.ndarray, di: jnp.ndarray,
+    kr: jnp.ndarray, ki: jnp.ndarray,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-plane form of ``spectral_mac``: 4 real einsums XLA fuses into
+    one pass (or into the neighbouring DFT matmuls). No complex dtype."""
+    def e(a, b):
+        return jnp.einsum("...fhw,fhw->...hw", a, b, precision=precision)
 
-    jnp.fft.irfft2 applies the 1/(fft_h·fft_w) normalization itself —
-    equivalent to the reference's explicit scale (src/cudaConvolutionFFT.cu:270)
-    on top of unnormalized cuFFT C2R. Same engine dispatch as rfft2_padded.
+    return e(kr, dr) - e(ki, di), e(kr, di) + e(ki, dr)
+
+
+def irfft2_norm_planes(
+    sr: jnp.ndarray, si: jnp.ndarray, fft_h: int, fft_w: int
+) -> jnp.ndarray:
+    """Inverse real FFT of split (re, im) planes back to an (fft_h, fft_w)
+    f32 map.
+
+    The normalization 1/(fft_h·fft_w) is applied here — equivalent to the
+    reference's explicit scale (src/cudaConvolutionFFT.cu:270) on top of
+    unnormalized cuFFT C2R. Same engine dispatch as rfft2_padded_planes.
     """
     if _use_matmul_fft(fft_h, fft_w):
-        from cuda_fft_convolution_tpu.ops.dft import irfft2_mm
+        from cuda_fft_convolution_tpu.ops.dft import irfft2_mm_planes
 
-        return irfft2_mm(s, fft_h, fft_w, precision=_matmul_precision())
-    return jnp.fft.irfft2(s, s=(fft_h, fft_w))
+        return irfft2_mm_planes(
+            sr, si, fft_h, fft_w, precision=_matmul_precision()
+        )
+    return jnp.fft.irfft2(jax.lax.complex(sr, si), s=(fft_h, fft_w))
+
+
+def irfft2_norm(s: jnp.ndarray, fft_h: int, fft_w: int) -> jnp.ndarray:
+    """Complex-input wrapper of ``irfft2_norm_planes`` (interop)."""
+    return irfft2_norm_planes(jnp.real(s), jnp.imag(s), fft_h, fft_w)
 
 
 def fft_conv_single(
@@ -125,9 +161,10 @@ def fft_conv_single(
         raise ValueError(f"channel mismatch: data F={f}, kernel F={kf}")
     if fft_h is None or fft_w is None:
         fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
-    d_fft = rfft2_padded(data, fft_h, fft_w)
-    k_fft = rfft2_padded(kernel, fft_h, fft_w)
-    return irfft2_norm(spectral_mac(d_fft, k_fft), fft_h, fft_w)
+    dr, di = rfft2_padded_planes(data, fft_h, fft_w)
+    kr, ki = rfft2_padded_planes(kernel, fft_h, fft_w)
+    pr, pi = spectral_mac_planes(dr, di, kr, ki)
+    return irfft2_norm_planes(pr, pi, fft_h, fft_w)
 
 
 def fft_conv_stack(
@@ -150,9 +187,10 @@ def fft_conv_stack(
         raise ValueError(f"channel mismatch: data F={f}, kernels F={kf}")
     if fft_h is None or fft_w is None:
         fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
-    d_fft = rfft2_padded(data, fft_h, fft_w)
-    k_fft = rfft2_padded(kernels, fft_h, fft_w)
-    return irfft2_norm(spectral_mac(d_fft, k_fft), fft_h, fft_w)
+    dr, di = rfft2_padded_planes(data, fft_h, fft_w)
+    kr, ki = rfft2_padded_planes(kernels, fft_h, fft_w)
+    pr, pi = spectral_mac_planes(dr, di, kr, ki)
+    return irfft2_norm_planes(pr, pi, fft_h, fft_w)
 
 
 def direct_conv_single(data: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

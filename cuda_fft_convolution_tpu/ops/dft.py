@@ -108,14 +108,16 @@ def _mml(m, x, precision):
     )
 
 
-def rfft2_mm(
+def rfft2_mm_planes(
     x: jnp.ndarray, fft_h: int, fft_w: int,
     *, precision=jax.lax.Precision.HIGHEST,
-) -> jnp.ndarray:
-    """rfft2 of the trailing (H, W) axes via MXU matmuls; zero-padding to
-    (fft_h, fft_w) is implicit (DFT matrix columns beyond the input extent
-    multiply zeros, so the matrices are simply sliced to the input size —
-    no padded copy of x is ever materialized, unlike the FFT path)."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """rfft2 of the trailing (H, W) axes via MXU matmuls → (re, im) f32
+    planes (the native output of the split-plane math — no complex is ever
+    formed). Zero-padding to (fft_h, fft_w) is implicit (DFT matrix columns
+    beyond the input extent multiply zeros, so the matrices are simply
+    sliced to the input size — no padded copy of x is ever materialized,
+    unlike the FFT path)."""
     h, w = x.shape[-2], x.shape[-1]
     x = x.astype(jnp.float32)
     wr_np, wi_np = _fwd_packed_mats(fft_w)
@@ -134,25 +136,34 @@ def rfft2_mm(
         t1 = _mml(fr, xr, precision)
         t2 = _mml(fi, xi, precision)
         t3 = _mml(fr + fi, xr + xi, precision)
-        return jax.lax.complex(t1 - t2, t3 - t1 - t2)
+        return t1 - t2, t3 - t1 - t2
     sr = _mml(fr, xr, precision) - _mml(fi, xi, precision)
     si = _mml(fr, xi, precision) + _mml(fi, xr, precision)
+    return sr, si
+
+
+def rfft2_mm(
+    x: jnp.ndarray, fft_h: int, fft_w: int,
+    *, precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Complex-output wrapper of ``rfft2_mm_planes`` (interop/tests)."""
+    sr, si = rfft2_mm_planes(x, fft_h, fft_w, precision=precision)
     return jax.lax.complex(sr, si)
 
 
-def irfft2_mm(
-    s: jnp.ndarray, fft_h: int, fft_w: int,
+def irfft2_mm_planes(
+    sr: jnp.ndarray, si: jnp.ndarray, fft_h: int, fft_w: int,
     *, precision=jax.lax.Precision.HIGHEST,
     window: tuple[int, int, int, int] | None = None,
 ) -> jnp.ndarray:
-    """irfft2 (..., fft_h, fft_w//2+1) c64 → (..., fft_h, fft_w) f32 via MXU
-    matmuls, normalization 1/(fft_h·fft_w) folded into the matrices.
+    """irfft2 of split (re, im) f32 planes (..., fft_h, fft_w//2+1) →
+    (..., fft_h, fft_w) f32 via MXU matmuls, normalization 1/(fft_h·fft_w)
+    folded into the matrices.
 
     ``window=(row0, nrows, col0, ncols)`` computes ONLY that output window —
     the inverse matrices are row-sliced, so flops and output bytes shrink
     proportionally. An FFT cannot do partial outputs; the overlap-save
     engine uses this to synthesize just each block's valid region."""
-    sr, si = jnp.real(s), jnp.imag(s)
     r0, nr, c0, nc = (
         window if window is not None else (0, fft_h, 0, fft_w)
     )
@@ -176,6 +187,18 @@ def irfft2_mm(
         xi = _mml(gr, si, precision) + _mml(gi, sr, precision)
     # W axis inverse (real output): Re part only
     return _mm(xr, mr, precision) + _mm(xi, mi, precision)
+
+
+def irfft2_mm(
+    s: jnp.ndarray, fft_h: int, fft_w: int,
+    *, precision=jax.lax.Precision.HIGHEST,
+    window: tuple[int, int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Complex-input wrapper of ``irfft2_mm_planes`` (interop/tests)."""
+    return irfft2_mm_planes(
+        jnp.real(s), jnp.imag(s), fft_h, fft_w,
+        precision=precision, window=window,
+    )
 
 
 def matmul_fft_profitable(fft_h: int, fft_w: int) -> bool:

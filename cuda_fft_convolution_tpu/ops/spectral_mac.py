@@ -10,23 +10,30 @@ FFT_H×FFT_W×F product buffer round-tripped through HBM
 
 i.e. the channel reduction happens in the SPECTRAL domain (DFT linearity), so
 no per-channel product buffer ever exists and each (b, n) needs one inverse
-FFT instead of F. Normalization is left to irfft2 (cuFFT is unnormalized so
-the reference scales by 1/(FFT_W·FFT_H) here, src/cudaConvFFTData.cuh:56).
+FFT instead of F. Normalization is left to the inverse transform (cuFFT is
+unnormalized so the reference scales by 1/(FFT_W·FFT_H) here,
+src/cudaConvFFTData.cuh:56).
 
-Two implementations:
-  - ``spectral_mac_einsum``: one jnp.einsum on complex64 — XLA fuses the
-    complex arithmetic + reduction on the VPU.
-  - ``spectral_mac_pallas``: explicit Pallas kernel. TPU Pallas has no native
-    complex dtype (SURVEY.md §7 hard-part (c)), so spectra are split into
-    re/im fp32 planes and the complex MAC is done in registers:
+All spectra are SPLIT (re, im) f32 planes end-to-end — TPU Pallas has no
+complex dtype (SURVEY.md §7 hard-part (c)) and some TPU runtimes emulate
+complex64 with costly boundary splits, so complex never exists anywhere:
+
+  - ``spectral_mac_planes``: 4 real einsums — XLA fuses them into one VPU
+    pass (and into the adjacent MXU-DFT matmuls when they are neighbours).
+  - ``spectral_mac_pallas_planes``: explicit Pallas kernel; the complex MAC
+    in registers:
         or = Σ_f (kr·dr − ki·di),  oi = Σ_f (kr·di + ki·dr)
     The grid iterates kernels innermost so the data block (the small,
     bank-invariant operand) stays resident in VMEM across the whole bank —
     each spectrum byte moves HBM→VMEM exactly once; the pass is
     kernel-bank-read bound, the HBM floor for this op.
 
-``spectral_mac_auto`` picks per backend (Pallas on TPU for nontrivial sizes,
-einsum elsewhere).
+Complex-facing wrappers (``spectral_mac_einsum``, ``spectral_mac_pallas``,
+``spectral_mac_auto``) are kept for interop and tests.
+
+``spectral_mac_auto_planes`` picks the implementation (einsum by default:
+measured on v5e at F=1 AND F=31 it wins because XLA fuses it into the DFT
+matmuls — a fusion a Pallas custom-call blocks; Pallas stays opt-in).
 """
 
 from __future__ import annotations
@@ -43,18 +50,30 @@ _SUBLANE = 8  # fp32 sublane quantum
 _VMEM_BUDGET = 4 * 1024 * 1024  # per-block-set working bytes target
 
 
-def spectral_mac_einsum(data_fft: jnp.ndarray, kernel_fft: jnp.ndarray) -> jnp.ndarray:
-    """(B, F, H, Wc) × (N, F, H, Wc) → (B, N, H, Wc), complex.
+def spectral_mac_planes(
+    dr: jnp.ndarray, di: jnp.ndarray,  # (B, F, H, Wc) f32
+    kr: jnp.ndarray, ki: jnp.ndarray,  # (N, F, H, Wc) f32
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, F, H, Wc) × (N, F, H, Wc) → (B, N, H, Wc) split planes.
 
     HIGHEST precision: if XLA lowers the F-contraction through a dot, the
     default TPU precision would run bf16 passes — the spectral accumulation
     must stay full fp32 (BASELINE.json: ≤1e-5 rel err)."""
-    return jnp.einsum(
-        "bfhw,nfhw->bnhw",
-        data_fft,
-        kernel_fft,
-        precision=jax.lax.Precision.HIGHEST,
+    def e(a, b):
+        return jnp.einsum("bfhw,nfhw->bnhw", a, b, precision=precision)
+
+    return e(dr, kr) - e(di, ki), e(di, kr) + e(dr, ki)
+
+
+def spectral_mac_einsum(data_fft: jnp.ndarray, kernel_fft: jnp.ndarray) -> jnp.ndarray:
+    """Complex-facing wrapper of ``spectral_mac_planes``."""
+    o_r, o_i = spectral_mac_planes(
+        jnp.real(data_fft), jnp.imag(data_fft),
+        jnp.real(kernel_fft), jnp.imag(kernel_fft),
     )
+    return jax.lax.complex(o_r, o_i)
 
 
 def _choose_rows(f: int, r_total: int) -> int:
@@ -76,21 +95,21 @@ def _mac_kernel(dr_ref, di_ref, kr_ref, ki_ref, or_ref, oi_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def spectral_mac_pallas(
-    data_fft: jnp.ndarray,
-    kernel_fft: jnp.ndarray,
+def spectral_mac_pallas_planes(
+    dr: jnp.ndarray, di: jnp.ndarray,  # (B, F, H, Wc) f32
+    kr: jnp.ndarray, ki: jnp.ndarray,  # (N, F, H, Wc) f32
     *,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused complex MAC as a Pallas TPU kernel.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused complex MAC as a Pallas TPU kernel on split planes →
+    (B, N, H, Wc) split planes.
 
-    data_fft (B, F, H, Wc) c64, kernel_fft (N, F, H, Wc) c64 →
-    (B, N, H, Wc) c64. The MAC is purely elementwise over pixels + a
-    reduction over F, so the spatial axes are flattened to one lane axis
-    S = H·Wc and padded to the tile size (padding multiplies zeros — exact).
+    The MAC is purely elementwise over pixels + a reduction over F, so the
+    spatial axes are flattened to one lane axis S = H·Wc and padded to the
+    tile size (padding multiplies zeros — exact).
     """
-    b, f, h, wc = data_fft.shape
-    n = kernel_fft.shape[0]
+    b, f, h, wc = dr.shape
+    n = kr.shape[0]
     s = h * wc
     # Lay the flattened spectrum out as (rows, _LANE) tiles; pad rows to the
     # row-tile so every Pallas block is (8k, 128k)-aligned.
@@ -99,17 +118,13 @@ def spectral_mac_pallas(
     r_pad = -(-r_total // rt) * rt
     s_pad = r_pad * _LANE
 
-    def planes(x, lead):
-        x = x.reshape(lead, f, s)
+    def tile(x, lead):
+        x = x.reshape(lead, f, s).astype(jnp.float32)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s)))
-        x = x.reshape(lead, f, r_pad, _LANE)
-        return (
-            jnp.real(x).astype(jnp.float32),
-            jnp.imag(x).astype(jnp.float32),
-        )
+        return x.reshape(lead, f, r_pad, _LANE)
 
-    dr, di = planes(data_fft, b)
-    kr, ki = planes(kernel_fft, n)
+    dr_t, di_t = tile(dr, b), tile(di, b)
+    kr_t, ki_t = tile(kr, n), tile(ki, n)
 
     grid = (b, r_pad // rt, n)  # n innermost: data block cached across bank
     data_spec = pl.BlockSpec(
@@ -138,33 +153,71 @@ def spectral_mac_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(dr, di, kr, ki)
-    o_r = o_r.reshape(b, n, s_pad)[..., :s]
-    o_i = o_i.reshape(b, n, s_pad)[..., :s]
-    return jax.lax.complex(o_r, o_i).reshape(b, n, h, wc)
+    )(dr_t, di_t, kr_t, ki_t)
+    o_r = o_r.reshape(b, n, s_pad)[..., :s].reshape(b, n, h, wc)
+    o_i = o_i.reshape(b, n, s_pad)[..., :s].reshape(b, n, h, wc)
+    return o_r, o_i
+
+
+def spectral_mac_pallas(
+    data_fft: jnp.ndarray,
+    kernel_fft: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Complex-facing wrapper of ``spectral_mac_pallas_planes``."""
+    o_r, o_i = spectral_mac_pallas_planes(
+        jnp.real(data_fft).astype(jnp.float32),
+        jnp.imag(data_fft).astype(jnp.float32),
+        jnp.real(kernel_fft).astype(jnp.float32),
+        jnp.imag(kernel_fft).astype(jnp.float32),
+        interpret=interpret,
+    )
+    return jax.lax.complex(o_r, o_i)
 
 
 @jax.custom_vjp
-def _mac_pallas_ad(data_fft: jnp.ndarray, kernel_fft: jnp.ndarray) -> jnp.ndarray:
+def _mac_pallas_ad(dr, di, kr, ki):
     interpret = jax.default_backend() != "tpu"
-    return spectral_mac_pallas(data_fft, kernel_fft, interpret=interpret)
+    return spectral_mac_pallas_planes(dr, di, kr, ki, interpret=interpret)
 
 
-def _mac_pallas_ad_fwd(data_fft, kernel_fft):
-    return _mac_pallas_ad(data_fft, kernel_fft), (data_fft, kernel_fft)
+def _mac_pallas_ad_fwd(dr, di, kr, ki):
+    return _mac_pallas_ad(dr, di, kr, ki), (dr, di, kr, ki)
 
 
 def _mac_pallas_ad_bwd(res, g):
-    # The MAC is linear in both operands; its VJP is defined to be exactly
-    # einsum's (both cotangents are themselves MAC-shaped contractions, so
-    # training through the Pallas forward stays consistent with the einsum
-    # path bit-for-fp32).
-    data_fft, kernel_fft = res
-    _, vjp = jax.vjp(spectral_mac_einsum, data_fft, kernel_fft)
+    # The MAC is linear in all four planes; its VJP is defined to be exactly
+    # the einsum implementation's (both cotangents are themselves MAC-shaped
+    # contractions, so training through the Pallas forward stays consistent
+    # with the einsum path bit-for-fp32).
+    dr, di, kr, ki = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: spectral_mac_planes(a, b, c, d), dr, di, kr, ki
+    )
     return vjp(g)
 
 
 _mac_pallas_ad.defvjp(_mac_pallas_ad_fwd, _mac_pallas_ad_bwd)
+
+
+def spectral_mac_auto_planes(
+    dr: jnp.ndarray, di: jnp.ndarray,
+    kr: jnp.ndarray, ki: jnp.ndarray,
+    *,
+    use_pallas: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Implementation dispatch on split planes. ``use_pallas=None`` → einsum
+    (measured winner on v5e — XLA fuses it into the neighbouring transform
+    matmuls, a fusion the Pallas custom-call blocks; F=1: 209 vs 315 ms,
+    F=31: 50 vs 68 ms). The Pallas path stays available explicitly
+    (use_pallas=True) for backends where that fusion doesn't happen, and is
+    differentiable via a custom VJP (backward = the einsum contractions)."""
+    if use_pallas is None:
+        use_pallas = False
+    if not use_pallas:
+        return spectral_mac_planes(dr, di, kr, ki)
+    return _mac_pallas_ad(dr, di, kr, ki)
 
 
 def spectral_mac_auto(
@@ -173,18 +226,12 @@ def spectral_mac_auto(
     *,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Backend-aware dispatch. ``use_pallas=None`` → Pallas on TPU when the
-    spectrum is big enough to amortize kernel launch + lane padding, einsum
-    otherwise (XLA's fused einsum is already near the HBM floor for small
-    problems and is portable). The Pallas path is differentiable via a
-    custom VJP (backward = the einsum contractions)."""
-    if use_pallas is None:
-        # Measured on v5e at F=1 (209 vs 315 ms) AND F=31 (50 vs 68 ms):
-        # the einsum MAC wins because XLA fuses the complex product into
-        # the neighbouring transform matmuls — a fusion the Pallas
-        # custom-call blocks. Pallas MAC stays available explicitly
-        # (use_pallas=True) for backends where that fusion doesn't happen.
-        use_pallas = False
-    if not use_pallas:
-        return spectral_mac_einsum(data_fft, kernel_fft)
-    return _mac_pallas_ad(data_fft, kernel_fft)
+    """Complex-facing wrapper of ``spectral_mac_auto_planes``."""
+    o_r, o_i = spectral_mac_auto_planes(
+        jnp.real(data_fft).astype(jnp.float32),
+        jnp.imag(data_fft).astype(jnp.float32),
+        jnp.real(kernel_fft).astype(jnp.float32),
+        jnp.imag(kernel_fft).astype(jnp.float32),
+        use_pallas=use_pallas,
+    )
+    return jax.lax.complex(o_r, o_i)

@@ -27,8 +27,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
-from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.ops.conv import (
+    irfft2_norm_planes,
+    rfft2_padded_planes,
+)
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto_planes
 from cuda_fft_convolution_tpu.utils.config import register_jit_consumer
 from cuda_fft_convolution_tpu.utils.fft_size import next_fast_len
 
@@ -106,8 +109,9 @@ def fft_data_blocks(
     block_w: int,
     kh: int,
     kw: int,
-) -> jnp.ndarray:
-    """Block spectra (B, nbh, nbw, F, block_h, block_w//2+1) c64.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Block spectra (B, nbh, nbw, F, block_h, block_w//2+1) split (re, im)
+    f32 planes.
 
     Blocks start every V = L−K+1 output rows/cols; block g covers padded
     input rows [g·V, g·V+L) where the input carries K−1 leading zeros (the
@@ -127,9 +131,9 @@ def fft_data_blocks(
     xb = x[:, :, r, :]  # (B, F, nbh, block_h, Wp)
     xb = xb[..., c]  # (B, F, nbh, block_h, nbw, block_w)
     xb = jnp.moveaxis(xb, (2, 4), (1, 2))  # (B, nbh, nbw, F, block_h, block_w)
-    # rfft2_padded is a no-op pad here (blocks are already full size) but
-    # routes through the transform-engine dispatch (MXU-DFT vs XLA FFT).
-    return rfft2_padded(xb, block_h, block_w)
+    # rfft2_padded_planes is a no-op pad here (blocks are already full size)
+    # but routes through the transform-engine dispatch (MXU-DFT vs XLA FFT).
+    return rfft2_padded_planes(xb, block_h, block_w)
 
 
 @functools.partial(
@@ -139,8 +143,10 @@ def fft_data_blocks(
     ),
 )
 def conv_blocks(
-    dfft_blocks: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc)
-    kernel_fft: jnp.ndarray,  # (N, F, Lh, Lwc) — at the BLOCK fft size
+    d_re: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc) f32
+    d_im: jnp.ndarray,
+    k_re: jnp.ndarray,  # (N, F, Lh, Lwc) f32 — at the BLOCK fft size
+    k_im: jnp.ndarray,
     block_h: int,
     block_w: int,
     kh: int,
@@ -150,15 +156,17 @@ def conv_blocks(
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Spectral MAC per block + inverse FFT + overlap-save reassembly →
-    (B, N, out_h, out_w) linear-convolution maps ('full' window)."""
+    (B, N, out_h, out_w) linear-convolution maps ('full' window). All
+    spectra are split (re, im) f32 planes — complex never exists."""
     from cuda_fft_convolution_tpu.ops.conv import _matmul_precision, _use_matmul_fft
     from cuda_fft_convolution_tpu.utils.config import get_config
 
-    b, nbh, nbw, f, lh, lwc = dfft_blocks.shape
-    n = kernel_fft.shape[0]
+    b, nbh, nbw, f, lh, lwc = d_re.shape
+    n = k_re.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     # Fold (B, nbh, nbw) into one batch axis for the MAC.
-    dflat = dfft_blocks.reshape(b * nbh * nbw, f, lh, lwc)
+    dflat_re = d_re.reshape(b * nbh * nbw, f, lh, lwc)
+    dflat_im = d_im.reshape(b * nbh * nbw, f, lh, lwc)
     fused = get_config().use_fused_block_conv
     if fused is None:
         # auto: OFF. With (8,128)-aligned valid windows the unfused XLA
@@ -181,23 +189,25 @@ def conv_blocks(
         from cuda_fft_convolution_tpu.ops.block_conv import block_conv_pallas
 
         return block_conv_pallas(
-            dfft_blocks, kernel_fft, block_h, block_w, kh, kw, out_h, out_w,
+            d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
             interpret=jax.default_backend() != "tpu",
         )
-    prod = spectral_mac_auto(dflat, kernel_fft, use_pallas=use_pallas)
+    p_re, p_im = spectral_mac_auto_planes(
+        dflat_re, dflat_im, k_re, k_im, use_pallas=use_pallas
+    )
     if _use_matmul_fft(block_h, block_w):
         # MXU-DFT inverse synthesizes ONLY each block's valid (non-wrapped)
         # window — flops and intermediate bytes shrink by the overlap
         # redundancy factor (L/(L−K+1))², something an FFT cannot do.
-        from cuda_fft_convolution_tpu.ops.dft import irfft2_mm
+        from cuda_fft_convolution_tpu.ops.dft import irfft2_mm_planes
 
-        valid = irfft2_mm(
-            prod, block_h, block_w,
+        valid = irfft2_mm_planes(
+            p_re, p_im, block_h, block_w,
             precision=_matmul_precision(),
             window=(kh - 1, vh, kw - 1, vw),
         )
     else:
-        maps = irfft2_norm(prod, block_h, block_w)  # (B*nbh*nbw, N, Lh, Lw)
+        maps = irfft2_norm_planes(p_re, p_im, block_h, block_w)
         # Valid (non-wrapped) region of each block: rows/cols [K−1, K−1+V).
         valid = maps[:, :, kh - 1 : kh - 1 + vh, kw - 1 : kw - 1 + vw]
     valid = valid.reshape(b, nbh, nbw, n, vh, vw)

@@ -18,9 +18,18 @@ MAC + inverse FFT) on its bank shard; results come back sharded over
 (data, kernels) with zero cross-device math — bank convolution is
 embarrassingly parallel over kernels, so scaling is linear in devices as
 long as the replicated data FFT fits HBM.
+
+Serving-grade dispatch: the jitted shard_map executable is CACHED, keyed on
+(mesh, engine, static geometry) — repeat calls with same-shaped inputs are
+pure dispatch, no retracing (the reference's streams variant likewise
+builds its plans once and loops, src/cudaConvFFTDataStreams.cu:279-347).
+Inputs already carrying the right sharding (e.g. a bank placed once via
+``shard_kernel_bank``) are NOT re-placed.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +37,8 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuda_fft_convolution_tpu import api as _api
-from cuda_fft_convolution_tpu.ops.conv import irfft2_norm
-from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.ops.conv import irfft2_norm_planes
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto_planes
 from cuda_fft_convolution_tpu.ops.tiled import conv_blocks
 from cuda_fft_convolution_tpu.types import (
     SpectralData,
@@ -40,6 +49,10 @@ from cuda_fft_convolution_tpu.utils.errors import validate
 
 DATA_AXIS = "data"
 KERNEL_AXIS = "kernels"
+
+# Incremented each time a sharded executable is BUILT (traced); tests assert
+# repeat calls hit the cache (zero new traces).
+TRACE_COUNT = 0
 
 
 def make_mesh(
@@ -65,31 +78,97 @@ def make_mesh(
     return Mesh(dev_mesh, (DATA_AXIS, KERNEL_AXIS))
 
 
-def _pad_bank(kfft: jnp.ndarray, shards: int) -> tuple[jnp.ndarray, int]:
+def _pad_bank(re: jnp.ndarray, im: jnp.ndarray, shards: int):
     """Zero-pad the bank axis to a multiple of the kernel-axis size.
 
     Zero kernels convolve to zero maps — results are trimmed after. (The
     reference's round-robin simply leaves trailing slots idle,
     src/cudaConvFFTDataStreams.cu:353-360.)"""
-    n = kfft.shape[0]
+    n = re.shape[0]
     n_pad = -(-n // shards) * shards
     if n_pad != n:
-        kfft = jnp.pad(kfft, ((0, n_pad - n),) + ((0, 0),) * (kfft.ndim - 1))
-    return kfft, n
+        pad = ((0, n_pad - n),) + ((0, 0),) * (re.ndim - 1)
+        re, im = jnp.pad(re, pad), jnp.pad(im, pad)
+    return re, im, n
+
+
+def _placed(x: jnp.ndarray, sharding: NamedSharding) -> jnp.ndarray:
+    """device_put unless ``x`` already carries exactly this sharding (a
+    pre-sharded bank from shard_kernel_bank skips re-placement)."""
+    cur = getattr(x, "sharding", None)
+    if cur is not None and cur == sharding:
+        return x
+    return jax.device_put(x, sharding)
 
 
 def shard_kernel_bank(sk: SpectralKernels, mesh: Mesh) -> SpectralKernels:
     """Place a kernel bank's spectra sharded over the mesh's kernel axis
-    (pad-to-divisible included). Amortizes bank placement across calls."""
+    (pad-to-divisible included). Amortizes bank placement across calls —
+    ``conv_spectral_sharded`` detects the sharding and skips re-placement.
+    NOTE: the padded bank keeps its padded ``num_kernels``; kernel_hs/ws
+    keep the true per-kernel sizes for trimming."""
     kshards = mesh.shape[KERNEL_AXIS]
-    kfft, _ = _pad_bank(sk.fft, kshards)
+    re, im, _ = _pad_bank(sk.re, sk.im, kshards)
     sharding = NamedSharding(mesh, P(KERNEL_AXIS, None, None, None))
     return SpectralKernels(
-        fft=jax.device_put(kfft, sharding),
+        re=jax.device_put(re, sharding),
+        im=jax.device_put(im, sharding),
         fft_h=sk.fft_h,
         fft_w=sk.fft_w,
         kernel_hs=sk.kernel_hs,
         kernel_ws=sk.kernel_ws,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_conv_exec(
+    mesh: Mesh,
+    ndim_d: int,
+    tiled: bool,
+    geom: tuple,
+    use_pallas: bool | None,
+):
+    """Build (once per key) the jitted shard_map executable for a bank
+    convolution. The jit cache inside handles per-shape compilation; this
+    cache removes the per-call closure rebuild that would defeat it."""
+    global TRACE_COUNT
+    TRACE_COUNT += 1
+    dspec = P(*([DATA_AXIS] + [None] * (ndim_d - 1)))
+    kspec = P(KERNEL_AXIS, None, None, None)
+
+    if tiled:
+        bh, bw, mkh, mkw, oh, ow = geom
+
+        def _local_conv(d_re, d_im, k_re, k_im):
+            # Per-device overlap-save on this device's bank shard; the block
+            # spectra are replicated along the kernel axis via their
+            # PartitionSpec (≈ the reference's peer-copy of the data FFT,
+            # src/cudaConvFFTDataStreams.cu:279-289, as a sharding).
+            return conv_blocks(
+                d_re, d_im, k_re, k_im, bh, bw, mkh, mkw, oh, ow, use_pallas
+            )
+    else:
+        fft_h, fft_w = geom
+
+        def _local_conv(d_re, d_im, k_re, k_im):
+            # Per-device body: the exact single-device program on this
+            # device's (batch-shard × bank-shard) block. No collectives —
+            # bank convolution is embarrassingly parallel once the data
+            # spectrum is in place; the replication of the data planes along
+            # the kernel axis is expressed by their PartitionSpec and rides
+            # ICI.
+            p_re, p_im = spectral_mac_auto_planes(
+                d_re, d_im, k_re, k_im, use_pallas=use_pallas
+            )
+            return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+
+    return jax.jit(
+        jax.shard_map(
+            _local_conv,
+            mesh=mesh,
+            in_specs=(dspec, dspec, kspec, kspec),
+            out_specs=P(DATA_AXIS, KERNEL_AXIS, None, None),
+        )
     )
 
 
@@ -130,15 +209,29 @@ def conv_spectral_sharded(
             sk.fft_h == spectral.block_h and sk.fft_w == spectral.block_w,
             "SpectralKernels FFT dims do not match the tiled block dims",
         )
+        validate(
+            max(sk.kernel_hs) <= spectral.max_kh
+            and max(sk.kernel_ws) <= spectral.max_kw,
+            f"bank kernels up to ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) "
+            f"exceed the tiled spectra's planned max "
+            f"({spectral.max_kh},{spectral.max_kw})",
+        )
+        geom = (
+            spectral.block_h, spectral.block_w,
+            spectral.max_kh, spectral.max_kw,
+            spectral.out_h, spectral.out_w,
+        )
     else:
         validate(
             sk.fft_h == spectral.fft_h and sk.fft_w == spectral.fft_w,
             "SpectralKernels FFT dims do not match SpectralData",
         )
+        geom = (spectral.fft_h, spectral.fft_w)
 
     batched = spectral.batched
-    dfft = spectral.fft if batched else spectral.fft[None]
-    b = dfft.shape[0]
+    d_re = spectral.re if batched else spectral.re[None]
+    d_im = spectral.im if batched else spectral.im[None]
+    b = d_re.shape[0]
     dshards = mesh.shape[DATA_AXIS]
     kshards = mesh.shape[KERNEL_AXIS]
     validate(
@@ -146,48 +239,18 @@ def conv_spectral_sharded(
         f"batch {b} not divisible by data-axis size {dshards}",
     )
 
-    kfft, n = _pad_bank(sk.fft, kshards)
+    k_re, k_im, _ = _pad_bank(sk.re, sk.im, kshards)
+    # True bank size: kernel_hs is never padded (shard_kernel_bank pads only
+    # the spectra), so it recovers N even for a pre-padded bank.
+    n = len(sk.kernel_hs)
 
-    dspec = P(*([DATA_AXIS] + [None] * (dfft.ndim - 1)))
+    dspec = P(*([DATA_AXIS] + [None] * (d_re.ndim - 1)))
     kspec = P(KERNEL_AXIS, None, None, None)
-    dfft = jax.device_put(dfft, NamedSharding(mesh, dspec))
-    kfft = jax.device_put(kfft, NamedSharding(mesh, kspec))
+    dsh = NamedSharding(mesh, dspec)
+    ksh = NamedSharding(mesh, kspec)
+    d_re, d_im = _placed(d_re, dsh), _placed(d_im, dsh)
+    k_re, k_im = _placed(k_re, ksh), _placed(k_im, ksh)
 
-    if tiled:
-        bh, bw = spectral.block_h, spectral.block_w
-        mkh, mkw = spectral.max_kh, spectral.max_kw
-        oh, ow = spectral.out_h, spectral.out_w
-
-        def _local_conv(dfft_shard, kfft_shard):
-            # Per-device overlap-save on this device's bank shard; the block
-            # spectra are replicated along the kernel axis via their
-            # PartitionSpec (≈ the reference's peer-copy of the data FFT,
-            # src/cudaConvFFTDataStreams.cu:279-289, as a sharding).
-            return conv_blocks(
-                dfft_shard, kfft_shard, bh, bw, mkh, mkw, oh, ow, use_pallas
-            )
-    else:
-        fft_h, fft_w = spectral.fft_h, spectral.fft_w
-
-        def _local_conv(dfft_shard, kfft_shard):
-            # Per-device body: the exact single-device program on this
-            # device's (batch-shard × bank-shard) block. No collectives —
-            # bank convolution is embarrassingly parallel once the data
-            # spectrum is in place; the replication of dfft along the kernel
-            # axis is expressed by its PartitionSpec and rides ICI.
-            prod = spectral_mac_auto(
-                dfft_shard, kfft_shard, use_pallas=use_pallas
-            )
-            return irfft2_norm(prod, fft_h, fft_w)
-
-    _sharded_conv = jax.jit(
-        jax.shard_map(
-            _local_conv,
-            mesh=mesh,
-            in_specs=(dspec, kspec),
-            out_specs=P(DATA_AXIS, KERNEL_AXIS, None, None),
-        )
-    )
-
-    maps = _sharded_conv(dfft, kfft)[:, :n]
+    exec_fn = _sharded_conv_exec(mesh, d_re.ndim, tiled, geom, use_pallas)
+    maps = exec_fn(d_re, d_im, k_re, k_im)[:, :n]
     return _api._trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)

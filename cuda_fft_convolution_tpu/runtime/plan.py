@@ -15,8 +15,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from cuda_fft_convolution_tpu.ops.conv import irfft2_norm, rfft2_padded
-from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto
+from cuda_fft_convolution_tpu.ops.conv import (
+    irfft2_norm_planes,
+    rfft2_padded_planes,
+)
+from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto_planes
 from cuda_fft_convolution_tpu.utils.errors import validate
 from cuda_fft_convolution_tpu.utils.fft_size import FftSizePolicy, compute_fft_size
 
@@ -39,7 +42,8 @@ class FftConvPlan:
     _conv_exec: object
 
     def data_fft(self, data):
-        """Compiled ≈ cudaFFTData: (B, F, fft_h, wc) spectrum."""
+        """Compiled ≈ cudaFFTData: (re, im) f32 plane pair
+        (B, F, fft_h, wc) — split-plane spectra, like the whole library."""
         return self._data_fft_exec(jnp.asarray(data, jnp.float32))
 
     def kernel_fft(self, kernels):
@@ -60,8 +64,10 @@ class FftConvPlan:
         return self.execute_spectral(dfft, kfft)
 
     def execute_spectral(self, dfft, kfft):
-        """Compiled ≈ cudaConvFFTData: MAC + inverse only (amortized path)."""
-        maps = self._conv_exec(dfft, kfft)
+        """Compiled ≈ cudaConvFFTData: MAC + inverse only (amortized path).
+        ``dfft``/``kfft`` are the (re, im) plane pairs from data_fft /
+        kernel_fft."""
+        maps = self._conv_exec(*dfft, *kfft)
         return maps if len(self.data_shape) == 4 else maps[0]
 
 
@@ -108,33 +114,36 @@ def make_plan(
         block_h, block_w = blk
 
         def _data_fft_t(data):
-            return _api.fft_data_tiled(
+            sd = _api.fft_data_tiled(
                 data, kh, kw, block_h=block_h, block_w=block_w
-            ).fft
+            )
+            return sd.re, sd.im
 
         def _kernel_fft_t(kernels):
-            return _api.fft_kernels(
+            sk = _api.fft_kernels(
                 kernels, fft_h=block_h, fft_w=block_w, correlation=correlation
-            ).fft
+            )
+            return sk.re, sk.im
 
-        def _conv(dfft_blocks, kfft):
+        def _conv(d_re, d_im, k_re, k_im):
             # always batched internally; execute_spectral unwraps
             sd = TiledSpectralData(
-                fft=dfft_blocks if dfft_blocks.ndim == 6 else dfft_blocks[None],
+                re=d_re if d_re.ndim == 6 else d_re[None],
+                im=d_im if d_im.ndim == 6 else d_im[None],
                 block_h=block_h, block_w=block_w,
                 max_kh=kh, max_kw=kw, data_h=h, data_w=w,
             )
             sk = SpectralKernels(
-                fft=kfft, fft_h=block_h, fft_w=block_w,
+                re=k_re, im=k_im, fft_h=block_h, fft_w=block_w,
                 kernel_hs=(kh,) * n, kernel_ws=(kw,) * n,
             )
             return _api.conv_spectral(sd, sk, mode=mode, use_pallas=use_pallas)
 
         data_aval = jax.ShapeDtypeStruct(data_shape, jnp.float32)
         kern_aval = jax.ShapeDtypeStruct(kernel_shape, jnp.float32)
-        dfft_aval = jax.eval_shape(_data_fft_t, data_aval)
+        dfft_avals = jax.eval_shape(_data_fft_t, data_aval)
         kfft_aval = jax.ShapeDtypeStruct(
-            (n, f, block_h, block_w // 2 + 1), jnp.complex64
+            (n, f, block_h, block_w // 2 + 1), jnp.float32
         )
         return FftConvPlan(
             data_shape=tuple(data_shape),
@@ -143,7 +152,9 @@ def make_plan(
             fft_w=block_w,
             _data_fft_exec=jax.jit(_data_fft_t).lower(data_aval).compile(),
             _kernel_fft_exec=jax.jit(_kernel_fft_t).lower(kern_aval).compile(),
-            _conv_exec=jax.jit(_conv).lower(dfft_aval, kfft_aval).compile(),
+            _conv_exec=jax.jit(_conv)
+            .lower(*dfft_avals, kfft_aval, kfft_aval)
+            .compile(),
         )
 
     fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
@@ -156,24 +167,25 @@ def make_plan(
             if batched
             else jnp.transpose(data, (2, 0, 1))[None]
         )
-        return rfft2_padded(x, fft_h, fft_w)
+        return rfft2_padded_planes(x, fft_h, fft_w)
 
     def _kernel_fft(kernels):
         ks = jnp.transpose(kernels, (0, 3, 1, 2))
         if correlation:
             ks = ks[..., ::-1, ::-1]
-        return rfft2_padded(ks, fft_h, fft_w)
+        return rfft2_padded_planes(ks, fft_h, fft_w)
 
-    def _conv(dfft, kfft):
-        prod = spectral_mac_auto(dfft, kfft, use_pallas=use_pallas)
-        return irfft2_norm(prod, fft_h, fft_w)
+    def _conv(d_re, d_im, k_re, k_im):
+        p_re, p_im = spectral_mac_auto_planes(
+            d_re, d_im, k_re, k_im, use_pallas=use_pallas
+        )
+        return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
 
     f32 = jnp.float32
-    c64 = jnp.complex64
     data_aval = jax.ShapeDtypeStruct(data_shape, f32)
     kern_aval = jax.ShapeDtypeStruct(kernel_shape, f32)
-    dfft_aval = jax.ShapeDtypeStruct((b, f, fft_h, wc), c64)
-    kfft_aval = jax.ShapeDtypeStruct((n, f, fft_h, wc), c64)
+    dfft_aval = jax.ShapeDtypeStruct((b, f, fft_h, wc), f32)
+    kfft_aval = jax.ShapeDtypeStruct((n, f, fft_h, wc), f32)
 
     return FftConvPlan(
         data_shape=tuple(data_shape),
@@ -182,5 +194,7 @@ def make_plan(
         fft_w=fft_w,
         _data_fft_exec=jax.jit(_data_fft).lower(data_aval).compile(),
         _kernel_fft_exec=jax.jit(_kernel_fft).lower(kern_aval).compile(),
-        _conv_exec=jax.jit(_conv).lower(dfft_aval, kfft_aval).compile(),
+        _conv_exec=jax.jit(_conv)
+        .lower(dfft_aval, dfft_aval, kfft_aval, kfft_aval)
+        .compile(),
     )

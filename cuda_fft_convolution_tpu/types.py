@@ -4,20 +4,29 @@
 on-device ``mxGPUArray`` returned by cudaFFTData (src/cudaFFTData.cu:97-150):
 a materialized data FFT that later convolution calls resume from (SURVEY.md
 §5 "checkpoint/resume" analogue). It is a JAX pytree, so it jits, vmaps,
-shards and survives in jax.block_until_ready'd device memory exactly like the
-reference's gpuArray.
+shards and survives in device memory exactly like the reference's gpuArray.
 
 ``SpectralKernels`` is the same idea applied to a *kernel bank* — beyond the
 reference (which re-FFTs kernels every call, src/cudaConvFFTData.cu:191-282),
 but the natural amortization for detection workloads where the bank is fixed
 across an image stream.
 
-Layout: spectra are Hermitian-packed along the LAST axis (jnp.fft.rfft2:
-shape (..., fft_h, fft_w//2+1) complex64). The reference packs along its
-column-major innermost axis H instead (CFFT_H = FFT_H/2+1,
-src/cudaFFTData.cu:90-94) — same information, row-major-native axis here.
-Dims are carried explicitly rather than recovered from the packed shape
-(≈ src/cudaConvFFTData.cu:92-98, without the even-size ambiguity).
+Storage layout — SPLIT PLANES: spectra are held as two float32 arrays
+(``re``, ``im``) rather than one complex64 array. On TPU this is the native
+representation (the MXU-DFT engine computes on planes; XLA decomposes
+complex arithmetic into real planes anyway), and on runtimes that emulate
+complex64 as split-f32 pairs at program boundaries (X64Split custom calls)
+it removes a split/recombine copy of the whole spectrum at EVERY jit entry
+and exit and makes the buffers donatable. ``fft`` remains available as a
+lazily-recombined complex64 property for interop.
+
+Packing: spectra are Hermitian-packed along the LAST axis (rfft2 layout:
+(..., fft_h, fft_w//2+1)). The reference packs along its column-major
+innermost axis H instead (CFFT_H = FFT_H/2+1, src/cudaFFTData.cu:90-94) —
+same information, row-major-native axis here. Dims are carried explicitly
+rather than recovered from the packed shape; ``SpectralData.from_packed``
+performs the reference's dim recovery (src/cudaConvFFTData.cu:92-98) for
+users holding a raw packed spectrum.
 """
 
 from __future__ import annotations
@@ -28,31 +37,63 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
+def _split_planes(x):
+    return (
+        jnp.real(x).astype(jnp.float32),
+        jnp.imag(x).astype(jnp.float32),
+    )
+
+
+def split_planes(x) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """complex array → (re, im) f32 planes. Under jit so runtimes with
+    boundary-only complex emulation never materialize an eager complex op
+    chain (eager complex construction is unsafe on some TPU runtimes)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return _split_planes(x)
+    return x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)
+
+
+def combine_planes(re, im) -> jnp.ndarray:
+    """(re, im) planes → complex64, under jit (see split_planes)."""
+    return jax.jit(jax.lax.complex)(
+        jnp.asarray(re, jnp.float32), jnp.asarray(im, jnp.float32)
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpectralData:
-    """rfft2 of zero-padded data, plus the static geometry to use it."""
+    """rfft2 of zero-padded data as split f32 planes, plus static geometry."""
 
-    # (F, fft_h, fft_w//2+1) c64, or (B, F, fft_h, fft_w//2+1) when batched.
-    fft: jnp.ndarray
+    # (F, fft_h, fft_w//2+1) f32 each, or (B, F, ...) when batched.
+    re: jnp.ndarray
+    im: jnp.ndarray
     fft_h: int = dataclasses.field(metadata=dict(static=True))
     fft_w: int = dataclasses.field(metadata=dict(static=True))
     data_h: int = dataclasses.field(metadata=dict(static=True))
     data_w: int = dataclasses.field(metadata=dict(static=True))
 
     @property
+    def fft(self) -> jnp.ndarray:
+        """Complex64 view (recombined lazily; interop/debug only — the
+        compute path never materializes complex)."""
+        return combine_planes(self.re, self.im)
+
+    @property
     def batched(self) -> bool:
         """True when a leading image-batch axis is present (beyond the
         reference, which is strictly one image per call)."""
-        return self.fft.ndim == 4
+        return self.re.ndim == 4
 
     @property
     def feature_dim(self) -> int:
-        return self.fft.shape[-3]
+        return self.re.shape[-3]
 
     @property
     def batch_size(self) -> int:
-        return self.fft.shape[0] if self.batched else 1
+        return self.re.shape[0] if self.batched else 1
 
     @property
     def cfft_w(self) -> int:
@@ -60,18 +101,62 @@ class SpectralData:
         layout, src/cudaConvolutionFFT.cu:112)."""
         return self.fft_w // 2 + 1
 
+    @classmethod
+    def from_complex(
+        cls, fft, fft_h: int, fft_w: int, data_h: int, data_w: int
+    ) -> "SpectralData":
+        re, im = split_planes(fft)
+        return cls(re=re, im=im, fft_h=fft_h, fft_w=fft_w,
+                   data_h=data_h, data_w=data_w)
+
+    @classmethod
+    def from_packed(
+        cls, fft, data_h: int, data_w: int, *, fft_w: int | None = None
+    ) -> "SpectralData":
+        """Build from a RAW Hermitian-packed spectrum (e.g. a user's own
+        ``jnp.fft.rfft2`` output), recovering the FFT geometry from the
+        packed shape — the reference's dim recovery for a bare gpuArray
+        input (src/cudaConvFFTData.cu:92-98: CFFT_H=dim0, FFT_H=(dim0−1)·2).
+
+        ``fft`` may be complex (..., fft_h, fft_w//2+1) or a (re, im) tuple
+        of f32 planes; 2-D/3-D/4-D inputs are normalized to (F, H, Wc) /
+        (B, F, H, Wc). Even fft_w is assumed (like the reference); pass
+        ``fft_w`` explicitly for odd sizes."""
+        if isinstance(fft, (tuple, list)):
+            re, im = (jnp.asarray(fft[0], jnp.float32),
+                      jnp.asarray(fft[1], jnp.float32))
+        else:
+            re, im = split_planes(fft)
+        if re.ndim == 2:  # single channel → (1, H, Wc)
+            re, im = re[None], im[None]
+        if re.ndim not in (3, 4):
+            raise ValueError(
+                f"packed spectrum must be 2-4D (got shape {re.shape})"
+            )
+        fft_h = int(re.shape[-2])
+        wc = int(re.shape[-1])
+        if fft_w is None:
+            fft_w = (wc - 1) * 2  # even-size assumption, like the reference
+        if fft_w // 2 + 1 != wc:
+            raise ValueError(
+                f"fft_w={fft_w} inconsistent with packed width {wc}"
+            )
+        return cls(re=re, im=im, fft_h=fft_h, fft_w=fft_w,
+                   data_h=data_h, data_w=data_w)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TiledSpectralData:
-    """Overlap-save block spectra of the data (ops/tiled.py).
+    """Overlap-save block spectra of the data (ops/tiled.py), split planes.
 
     Beyond the reference (which has no tiled engine): the per-block analogue
     of SpectralData. Valid only for kernels up to (max_kh, max_kw) because
     the block stride V = block − maxK + 1 bakes the kernel pad in."""
 
-    # (nbh, nbw, F, block_h, block_w//2+1) c64, or (B, nbh, nbw, ...) batched.
-    fft: jnp.ndarray
+    # (nbh, nbw, F, block_h, block_w//2+1) f32 each, or (B, nbh, nbw, ...).
+    re: jnp.ndarray
+    im: jnp.ndarray
     block_h: int = dataclasses.field(metadata=dict(static=True))
     block_w: int = dataclasses.field(metadata=dict(static=True))
     max_kh: int = dataclasses.field(metadata=dict(static=True))
@@ -80,12 +165,16 @@ class TiledSpectralData:
     data_w: int = dataclasses.field(metadata=dict(static=True))
 
     @property
+    def fft(self) -> jnp.ndarray:
+        return combine_planes(self.re, self.im)
+
+    @property
     def batched(self) -> bool:
-        return self.fft.ndim == 6
+        return self.re.ndim == 6
 
     @property
     def feature_dim(self) -> int:
-        return self.fft.shape[-3]
+        return self.re.shape[-3]
 
     @property
     def out_h(self) -> int:
@@ -100,9 +189,10 @@ class TiledSpectralData:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpectralKernels:
-    """rfft2 of a zero-padded stacked kernel bank at a fixed FFT size."""
+    """rfft2 of a zero-padded stacked kernel bank, split planes."""
 
-    fft: jnp.ndarray  # (N, F, fft_h, fft_w//2+1) complex64
+    re: jnp.ndarray  # (N, F, fft_h, fft_w//2+1) f32
+    im: jnp.ndarray
     fft_h: int = dataclasses.field(metadata=dict(static=True))
     fft_w: int = dataclasses.field(metadata=dict(static=True))
     # Per-kernel true spatial sizes (pre-padding), for trimming modes.
@@ -110,9 +200,13 @@ class SpectralKernels:
     kernel_ws: tuple = dataclasses.field(metadata=dict(static=True))
 
     @property
+    def fft(self) -> jnp.ndarray:
+        return combine_planes(self.re, self.im)
+
+    @property
     def num_kernels(self) -> int:
-        return self.fft.shape[0]
+        return self.re.shape[0]
 
     @property
     def feature_dim(self) -> int:
-        return self.fft.shape[1]
+        return self.re.shape[1]

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +24,6 @@ from cuda_fft_convolution_tpu.types import (
     TiledSpectralData,
 )
 from cuda_fft_convolution_tpu.utils.errors import validate
-from cuda_fft_convolution_tpu.utils.transfer import fetch
 
 _KINDS = {
     "SpectralData": SpectralData,
@@ -35,20 +33,21 @@ _KINDS = {
 
 
 def save_spectral(path: str, obj) -> None:
-    """Serialize a spectral object to ``path`` (.npz)."""
+    """Serialize a spectral object to ``path`` (.npz). Spectra are split
+    (re, im) f32 planes in memory already (types.py), so the save is two
+    plain f32 D2H copies — no complex transfer exists to go wrong."""
     kind = type(obj).__name__
     validate(kind in _KINDS, f"not a spectral object: {type(obj)}")
     meta = {
         f.name: getattr(obj, f.name)
         for f in dataclasses.fields(obj)
-        if f.name != "fft"
+        if f.name not in ("re", "im")
     }
-    spec = fetch(obj.fft)
     np.savez(
         path,
         kind=kind,
-        fft_re=np.real(spec).astype(np.float32),
-        fft_im=np.imag(spec).astype(np.float32),
+        fft_re=np.asarray(obj.re, np.float32),
+        fft_im=np.asarray(obj.im, np.float32),
         **{
             k: (np.asarray(v) if not isinstance(v, tuple) else np.asarray(v))
             for k, v in meta.items()
@@ -57,25 +56,23 @@ def save_spectral(path: str, obj) -> None:
 
 
 def load_spectral(path: str):
-    """Load a spectral object saved by ``save_spectral``; spectra land on
-    the default device."""
+    """Load a spectral object saved by ``save_spectral`` (this version's
+    split-plane format or round-1's complex-holding format — the .npz keys
+    are identical); spectra land on the default device."""
     with np.load(path, allow_pickle=False) as z:
         kind = str(z["kind"])
         validate(kind in _KINDS, f"unknown spectral kind {kind!r}")
         cls = _KINDS[kind]
-        # lax.complex under jit: eager complex construction trips runtimes
-        # with partial complex support (see utils/transfer.py).
-        fft = jax.jit(jax.lax.complex)(
-            jnp.asarray(z["fft_re"], jnp.float32),
-            jnp.asarray(z["fft_im"], jnp.float32),
-        )
-        kwargs = {}
+        kwargs = {
+            "re": jnp.asarray(z["fft_re"], jnp.float32),
+            "im": jnp.asarray(z["fft_im"], jnp.float32),
+        }
         for f in dataclasses.fields(cls):
-            if f.name == "fft":
+            if f.name in ("re", "im"):
                 continue
             v = z[f.name]
             if v.ndim == 0:
                 kwargs[f.name] = int(v)
             else:
                 kwargs[f.name] = tuple(int(x) for x in v)
-        return cls(fft=fft, **kwargs)
+        return cls(**kwargs)

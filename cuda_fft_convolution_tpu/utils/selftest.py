@@ -12,7 +12,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def selftest(run_pallas: bool = True) -> dict:
+def _probe_complex_d2h_subprocess() -> bool | None:
+    """Probe complex64 D2H in a SUBPROCESS: on the runtimes this library
+    targets, a failed complex transfer is UNIMPLEMENTED *and poisons the
+    process* — catching the exception in-process does not un-poison it, so
+    the probe must be isolated. Returns True/False, or None if the probe
+    subprocess could not run."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "s = jax.jit(jnp.fft.rfft2)(jnp.ones((8, 8), jnp.float32))\n"
+        "np.asarray(s)\n"
+    )
+    env = os.environ.copy()
+    if jax.default_backend() == "cpu":
+        # Probe the backend the PARENT actually uses (tests force CPU via
+        # jax.config, which subprocesses don't inherit).
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=300,
+            env=env,
+        )
+        return r.returncode == 0
+    except Exception:
+        return None
+
+
+def selftest(run_pallas: bool = True, probe_complex_d2h: bool = False) -> dict:
     dev = jax.devices()[0]
     report: dict = {
         "backend": jax.default_backend(),
@@ -39,13 +70,11 @@ def selftest(run_pallas: bool = True) -> dict:
         report["fft_error"] = repr(e)
 
     # complex D2H (known-unimplemented on some TPU runtimes — the library
-    # works around it with utils.transfer.fetch, but callers should know)
-    try:
-        s = jax.jit(jnp.fft.rfft2)(jnp.ones((8, 8), jnp.float32))
-        np.asarray(s)
-        report["complex_d2h_ok"] = True
-    except Exception:
-        report["complex_d2h_ok"] = False
+    # stores spectra as split f32 planes so it never needs it; the probe is
+    # OPT-IN and runs in a subprocess because a failed attempt poisons the
+    # probing process on exactly the runtimes it matters for).
+    if probe_complex_d2h:
+        report["complex_d2h_ok"] = _probe_complex_d2h_subprocess()
 
     # Pallas MAC (compiled on TPU, interpreted elsewhere)
     if run_pallas:

@@ -196,3 +196,81 @@ def test_device_argument(rng):
     data = rng.standard_normal((8, 8, 1)).astype(np.float32)
     sd = fc.fft_data(data, 3, 3, device=dev)
     assert list(sd.fft.devices())[0] == dev
+
+
+def test_from_packed_dim_recovery(rng):
+    """SpectralData.from_packed recovers FFT geometry from a raw packed
+    rfft2 spectrum — the reference's bare-gpuArray dim recovery
+    (src/cudaConvFFTData.cu:92-98)."""
+    data = rng.standard_normal((20, 24, 2)).astype(np.float32)
+    kern = rng.standard_normal((5, 5, 2)).astype(np.float32)
+    sd_ref = fc.fft_data(data, 5, 5)
+    # A user holding a raw rfft2 of the zero-padded data:
+    import jax
+
+    padded = np.zeros((2, sd_ref.fft_h, sd_ref.fft_w), np.float32)
+    padded[:, :20, :24] = np.transpose(data, (2, 0, 1))
+    raw = jax.jit(jnp.fft.rfft2)(jnp.asarray(padded))
+    sd = fc.SpectralData.from_packed(raw, data_h=20, data_w=24)
+    assert (sd.fft_h, sd.fft_w) == (sd_ref.fft_h, sd_ref.fft_w)
+    got = np.array(fc.conv_spectral(sd, [kern], mode="full")[0])
+    want = np.array(fc.conv_spectral(sd_ref, [kern], mode="full")[0])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # plane-pair input works too
+    sd2 = fc.SpectralData.from_packed((sd_ref.re, sd_ref.im), 20, 24)
+    got2 = np.array(fc.conv_spectral(sd2, [kern], mode="full")[0])
+    np.testing.assert_allclose(got2, want, atol=1e-6)
+    # inconsistent explicit fft_w is rejected
+    with pytest.raises(ValueError):
+        fc.SpectralData.from_packed(raw, 20, 24, fft_w=sd_ref.fft_w + 2)
+
+
+def test_linear_mode_rejects_aliasing_kernel(rng):
+    """ADVICE round-1: a kernel larger than the maxK used to size fft_data
+    (but still <= FFT dims) must raise for linear modes instead of silently
+    returning circularly aliased maps."""
+    data = rng.standard_normal((8, 8, 1)).astype(np.float32)
+    sd = fc.fft_data(data, 3, 3)  # FFT dims cover 8+3-1=10
+    big = rng.standard_normal((5, 5, 1)).astype(np.float32)  # 5 <= 10 but aliases
+    with pytest.raises(ValueError):
+        fc.conv_spectral(sd, [big], mode="full")
+    # fftmap mode still allowed (raw circular maps are well-defined)
+    out = fc.conv_spectral(sd, [big], mode="fftmap")
+    assert np.isfinite(np.array(out)).all()
+
+
+def test_device_argument_all_entry_points(rng):
+    """gpuId parity (src/cudaConvolutionFFT.cu:84-89) on every entry point."""
+    import jax
+
+    dev = jax.devices()[-1]
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((3, 3, 1)).astype(np.float32)]
+    out = fc.fft_conv(data, 3, 3, kerns, mode="full", device=dev)
+    assert list(out[0].devices())[0] == dev
+    sdt = fc.fft_data_tiled(data, 3, 3, device=dev)
+    assert list(sdt.re.devices())[0] == dev
+    sk = fc.fft_kernels(kerns, fft_h=32, fft_w=32, device=dev)
+    assert list(sk.re.devices())[0] == dev
+
+
+def test_explicit_policy_pins_direct_engine(rng):
+    """ADVICE round-1: an explicitly passed FFT-size policy must not be
+    silently ignored by auto-routing to the tiled engine."""
+    data = rng.standard_normal((200, 200, 1)).astype(np.float32)
+    kern = rng.standard_normal((4, 4, 1)).astype(np.float32)
+    # multiple16: 200+4-1=203 → 208. The direct engine honors this; the
+    # tiled engine would use block geometry instead.
+    out = np.array(
+        fc.fft_conv(data, kernels=[kern], mode="fftmap", policy="multiple16")
+    )
+    assert out.shape[-2:] == (208, 208)
+    # 'same' + explicit policy → still direct (auto would have tiled 200²/4²)
+    out2 = np.array(
+        fc.fft_conv(data, kernels=[kern], mode="same", policy="multiple16")
+    )
+    assert out2.shape[-2:] == (200, 200)
+    want = np.array(
+        fc.fft_conv(data, kernels=[kern], mode="same", algorithm="direct")
+    )
+    np.testing.assert_allclose(out2, want, atol=1e-5)

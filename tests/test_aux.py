@@ -70,6 +70,16 @@ def test_selftest_reports():
     rep = selftest()
     assert rep["fft_ok"] is True
     assert "backend" in rep and "device_kind" in rep
-    assert isinstance(rep["complex_d2h_ok"], bool)
+    # The complex-D2H probe is opt-in (it must run in a subprocess because
+    # a failed complex transfer poisons the probing process on the TPU
+    # runtimes it exists to diagnose) — default report omits it.
+    assert "complex_d2h_ok" not in rep
     assert rep["pallas_ok"] is True
     assert isinstance(rep["native_planner_ok"], bool)
+
+
+def test_selftest_complex_probe_subprocess():
+    rep = selftest(run_pallas=False, probe_complex_d2h=True)
+    # CPU backend: subprocess probe should succeed (True); None only if the
+    # subprocess couldn't run at all.
+    assert rep["complex_d2h_ok"] in (True, None)

@@ -9,38 +9,33 @@ import jax.numpy as jnp
 import cuda_fft_convolution_tpu as fc
 from cuda_fft_convolution_tpu.ops.spectral_mac import (
     _mac_pallas_ad,
-    spectral_mac_einsum,
+    spectral_mac_planes,
 )
 
 
-def _spectra(rng, shape):
-    return jnp.asarray(
-        (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
-            np.complex64
-        )
+def _planes(rng, shape):
+    return (
+        jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
     )
 
 
 def test_pallas_mac_vjp_matches_einsum(rng):
-    d = _spectra(rng, (1, 3, 16, 9))
-    k = _spectra(rng, (2, 3, 16, 9))
+    dr, di = _planes(rng, (1, 3, 16, 9))
+    kr, ki = _planes(rng, (2, 3, 16, 9))
 
-    def loss_p(d, k):
-        out = _mac_pallas_ad(d, k)
-        return jnp.sum(jnp.real(out) ** 2 + jnp.imag(out) ** 2)
+    def loss_p(dr, di, kr, ki):
+        o_r, o_i = _mac_pallas_ad(dr, di, kr, ki)
+        return jnp.sum(o_r**2 + o_i**2)
 
-    def loss_e(d, k):
-        out = spectral_mac_einsum(d, k)
-        return jnp.sum(jnp.real(out) ** 2 + jnp.imag(out) ** 2)
+    def loss_e(dr, di, kr, ki):
+        o_r, o_i = spectral_mac_planes(dr, di, kr, ki)
+        return jnp.sum(o_r**2 + o_i**2)
 
-    gd_p, gk_p = jax.grad(loss_p, argnums=(0, 1))(d, k)
-    gd_e, gk_e = jax.grad(loss_e, argnums=(0, 1))(d, k)
-    np.testing.assert_allclose(
-        np.array(jnp.real(gd_p)), np.array(jnp.real(gd_e)), atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.array(jnp.imag(gk_p)), np.array(jnp.imag(gk_e)), atol=1e-4
-    )
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3))(dr, di, kr, ki)
+    g_e = jax.grad(loss_e, argnums=(0, 1, 2, 3))(dr, di, kr, ki)
+    for a, b in zip(g_p, g_e):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4)
 
 
 def test_grad_through_fft_conv_finite_difference(rng):

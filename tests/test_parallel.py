@@ -100,3 +100,61 @@ def test_tiled_sharded_batched_2d_mesh(rng):
     want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
     got = np.array(fc.conv_spectral_sharded(sd, kerns, mesh, mode="full"))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_multidevice
+def test_sharded_executable_cached_no_retrace(rng):
+    """Serving-grade dispatch: repeat conv_spectral_sharded calls with the
+    same (mesh, geometry) must reuse the cached jitted shard_map executable
+    — zero new traces after the first call (the round-1 implementation
+    rebuilt and recompiled the program per call)."""
+    from cuda_fft_convolution_tpu.parallel import mesh as mesh_mod
+
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((20, 20, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((3, 3, 1)).astype(np.float32) for _ in range(8)]
+    sd = fc.fft_data(data, 3, 3)
+    first = np.array(fc.conv_spectral_sharded(sd, kerns, mesh))
+    count_after_first = mesh_mod.TRACE_COUNT
+    # Different data, same geometry → cache hit, identical trace count.
+    data2 = rng.standard_normal((20, 20, 1)).astype(np.float32)
+    sd2 = fc.fft_data(data2, 3, 3)
+    got = np.array(fc.conv_spectral_sharded(sd2, kerns, mesh))
+    assert mesh_mod.TRACE_COUNT == count_after_first
+    assert got.shape == first.shape
+    want = np.array(fc.conv_spectral(sd2, kerns))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_multidevice
+def test_presharded_bank_skips_replacement(rng):
+    """A bank placed by shard_kernel_bank must pass through without a new
+    device_put (sharding comparison), and still be correct."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((3, 3, 1)).astype(np.float32) for _ in range(8)]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cuda_fft_convolution_tpu.parallel.mesh import KERNEL_AXIS, _placed
+
+    sd = fc.fft_data(data, 3, 3)
+    sk = fc.shard_kernel_bank(fc.fft_kernels(kerns, spectral=sd), mesh)
+    # _placed is the placement gate: an already-matching sharding must pass
+    # the SAME array object through (no device_put copy).
+    target = NamedSharding(mesh, P(KERNEL_AXIS, None, None, None))
+    assert _placed(sk.re, target) is sk.re
+    got = np.array(fc.conv_spectral_sharded(sd, sk, mesh))
+    want = np.array(fc.conv_spectral(sd, kerns))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_multidevice
+def test_tiled_sharded_rejects_oversized_kernel(rng):
+    """ADVICE round-1: kernels exceeding the tiled spectra's planned max
+    must raise, not silently return wrong maps."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((64, 64, 1)).astype(np.float32)
+    sd = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
+    big = rng.standard_normal((9, 9, 1)).astype(np.float32)
+    with pytest.raises(ValueError):
+        fc.conv_spectral_sharded(sd, [big], mesh, mode="same")

@@ -49,7 +49,10 @@ def test_tiled_equals_direct_all_modes(rng):
             fc.fft_conv(data, kernels=[kern], mode=mode, algorithm="tiled")
         )
         assert direct.shape == tiled.shape
-        np.testing.assert_allclose(tiled, direct, atol=2e-4), mode
+        # Both engines independently meet 1e-5 vs the f64 oracle, so they
+        # must agree to the same bar (relative to the output scale).
+        scale = np.max(np.abs(direct))
+        assert np.max(np.abs(tiled - direct)) / scale < 1e-5, mode
 
 
 def test_tiled_block_edge_cases(rng):
