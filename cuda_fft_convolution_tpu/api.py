@@ -729,6 +729,32 @@ def np_prod_blocks(spectral: TiledSpectralData) -> int:
     return int(shape[-5] * shape[-4])
 
 
+def _bucket_ragged(kernels) -> list[list[int]] | None:
+    """Group a ragged kernel list into size buckets (pow-2 envelope per
+    axis). Returns per-bucket index lists in a stable order, or None when
+    bucketing won't pay (≤1 bucket, or all buckets share one envelope).
+
+    SURVEY.md §7 step 2: a cell array mixing 8² and 256² kernels should NOT
+    pay 256²-sized FFTs for every kernel (the reference does exactly that —
+    it only enforces kernels ≤ maxK, src/cudaConvolutionFFT.cu:242)."""
+    def env(n):  # pow-2 envelope, floor 8 (tiny kernels share a bucket)
+        return max(1 << (int(n) - 1).bit_length(), 8)
+
+    keys = [(env(k.shape[0]), env(k.shape[1])) for k in kernels]
+    if len(set(keys)) <= 1:
+        return None
+    buckets: dict = {}
+    for i, key in enumerate(keys):
+        buckets.setdefault(key, []).append(i)
+    # Only split when it pays: at least one bucket's envelope is ≤ half the
+    # global envelope on some axis (otherwise one FFT size serves all).
+    gh = max(k[0] for k in keys)
+    gw = max(k[1] for k in keys)
+    if not any(k[0] * 2 <= gh or k[1] * 2 <= gw for k in buckets):
+        return None
+    return [idx for _, idx in sorted(buckets.items())]
+
+
 def fft_conv(
     data,
     max_kernel_h: int | None = None,
@@ -741,6 +767,7 @@ def fft_conv(
     use_pallas: bool | None = None,
     algorithm: str = "auto",
     device=None,
+    bucket_ragged: bool = True,
 ):
     """One-shot bank convolution — ≈ ``cudaConvolutionFFT(data, maxKh, maxKw,
     kernelCell)`` (src/cudaConvolutionFFT.cu:27-310): one forward data FFT
@@ -759,6 +786,32 @@ def fft_conv(
         algorithm in ("auto", "direct", "tiled"),
         "algorithm must be 'auto', 'direct', or 'tiled'",
     )
+    if (
+        bucket_ragged
+        and mode != "fftmap"  # fftmap's raw-map shape is FFT-size-defined
+        and isinstance(kernels, (list, tuple))
+        and len(kernels) > 1
+    ):
+        ks = [_as_array(k) for k in kernels]
+        buckets = _bucket_ragged(ks)
+        if buckets is not None:
+            # Each bucket runs at its own FFT/block size (one extra data
+            # FFT per bucket — cheap next to running every small kernel at
+            # the giant bucket's FFT size); outputs merge in input order.
+            results: list = [None] * len(ks)
+            for idx in buckets:
+                sub = [ks[i] for i in idx]
+                out = fft_conv(
+                    data, None, None, sub, mode=mode,
+                    correlation=correlation, policy=policy,
+                    use_pallas=use_pallas, algorithm=algorithm,
+                    device=device, bucket_ragged=False,
+                )
+                if not isinstance(out, list):  # uniform bucket → stacked
+                    out = [out[..., i, :, :] for i in range(len(sub))]
+                for i, o in zip(idx, out):
+                    results[i] = o
+            return results
     if max_kernel_h is None or max_kernel_w is None:
         if isinstance(kernels, (list, tuple)):
             max_kernel_h = max(int(k.shape[0]) for k in kernels)

@@ -90,19 +90,38 @@ def top_detections(
     level_scores: list, k: int = 5
 ) -> list[tuple[int, int, int, int, float]]:
     """Collect the top-k (level, kernel, row, col, score) peaks across all
-    levels of a detect_pyramid result (stacked-mode outputs)."""
+    levels of a detect_pyramid result.
+
+    Accepts every output shape detect_pyramid produces: stacked (N, H, W)
+    arrays, ragged-bank per-kernel LISTS of (H, W) maps (each possibly a
+    different window size), and batched variants with a leading B axis
+    (peaks are searched across the batch; row/col are within the best
+    image)."""
+    import numpy as np
+
     hits = []
     for lvl, scores in enumerate(level_scores):
-        arr = jnp.asarray(scores)
-        n = arr.shape[0]
-        flat = arr.reshape(n, -1)
-        idx = jnp.argmax(flat, axis=1)
-        best = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
-        hh, ww = arr.shape[1], arr.shape[2]
-        import numpy as np
-
-        for kk in range(n):
-            r, c = divmod(int(idx[kk]), ww)
-            hits.append((lvl, kk, r, c, float(best[kk])))
+        # Normalize to a list of per-kernel maps (ragged banks return lists
+        # whose windows differ per kernel — they cannot be stacked).
+        if isinstance(scores, (list, tuple)):
+            per_kernel = [np.asarray(s) for s in scores]
+        else:
+            arr = np.asarray(scores)
+            if arr.ndim == 3:  # (N, H, W)
+                per_kernel = [arr[i] for i in range(arr.shape[0])]
+            elif arr.ndim == 4:  # (B, N, H, W) batched
+                per_kernel = [arr[:, i] for i in range(arr.shape[1])]
+            else:
+                raise ValueError(
+                    f"level {lvl}: expected (N, H, W) or (B, N, H, W) "
+                    f"scores, got shape {arr.shape}"
+                )
+        for kk, m in enumerate(per_kernel):
+            flat_idx = int(np.argmax(m))
+            best = float(m.reshape(-1)[flat_idx])
+            # row/col within the (possibly batch-leading) map
+            coords = np.unravel_index(flat_idx, m.shape)
+            r, c = int(coords[-2]), int(coords[-1])
+            hits.append((lvl, kk, r, c, best))
     hits.sort(key=lambda t: -t[4])
     return hits[:k]

@@ -274,3 +274,61 @@ def test_explicit_policy_pins_direct_engine(rng):
         fc.fft_conv(data, kernels=[kern], mode="same", algorithm="direct")
     )
     np.testing.assert_allclose(out2, want, atol=1e-5)
+
+
+def test_ragged_bucketing_uses_per_bucket_fft_sizes(rng, monkeypatch):
+    """SURVEY §7 step 2: a bank mixing tiny and huge kernels runs each size
+    bucket at its own FFT/block geometry (the reference pads everything to
+    maxK) and stays oracle-exact in input order."""
+    import cuda_fft_convolution_tpu.api as api
+
+    data = rng.standard_normal((300, 300, 1)).astype(np.float32)
+    small = rng.standard_normal((8, 8, 1)).astype(np.float32)
+    big = rng.standard_normal((200, 200, 1)).astype(np.float32)
+    small2 = rng.standard_normal((6, 8, 1)).astype(np.float32)
+
+    seen_maxk = []
+    orig_direct, orig_tiled = api.fft_data, api.fft_data_tiled
+
+    def spy_direct(d, mh, mw, **kw):
+        seen_maxk.append((mh, mw))
+        return orig_direct(d, mh, mw, **kw)
+
+    def spy_tiled(d, mh, mw, **kw):
+        seen_maxk.append((mh, mw))
+        return orig_tiled(d, mh, mw, **kw)
+
+    monkeypatch.setattr(api, "fft_data", spy_direct)
+    monkeypatch.setattr(api, "fft_data_tiled", spy_tiled)
+
+    outs = api.fft_conv(data, kernels=[small, big, small2], mode="full")
+    assert isinstance(outs, list) and len(outs) == 3
+    # two distinct buckets ran, each at its own (much smaller vs max) size
+    assert len(seen_maxk) == 2
+    assert max(m[0] for m in seen_maxk) >= 200
+    assert min(m[0] for m in seen_maxk) <= 8
+    from tests.oracles import fft_conv_full_f64, rel_err
+
+    for kk, o in zip([small, big, small2], outs):
+        assert o.shape == (300 + kk.shape[0] - 1, 300 + kk.shape[1] - 1)
+        assert rel_err(np.array(o), fft_conv_full_f64(data, kk)) < TOL
+
+    # bucketing off → single padded-to-max pass, same numbers
+    seen_maxk.clear()
+    outs2 = api.fft_conv(
+        data, kernels=[small, big, small2], mode="full", bucket_ragged=False
+    )
+    assert len(seen_maxk) == 1
+    for a, b in zip(outs, outs2):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-4)
+
+
+def test_bucketing_not_applied_to_similar_sizes(rng):
+    """Kernels in one pow-2 envelope share one FFT size (no bucket split)."""
+    from cuda_fft_convolution_tpu.api import _bucket_ragged
+
+    ks = [np.zeros((60, 60, 1)), np.zeros((64, 64, 1)), np.zeros((33, 50, 1))]
+    assert _bucket_ragged([jnp.asarray(k) for k in ks]) is None
+    ks2 = [np.zeros((8, 8, 1)), np.zeros((256, 256, 1))]
+    buckets = _bucket_ragged([jnp.asarray(k) for k in ks2])
+    assert buckets is not None and len(buckets) == 2

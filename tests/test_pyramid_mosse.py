@@ -126,3 +126,40 @@ def test_hog_orientation_selectivity(rng):
     fv = np.array(hog_features(jnp.asarray(v), cell=8, bins=9)).sum((0, 1))
     fh = np.array(hog_features(jnp.asarray(h), cell=8, bins=9)).sum((0, 1))
     assert np.argmax(fv) != np.argmax(fh)
+
+
+def test_top_detections_ragged_and_batched(rng):
+    """top_detections handles list-mode (ragged bank) and batched outputs
+    (round-1 weak spot: it assumed stacked (N, H, W) arrays)."""
+    from cuda_fft_convolution_tpu.models import top_detections
+
+    # ragged list-mode: per-kernel maps with different windows
+    lvl0 = [np.zeros((10, 10), np.float32), np.zeros((12, 14), np.float32)]
+    lvl0[1][7, 9] = 5.0
+    lvl0[0][2, 3] = 3.0
+    hits = top_detections([lvl0], k=2)
+    assert hits[0] == (0, 1, 7, 9, 5.0)
+    assert hits[1] == (0, 0, 2, 3, 3.0)
+
+    # batched stacked mode: (B, N, H, W)
+    arr = np.zeros((2, 3, 8, 8), np.float32)
+    arr[1, 2, 4, 5] = 9.0
+    hits = top_detections([arr], k=1)
+    assert hits[0] == (0, 2, 4, 5, 9.0)
+
+    # end-to-end: ragged bank through a real pyramid
+    import cuda_fft_convolution_tpu as fc
+    from cuda_fft_convolution_tpu.models import build_pyramid, detect_pyramid
+
+    img = rng.standard_normal((64, 64, 2)).astype(np.float32)
+    kerns = [
+        rng.standard_normal((5, 5, 2)).astype(np.float32),
+        rng.standard_normal((3, 7, 2)).astype(np.float32),
+    ]
+    pyr = build_pyramid(img, 5, 7, num_levels=2)
+    scores = detect_pyramid(pyr, kerns, mode="same")
+    hits = top_detections(scores, k=4)
+    assert len(hits) == 4
+    for lvl, kk, r, c, s in hits:
+        assert 0 <= lvl < 2 and 0 <= kk < 2
+        assert np.isfinite(s)
