@@ -14,10 +14,18 @@ speed-of-light no implementation can beat). The reference publishes no
 numbers (SURVEY.md §6), so this floor is the only stable yardstick; it does
 not move as our implementation changes.
 
-Secondary configs in "detail": reference-parity fftmap one-shot, amortized
-(precomputed spectra ≈ cudaFFTData+cudaConvFFTData), tiled amortized
-(overlap-save serving path), pipelined big bank, bf16 inputs, and accuracy
-vs a float64 CPU FFT oracle.
+EVERY BASELINE.json config is measured in the default run (round-1 shipped
+nulls for the secondary configs — no more):
+  - configs[0/1] correctness: the accuracy check vs a float64 CPU FFT oracle
+  - configs[2]: 2048² × 512² kernels (large-kernel/crossover regime)
+  - configs[3]: batch of 8 × 100 kernels, pipelined/tiled
+  - configs[4]: bf16 DPM/HOG — 4K image → HOG features (512²×31) → 1000+
+    filter bank, fp32 spectral accumulation; plus the F=31 giant-bank
+    DIRECT config (~9 GB of bank spectra) that round 1 could not run at all
+    before split-plane storage made the bank donatable.
+
+Set BENCH_QUICK=1 to run only the headline + tiled + accuracy (fast
+inner-loop benching during development).
 """
 
 from __future__ import annotations
@@ -112,6 +120,8 @@ def main() -> None:
     import cuda_fft_convolution_tpu as fc
     from cuda_fft_convolution_tpu.utils.fft_size import compute_fft_size
 
+    quick = os.environ.get("BENCH_QUICK", "0") == "1"
+
     rng = np.random.default_rng(0)
     H = W = 2048
     N, KH, KW, F = 100, 64, 64, 1
@@ -121,7 +131,8 @@ def main() -> None:
     gpix_filters = H * W * N / 1e9
 
     # --- accuracy vs float64 CPU FFT oracle first, while HBM is empty
-    # (512²×8 kernels shares every code path incl. the tiled engine)
+    # (512²×8 kernels shares every code path incl. the tiled engine —
+    # BASELINE configs[0]/[1] correctness scenario)
     dh = np.asarray(data[:512, :512, :])
     ks = np.asarray(kernels[:8, :, :, :])
     got = np.array(fc.fft_conv(dh, KH, KW, ks, mode="full"))
@@ -150,7 +161,7 @@ def main() -> None:
     # spectra precomputed, MAC + windowed MXU-DFT inverse per call)
     sdt = fc.fft_data_tiled(data, KH, KW)
     skt = fc.fft_kernels(kernels, spectral=sdt)
-    jax.block_until_ready((sdt.fft, skt.fft))
+    jax.block_until_ready((sdt.re, skt.re))
     conv_t = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
     t_tiled = _time_fn(conv_t, sdt, skt)
     v_tiled = gpix_filters / t_tiled
@@ -160,11 +171,9 @@ def main() -> None:
     v_stream = gpix_filters / t_stream
     del sdt, skt
 
-    # Secondary configs compile several more whole programs (minutes from a
-    # cold compile cache through the remote-compile tunnel) — opt-in.
-    full = os.environ.get("BENCH_FULL", "0") == "1"
     v_fftmap = v_amort = v_pipe = v_bf16 = v_batch = None
-    if full:
+    v_bigk = v_dpm_direct = v_dpm = None
+    if not quick:
         # reference-parity one-shot: raw circular fftmaps, direct engine
         fftmap_shot = _probed(
             lambda d, k: fc.fft_conv(d, KH, KW, k, mode="fftmap")
@@ -174,7 +183,7 @@ def main() -> None:
         # amortized direct: precomputed data + kernel spectra (split API)
         sd = fc.fft_data(data, KH, KW)
         sk = fc.fft_kernels(kernels, spectral=sd)
-        jax.block_until_ready((sd.fft, sk.fft))
+        jax.block_until_ready((sd.re, sk.re))
         conv_d = _probed(lambda s, k: fc.conv_spectral(s, k))
         v_amort = gpix_filters / _time_fn(conv_d, sd, sk, iters=3)
 
@@ -185,24 +194,77 @@ def main() -> None:
         v_pipe = gpix_filters / _time_fn(conv_p, sd, sk, iters=3)
         del sd, sk
 
-        # bf16 inputs, fp32 spectral accumulation (BASELINE config 5)
+        # bf16 inputs, fp32 spectral accumulation (BASELINE configs[4] dtype)
         v_bf16 = gpix_filters / _time_fn(
             one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16),
             iters=3,
         )
 
-        # batch of 8 images (BASELINE config 4; 1024² so the (8, 100, H, W)
+        # batch of 8 images (BASELINE configs[3]; 1024² so the (8, 100, H, W)
         # output fits 16 GB HBM)
         bdata = jnp.asarray(
             rng.standard_normal((8, 1024, 1024, F)).astype(np.float32)
         )
         sdb = fc.fft_data_tiled(bdata, KH, KW)
         skb = fc.fft_kernels(kernels, spectral=sdb)
-        jax.block_until_ready((sdb.fft, skb.fft))
+        jax.block_until_ready((sdb.re, skb.re))
         conv_b = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
         t_batch = _time_fn(conv_b, sdb, skb, iters=3)
         v_batch = 8 * 1024 * 1024 * N / 1e9 / t_batch
         del sdb, skb, bdata
+
+        # BASELINE configs[2]: large-kernel regime, 2048² × 512² kernels
+        # (FFT-vs-direct crossover; the tiling planner correctly declines
+        # this shape, so it exercises the direct engine at 2560² FFT size)
+        kbig = jnp.asarray(
+            rng.standard_normal((4, 512, 512, F)).astype(np.float32)
+        )
+        bigk_shot = _probed(
+            lambda d, k: fc.fft_conv(d, 512, 512, k, mode="same")
+        )
+        t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
+        v_bigk = H * W * 4 / 1e9 / t_bigk
+        del kbig
+
+        # BASELINE configs[4]: DPM/HOG detection — 4K image → HOG features
+        # (512²×31, bf16) → 1000+ filter bank, fp32 spectral accumulation.
+        from cuda_fft_convolution_tpu.models import hog_features
+
+        img4k = jnp.asarray(
+            rng.standard_normal((4096, 4096)).astype(np.float32)
+        )
+        feats = jax.jit(
+            lambda im: hog_features(im, cell=8, bins=31).astype(jnp.bfloat16)
+        )(img4k)
+        jax.block_until_ready(feats)
+        del img4k
+        FD, NK, KD = 31, 1024, 12
+        dpm_bank = jnp.asarray(
+            rng.standard_normal((NK, KD, KD, FD)).astype(np.float32)
+        )
+        dpm_gpixf = feats.shape[0] * feats.shape[1] * NK / 1e9
+
+        # tiled amortized serving path (the production detector loop)
+        sdd = fc.fft_data_tiled(feats, KD, KD)
+        skd = fc.fft_kernels(dpm_bank, spectral=sdd)
+        jax.block_until_ready((sdd.re, skd.re))
+        conv_dpm = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+        t_dpm = _time_fn(conv_dpm, sdd, skd, iters=3)
+        v_dpm = dpm_gpixf / t_dpm
+        del sdd, skd
+
+        # giant-bank DIRECT engine (round-1 OOM config: ~9 GB of F=31 bank
+        # spectra at the full 540² FFT size — runnable now that spectra are
+        # donatable split-f32 planes), reference-parity fftmap output
+        NKD = 256
+        sdf = fc.fft_data(feats.astype(jnp.float32), KD, KD)
+        skf = fc.fft_kernels(dpm_bank[:NKD], spectral=sdf)
+        jax.block_until_ready((sdf.re, skf.re))
+        bank_gb = 2 * skf.re.size * 4 / 1e9
+        conv_gd = _probed(lambda s, k: fc.conv_spectral(s, k, mode="fftmap"))
+        t_gd = _time_fn(conv_gd, sdf, skf, iters=2)
+        v_dpm_direct = feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gd
+        del sdf, skf, feats, dpm_bank
 
     # --- algorithm-independent HBM floor: any implementation must at least
     # read the image, read the bank, and write N 'same' maps.
@@ -230,12 +292,17 @@ def main() -> None:
             "hbm_floor_GPixF_s": round(roofline, 3),
             "direct_fft_size": [fft_h, fft_w],
             "max_rel_err_vs_f64_fft": float(f"{err:.3e}"),
-            # BENCH_FULL=1 extras (null when skipped):
+            # full-run configs (BENCH_QUICK=1 skips → null):
             "fftmap_parity_GPixF_s": None if v_fftmap is None else round(v_fftmap, 3),
             "amortized_direct_GPixF_s": None if v_amort is None else round(v_amort, 3),
             "pipelined_GPixF_s": None if v_pipe is None else round(v_pipe, 3),
             "bf16_GPixF_s": None if v_bf16 is None else round(v_bf16, 3),
             "batch8_1024_GPixF_s": None if v_batch is None else round(v_batch, 3),
+            "bigkernel_512_GPixF_s": None if v_bigk is None else round(v_bigk, 3),
+            "dpm_hog_bf16_1024f_GPixF_s": None if v_dpm is None else round(v_dpm, 3),
+            "dpm_direct_giantbank_GPixF_s": (
+                None if v_dpm_direct is None else round(v_dpm_direct, 3)
+            ),
         },
     }
     print(json.dumps(result))
