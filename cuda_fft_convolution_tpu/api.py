@@ -336,7 +336,7 @@ def fft_data_tiled(
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     if block_h is None or block_w is None:
-        blk = choose_block_fft(h, w, max_kernel_h, max_kernel_w)
+        blk = choose_block_fft(h, w, max_kernel_h, max_kernel_w, feature_dim=f)
         if blk is None:
             # Caller forced tiling where the planner declines — still honor
             # it with the smallest sane block.
@@ -835,7 +835,10 @@ def fft_conv(
             if data_arr.ndim == 3
             else (data_arr.shape[1], data_arr.shape[2])
         )
-        blk = choose_block_fft(h, w, max_kernel_h, max_kernel_w)
+        blk = choose_block_fft(
+            h, w, max_kernel_h, max_kernel_w,
+            feature_dim=int(data_arr.shape[-1]),
+        )
         if algorithm == "tiled" or blk is not None:
             spectral = fft_data_tiled(
                 data, max_kernel_h, max_kernel_w,

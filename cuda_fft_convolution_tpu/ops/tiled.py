@@ -39,23 +39,45 @@ from cuda_fft_convolution_tpu.utils.fft_size import next_fast_len
 def choose_block_fft(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
     *, min_ratio: int | None = None, max_block: int = 1024,
-    matmul_engine: bool | None = None,
+    matmul_engine: bool | None = None, feature_dim: int = 1,
 ) -> tuple[int, int] | None:
     """Pick the overlap-save block FFT size, or None when tiling won't pay.
 
-    Engine-aware: the MXU-DFT engine's per-output-pixel cost grows ~linearly
-    with block size (dense O(L³) over (L−K+1)² outputs) and works for ANY
-    size, so it wants the smallest block that keeps overlap redundancy sane
-    (≈4×K) with a lane-aligned Hermitian width. The XLA-FFT engine wants
-    5-smooth sizes and larger blocks (≈8×K) since its cost/pixel only grows
-    with log L. Tiling is declined when the kernel is a large fraction of
-    the image (direct engine wins — BASELINE config 3's 2048²×512² regime)
-    or the image doesn't span ≥2 blocks."""
+    A MEASURED geometry table (runtime/autotune.py — seeded from sweeps on
+    real chips, extensible per deployment) is consulted first on TPU; the
+    analytic rules below are the fallback for unmeasured shapes.
+
+    Engine-aware fallback: the MXU-DFT engine's per-output-pixel cost grows
+    ~linearly with block size (dense O(L³) over (L−K+1)² outputs) and works
+    for ANY size, so it wants the smallest block that keeps overlap
+    redundancy sane with a lane-aligned Hermitian width. The XLA-FFT engine
+    wants 5-smooth sizes and larger blocks (≈8×K) since its cost/pixel only
+    grows with log L. Tiling is declined when the kernel is a large fraction
+    of the image (direct engine wins — BASELINE config 3's 2048²×512²
+    regime) or the image doesn't span ≥2 blocks."""
     if matmul_engine is None:
         from cuda_fft_convolution_tpu.ops.conv import _use_matmul_fft
 
         matmul_engine = _use_matmul_fft(max_block, max_block)
     if matmul_engine:
+        from cuda_fft_convolution_tpu.runtime.autotune import (
+            lookup_tuned_geometry,
+        )
+
+        tuned = lookup_tuned_geometry(max_kh, max_kw, feature_dim)
+        if tuned is not None:
+            vh, vw = tuned
+            lh = min(vh + max_kh - 1, max_block)
+            lw = min(vw + max_kw - 1, max_block)
+            # Measured entries skip the analytic redundancy guard (they ARE
+            # the measurement); only require the image to actually span
+            # multiple blocks.
+            if not (
+                data_h + max_kh - 1 <= 2 * lh
+                and data_w + max_kw - 1 <= 2 * lw
+            ):
+                return lh, lw
+            # tuned block doesn't fit this image/kernel ratio → fall through
         # The dense DFT works at ANY size, so geometry is chosen for the
         # hardware: the VALID window (V = L − K + 1) is what gets written,
         # so align V itself — Vh to 8 sublanes, Vw to 128 lanes — which

@@ -1,0 +1,164 @@
+"""Measured block-geometry autotuning for the overlap-save engine.
+
+The tiled engine's throughput is set by the (valid_h, valid_w) block
+geometry; the right choice is a hardware property, not a formula — so this
+module keeps a MEASURED table (seeded from sweeps on real chips,
+perf/sweep_*.py) and lets users extend it on their own device.
+
+Key: (kernel-envelope pow2 per axis, feature-dim bucket). Lookup happens in
+``ops.tiled.choose_block_fft`` before the analytic fallback formula.
+
+This is the TPU analogue of the reference's user-tunable thread-block dims
+(the optional ``[H W D 2D]`` 4-vector, src/cudaConvolutionFFT.cu:72-82) —
+except the knob ships with measured defaults and a tuner instead of magic
+numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# (kh_env, kw_env, f_bucket) -> (valid_h, valid_w). Envelopes are pow-2
+# round-ups of (K-1); f_bucket: 1 for F < 8, 8 for F >= 8.
+# Measured on TPU v5e (perf/sweep_focused.py, 2048² image, N=100 bank):
+# values filled from the recorded sweep artifacts. Lane-aligned Hermitian
+# width (Wc = (vw + kw - 1)//2 + 1 multiple of 128) dominates the vw axis.
+_MEASURED: dict = {}
+
+_ENV_CACHE_PATH = "FFTCONV_AUTOTUNE_CACHE"
+
+
+def _envelope(n: int) -> int:
+    return max(1 << (int(n) - 1).bit_length(), 8)
+
+
+def _key(kh: int, kw: int, f: int) -> tuple:
+    return (_envelope(kh), _envelope(kw), 8 if f >= 8 else 1)
+
+
+def register_tuned_geometry(
+    kh: int, kw: int, valid_h: int, valid_w: int, *, f: int = 1
+) -> None:
+    """Record a measured-best geometry for kernels in (kh, kw)'s envelope."""
+    _MEASURED[_key(kh, kw, f)] = (int(valid_h), int(valid_w))
+
+
+def lookup_tuned_geometry(
+    kh: int, kw: int, f: int = 1
+) -> tuple[int, int] | None:
+    """Best-known (valid_h, valid_w) for this kernel envelope, or None."""
+    _load_user_cache()
+    return _MEASURED.get(_key(kh, kw, f))
+
+
+_user_cache_loaded = False
+
+
+def _load_user_cache() -> None:
+    global _user_cache_loaded
+    if _user_cache_loaded:
+        return
+    _user_cache_loaded = True
+    path = os.environ.get(_ENV_CACHE_PATH, "")
+    if path and os.path.exists(path):
+        try:
+            with open(path) as fh:
+                for k, v in json.load(fh).items():
+                    env_h, env_w, fb = (int(x) for x in k.split(","))
+                    _MEASURED[(env_h, env_w, fb)] = (int(v[0]), int(v[1]))
+        except Exception:
+            pass
+
+
+def save_user_cache() -> None:
+    """Persist the current table to $FFTCONV_AUTOTUNE_CACHE (if set)."""
+    path = os.environ.get(_ENV_CACHE_PATH, "")
+    if not path:
+        return
+    with open(path, "w") as fh:
+        json.dump(
+            {f"{k[0]},{k[1]},{k[2]}": list(v) for k, v in _MEASURED.items()},
+            fh,
+        )
+
+
+def autotune_block_geometry(
+    data_shape: tuple,  # (H, W, F) channels-last
+    kh: int,
+    kw: int,
+    *,
+    n_kernels: int = 32,
+    candidates: list[tuple[int, int]] | None = None,
+    iters: int = 3,
+    register: bool = True,
+) -> tuple[tuple[int, int], dict]:
+    """Measure candidate (valid_h, valid_w) geometries ON THIS DEVICE for
+    the given workload shape and return (best, {geom: seconds}).
+
+    Timing uses the probe-fetch barrier (utils.profiling.device_sync
+    semantics) so it is honest on tunneled runtimes. Each candidate costs
+    one compile — run once per deployment shape, then ``save_user_cache``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuda_fft_convolution_tpu import api as _api
+
+    h, w, f = data_shape
+    if candidates is None:
+        base_h = [max(8, _envelope(kh - 1) // 2), _envelope(kh - 1),
+                  2 * _envelope(kh - 1)]
+        # vw candidates with lane-aligned Hermitian width:
+        # (vw + kw - 1) // 2 + 1 ≡ 0 (mod 128)
+        cand_w = []
+        for m in (1, 2):
+            vw = 256 * m - kw + 1
+            if vw >= 128:
+                cand_w.append(vw)
+        candidates = [(vh, vw) for vh in base_h for vw in cand_w]
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((h, w, f)).astype(np.float32))
+    kerns = jnp.asarray(
+        rng.standard_normal((n_kernels, kh, kw, f)).astype(np.float32)
+    )
+
+    def probed(fn):
+        def wrapped(*args):
+            out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.ravel(leaf)[:4], out
+
+        return jax.jit(wrapped)
+
+    timings: dict = {}
+    for vh, vw in candidates:
+        bh, bw = vh + kh - 1, vw + kw - 1
+        if bh > h + kh - 1 or bw > w + kw - 1:
+            continue
+        try:
+            sd = _api.fft_data_tiled(data, kh, kw, block_h=bh, block_w=bw)
+            sk = _api.fft_kernels(kerns, spectral=sd)
+            jax.block_until_ready((sd.re, sk.re))
+            conv = probed(
+                lambda s, k: _api.conv_spectral(s, k, mode="same")
+            )
+            p, _ = conv(sd, sk)
+            np.asarray(p)  # warmup + barrier
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, _ = conv(sd, sk)
+                np.asarray(p)
+            timings[(vh, vw)] = (time.perf_counter() - t0) / iters
+            del sd, sk
+        except Exception:
+            continue
+    if not timings:
+        raise RuntimeError("no autotune candidate ran successfully")
+    best = min(timings, key=timings.get)
+    if register:
+        register_tuned_geometry(kh, kw, best[0], best[1], f=f)
+    return best, timings

@@ -110,7 +110,9 @@ def make_plan(
         if mode == "fftmap":
             mode = "full"
         # static block geometry, resolved once on host
-        blk = choose_block_fft(h, w, kh, kw) or fallback_block_fft(kh, kw)
+        blk = choose_block_fft(h, w, kh, kw, feature_dim=f) or (
+            fallback_block_fft(kh, kw)
+        )
         block_h, block_w = blk
 
         def _data_fft_t(data):

@@ -122,3 +122,53 @@ def test_aot_plan_tiled_batched(rng):
     want = np.array(fc.fft_conv(data, kernels=kerns, mode="same",
                                 algorithm="direct"))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_autotune_table_lookup_and_registration():
+    """The measured-geometry table: registration keys by pow-2 kernel
+    envelope + feature bucket; choose_block_fft consults it on the matmul
+    engine."""
+    from cuda_fft_convolution_tpu.ops.tiled import choose_block_fft
+    from cuda_fft_convolution_tpu.runtime import autotune
+
+    try:
+        autotune.register_tuned_geometry(64, 64, 48, 192, f=1)
+        assert autotune.lookup_tuned_geometry(64, 64, 1) == (48, 192)
+        # same pow-2 envelope (33..64 -> 64) shares the entry
+        assert autotune.lookup_tuned_geometry(40, 50, 1) == (48, 192)
+        # different feature bucket and envelope are distinct
+        assert autotune.lookup_tuned_geometry(64, 64, 31) is None
+        assert autotune.lookup_tuned_geometry(128, 128, 1) is None
+        # matmul-engine choose_block_fft returns the tuned geometry
+        blk = choose_block_fft(2048, 2048, 64, 64, matmul_engine=True)
+        assert blk == (48 + 63, 192 + 63)
+        # ...but declines when the tuned block doesn't fit the image
+        blk_small = choose_block_fft(64, 64, 64, 64, matmul_engine=True)
+        assert blk_small != (48 + 63, 192 + 63)
+    finally:
+        autotune._MEASURED.clear()
+
+
+def test_autotune_live_measure_cpu(tmp_path, monkeypatch):
+    """autotune_block_geometry measures candidates on the current backend
+    and persists the table."""
+    from cuda_fft_convolution_tpu.runtime import autotune
+
+    try:
+        best, timings = autotune.autotune_block_geometry(
+            (96, 96, 1), 5, 5,
+            n_kernels=4,
+            candidates=[(16, 32), (32, 32)],
+            iters=1,
+        )
+        assert best in timings and len(timings) == 2
+        assert autotune.lookup_tuned_geometry(5, 5, 1) == best
+        cache = tmp_path / "tune.json"
+        monkeypatch.setenv("FFTCONV_AUTOTUNE_CACHE", str(cache))
+        autotune.save_user_cache()
+        autotune._MEASURED.clear()
+        autotune._user_cache_loaded = False
+        assert autotune.lookup_tuned_geometry(5, 5, 1) == best
+    finally:
+        autotune._MEASURED.clear()
+        autotune._user_cache_loaded = False
