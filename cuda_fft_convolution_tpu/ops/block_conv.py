@@ -12,14 +12,22 @@ group × one kernel):
        transpose pass ever touches HBM.
 
 HBM sees exactly: block spectra (once per block group), kernel spectra
-(once per (group, kernel)), and the final maps. Each cell covers MBH
-vertically-adjacent blocks so their valid windows form one contiguous
-(MBH·V_h, V_w) output tile and the kernel-spectrum fetch is amortized
-over MBH blocks.
+(once per (group, kernel)), and the final maps — ~4× less traffic than the
+unfused pipeline, whose product/intermediate tensors round-trip HBM.
 
-Complex math is split re/im fp32 (TPU Pallas has no complex dtype); all
-matmuls accumulate fp32 on the MXU at HIGHEST precision (default MXU bf16
-measured 2.3e-3 rel err, far above the 1e-5 bar).
+MXU-shape discipline (v2 — the v1 kernel looped mbh small dots and lost to
+the unfused path): the MBH vertically-adjacent blocks in a cell are
+column-STACKED so the H-stage dots are full-width —
+
+    MAC     → S (Lh, MBH·Wc)      column-stacked per block
+    H-stage → 4 dots (Vh, Lh) @ (Lh, MBH·Wc)       [one per re/im term]
+    W-stage → 2 dots (Vh, Wc) @ (Wc, Vw) per block
+
+(A row-restacked single W dot was tried and hits a Mosaic limitation —
+tpu.concatenate cannot merge lane-offset slices along the sublane axis:
+"result/input offset mismatch on non-concat dimension".) All matmuls
+accumulate fp32 on the MXU at HIGHEST precision (default MXU bf16 measured
+2.3e-3 rel err, far above the 1e-5 bar).
 
 This is the Pallas realization of what the reference's streams variant
 gestures at (keep per-kernel work on-chip and overlapped,
@@ -38,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cuda_fft_convolution_tpu.ops.dft import _inv_full_mats, _inv_packed_mats
 
 
-def _make_kernel(mbh: int, vh: int):
+def _make_kernel(mbh: int, f: int, vh: int, wc: int):
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, out_ref):
         kr, ki = kr_ref[0], ki_ref[0]  # (F, Lh, Wc)
@@ -50,17 +58,24 @@ def _make_kernel(mbh: int, vh: int):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        # 1. MAC over channels (VPU), blocks column-stacked → (Lh, MBH·Wc)
+        srs, sis = [], []
         for i in range(mbh):  # static unroll over the block group
             dr, di = dr_ref[0, i, 0], di_ref[0, i, 0]  # (F, Lh, Wc)
-            # 1. MAC over channels (VPU)
-            sr = jnp.sum(kr * dr - ki * di, axis=0)  # (Lh, Wc)
-            si = jnp.sum(kr * di + ki * dr, axis=0)
-            # 2. windowed H-inverse (complex)
-            xr = dot(gr, sr) - dot(gi, si)  # (Vh, Wc)
-            xi = dot(gr, si) + dot(gi, sr)
-            # 3. windowed W-inverse (real output) + 4. direct placement
-            out_ref[0, 0, i * vh : (i + 1) * vh, :] = dot(xr, mr) + dot(
-                xi, mi
+            srs.append(jnp.sum(kr * dr - ki * di, axis=0))  # (Lh, Wc)
+            sis.append(jnp.sum(kr * di + ki * dr, axis=0))
+        s_r = jnp.concatenate(srs, axis=1)  # (Lh, MBH·Wc)
+        s_i = jnp.concatenate(sis, axis=1)
+        # 2. windowed H-inverse (complex): full-width MXU dots
+        xr = dot(gr, s_r) - dot(gi, s_i)  # (Vh, MBH·Wc)
+        xi = dot(gr, s_i) + dot(gi, s_r)
+        # 3. windowed W-inverse (real output) per block + direct placement
+        #    of each valid window into the output tile, clipped at edges
+        for i in range(mbh):
+            xr_i = xr[:, i * wc:(i + 1) * wc]
+            xi_i = xi[:, i * wc:(i + 1) * wc]
+            out_ref[0, 0, i * vh:(i + 1) * vh, :] = (
+                dot(xr_i, mr) + dot(xi_i, mi)
             )
 
     return _kernel
@@ -70,12 +85,12 @@ def block_conv_vmem_bytes(
     f: int, lh: int, wc: int, vh: int, vw: int, mbh: int = 4
 ) -> int:
     """Estimated per-cell VMEM working set (double-buffered I/O blocks +
-    matrices + intermediates)."""
+    matrices + stacked intermediates)."""
     d_block = 4 * 2 * mbh * f * lh * wc
     k_block = 4 * 2 * f * lh * wc
     out_block = 4 * mbh * vh * vw
     mats = 4 * 2 * (vh * lh + wc * vw)
-    inter = 4 * (2 * lh * wc + 2 * vh * wc + vh * vw)
+    inter = 4 * (2 * lh * mbh * wc + 4 * vh * mbh * wc)
     return 2 * (d_block + k_block + out_block) + mats + inter
 
 
@@ -86,9 +101,9 @@ def block_conv_fits_vmem(f: int, lh: int, wc: int, vh: int, vw: int) -> bool:
 
 def _choose_mbh(nbh: int, f: int, lh: int, wc: int, vh: int, vw: int) -> int:
     """Vertical blocks per cell: amortizes the kernel-spectrum fetch and
-    enlarges output tiles, bounded by VMEM."""
+    widens the MXU dots (H-dot columns = MBH·Wc), bounded by VMEM."""
     mbh = 1
-    for cand in (2, 4, 8):
+    for cand in (2, 4, 8, 16):
         if cand <= nbh and block_conv_vmem_bytes(f, lh, wc, vh, vw, cand) < (
             12 << 20
         ):
@@ -158,7 +173,7 @@ def block_conv_pallas(
         memory_space=pltpu.VMEM,
     )
 
-    kern = _make_kernel(mbh, vh)
+    kern = _make_kernel(mbh, f, vh, wc)
 
     flops_mac = 8 * f * lh * wc
     flops_h = 8 * vh * lh * wc

@@ -179,3 +179,26 @@ def test_matmul_tiled_property_sweep(rng):
             )
     finally:
         fc.set_config(use_matmul_fft=None)
+
+
+def test_fused_block_conv_mbh_grouping(rng):
+    """The fused kernel's MBH block grouping (column-stacked H-stage dots)
+    with a non-dividing block count (pad group clipped at out_h) must match
+    the unfused pipeline."""
+    from cuda_fft_convolution_tpu.ops.block_conv import _choose_mbh
+
+    data = rng.standard_normal((100, 90, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((6, 6, 2)).astype(np.float32) for _ in range(3)]
+    # block (21, 37): vh=16, vw=32, nbh=ceil(105/16)=7 → mbh>1 and 7%mbh!=0
+    sd = fc.fft_data_tiled(data, 6, 6, block_h=21, block_w=37)
+    nbh = sd.re.shape[0]
+    assert _choose_mbh(nbh, 2, 21, 19, 16, 32) > 1
+    want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    try:
+        fc.set_config(use_fused_block_conv=True)
+        got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    finally:
+        fc.set_config(use_fused_block_conv=None)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    ref = fft_conv_full_f64(data, kerns[1])
+    assert rel_err(got[1], ref) < 1e-5
