@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cuda_fft_convolution_tpu.ops.dft import _inv_full_mats, _inv_packed_mats
 
 
-def _make_kernel(mbh: int, f: int, vh: int, wc: int):
+def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, out_ref):
         kr, ki = kr_ref[0], ki_ref[0]  # (F, Lh, Wc)
@@ -56,7 +56,7 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int):
             jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         # 1. MAC over channels (VPU), blocks column-stacked → (Lh, MBH·Wc)
         srs, sis = [], []
@@ -66,9 +66,19 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int):
             sis.append(jnp.sum(kr * di + ki * dr, axis=0))
         s_r = jnp.concatenate(srs, axis=1)  # (Lh, MBH·Wc)
         s_i = jnp.concatenate(sis, axis=1)
-        # 2. windowed H-inverse (complex): full-width MXU dots
-        xr = dot(gr, s_r) - dot(gi, s_i)  # (Vh, MBH·Wc)
-        xi = dot(gr, s_i) + dot(gi, s_r)
+        # 2. windowed H-inverse (complex): full-width MXU dots. Karatsuba
+        #    trades the 4th dot for two VPU adds on VMEM-resident values —
+        #    the extra temporaries that make it memory-unsafe in the XLA
+        #    path never touch HBM here.
+        if karatsuba:
+            t1 = dot(gr, s_r)
+            t2 = dot(gi, s_i)
+            t3 = dot(gr + gi, s_r + s_i)
+            xr = t1 - t2  # (Vh, MBH·Wc)
+            xi = t3 - t1 - t2
+        else:
+            xr = dot(gr, s_r) - dot(gi, s_i)
+            xi = dot(gr, s_i) + dot(gi, s_r)
         # 3. windowed W-inverse (real output) per block + direct placement
         #    of each valid window into the output tile, clipped at edges
         for i in range(mbh):
@@ -114,7 +124,7 @@ def _choose_mbh(nbh: int, f: int, lh: int, wc: int, vh: int, vw: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
-                     "interpret"),
+                     "interpret", "precision", "karatsuba", "mbh"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32
@@ -129,15 +139,28 @@ def block_conv_pallas(
     out_w: int,
     *,
     interpret: bool = False,
+    precision=None,
+    karatsuba: bool = True,
+    mbh: int | None = None,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
     assembled in place by clipped block writes, normalization folded in.
-    Spectra arrive as split (re, im) f32 planes — the kernel's native form."""
+    Spectra arrive as split (re, im) f32 planes — the kernel's native form.
+
+    ``precision=None`` follows the global matmul_precision config;
+    ``karatsuba`` uses 3 H-stage dots instead of 4 (exact — it is the same
+    bilinear form); ``mbh`` overrides the VMEM-model block-group size."""
     b, nbh, nbw, f, lh, wc = dr.shape
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     assert lh == block_h and wc == block_w // 2 + 1
-    mbh = _choose_mbh(nbh, f, lh, wc, vh, vw)
+    if precision is None:
+        from cuda_fft_convolution_tpu.ops.conv import _matmul_precision
+
+        precision = _matmul_precision()
+    if mbh is None:
+        mbh = _choose_mbh(nbh, f, lh, wc, vh, vw)
+    mbh = min(mbh, nbh)
     gbh = -(-nbh // mbh)  # block groups along H
     if gbh * mbh != nbh:
         # pad block axis; padded blocks write rows beyond out_h → clipped
@@ -173,7 +196,7 @@ def block_conv_pallas(
         memory_space=pltpu.VMEM,
     )
 
-    kern = _make_kernel(mbh, f, vh, wc)
+    kern = _make_kernel(mbh, f, vh, wc, precision, karatsuba)
 
     flops_mac = 8 * f * lh * wc
     flops_h = 8 * vh * lh * wc
