@@ -140,16 +140,19 @@ def block_conv_pallas(
     *,
     interpret: bool = False,
     precision=None,
-    karatsuba: bool = True,
+    karatsuba: bool = False,
     mbh: int | None = None,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
     assembled in place by clipped block writes, normalization folded in.
     Spectra arrive as split (re, im) f32 planes — the kernel's native form.
 
-    ``precision=None`` follows the global matmul_precision config;
-    ``karatsuba`` uses 3 H-stage dots instead of 4 (exact — it is the same
-    bilinear form); ``mbh`` overrides the VMEM-model block-group size."""
+    ``precision=None`` follows the global matmul_precision config (note
+    Mosaic dots support HIGHEST/DEFAULT only — HIGH raises);
+    ``karatsuba`` uses 3 H-stage dots instead of 4 (exact — same bilinear
+    form; off by default: the extra VMEM temporaries overflowed at the
+    measured-best MBH on v5e); ``mbh`` overrides the VMEM-model group size
+    (forcing it past the model overflows VMEM — Mosaic aborts)."""
     b, nbh, nbw, f, lh, wc = dr.shape
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1

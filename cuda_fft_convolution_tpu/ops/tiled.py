@@ -66,7 +66,7 @@ def choose_block_fft(
 
         tuned = lookup_tuned_geometry(max_kh, max_kw, feature_dim)
         if tuned is not None:
-            vh, vw = tuned
+            vh, vw, _ = tuned
             lh = min(vh + max_kh - 1, max_block)
             lw = min(vw + max_kw - 1, max_block)
             # Measured entries skip the analytic redundancy guard (they ARE
@@ -191,12 +191,25 @@ def conv_blocks(
     dflat_im = d_im.reshape(b * nbh * nbw, f, lh, lwc)
     fused = get_config().use_fused_block_conv
     if fused is None:
-        # auto: OFF. With (8,128)-aligned valid windows the unfused XLA
-        # pipeline matches the fused Pallas kernel on v5e (84.7 vs 87.3 ms
-        # on the 2048²×100×64² config) and composes better with neighboring
-        # ops; the fused kernel stays available via config for backends
-        # where XLA's scheduling loses.
+        # auto: follow the MEASURED autotune table — shapes where the fused
+        # v2 kernel (column-stacked full-width MXU dots) beat the unfused
+        # pipeline on real hardware run fused; unmeasured shapes stay on
+        # the unfused path (its traffic roofline is a known quantity).
         fused = False
+        if jax.default_backend() == "tpu" and _use_matmul_fft(
+            block_h, block_w
+        ):
+            from cuda_fft_convolution_tpu.runtime.autotune import (
+                lookup_tuned_geometry,
+            )
+
+            tuned = lookup_tuned_geometry(kh, kw, f)
+            if tuned is not None and tuned[2]:
+                from cuda_fft_convolution_tpu.ops.block_conv import (
+                    block_conv_fits_vmem,
+                )
+
+                fused = block_conv_fits_vmem(f, lh, lwc, vh, vw)
     if fused and jax.default_backend() == "tpu" and (
         vh % 8 != 0 or vw % 128 != 0
     ):

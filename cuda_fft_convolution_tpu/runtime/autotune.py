@@ -20,11 +20,23 @@ import json
 import os
 import time
 
-# (kh_env, kw_env, f_bucket) -> (valid_h, valid_w). Envelopes are pow-2
-# round-ups of (K-1); f_bucket: 1 for F < 8, 8 for F >= 8.
-# Measured on TPU v5e (perf/sweep_focused.py, 2048² image, N=100 bank):
-# values filled from the recorded sweep artifacts. Lane-aligned Hermitian
-# width (Wc = (vw + kw - 1)//2 + 1 multiple of 128) dominates the vw axis.
+# (kh_env, kw_env, f_bucket) -> (valid_h, valid_w, use_fused). Envelopes are
+# pow-2 round-ups; f_bucket: 1 for F < 8, 8 for F >= 8. ``use_fused`` routes
+# the shape through the fused Pallas block-conv kernel (ops/block_conv.py)
+# when its alignment/VMEM constraints hold.
+# Measured on TPU v5e (perf/sweep_focused.py + perf/bench_fused_knobs.py,
+# 2048² image, N=100 bank). Findings: lane-aligned Hermitian width
+# (Wc = (vw+kw-1)//2+1 multiple of 128) dominates the unfused vw axis
+# (best (64,192) = 80.1 ms); the fused kernel at its alignment-legal
+# geometries matches/beats it ((64,512) = 77.8 ms).
+# Shipped seeds, measured on TPU v5e in this repo's perf/ sweeps; the
+# user-level _MEASURED overlay (register_tuned_geometry / cache file)
+# takes precedence and can be cleared without losing these.
+_BUILTIN: dict = {
+    # 2048² image × 100 kernels of 64², F=1: fused block-conv at (64, 512)
+    # measured 77.8 ms vs unfused-best (64, 192) 80.1 ms.
+    (64, 64, 1): (64, 512, True),
+}
 _MEASURED: dict = {}
 
 _ENV_CACHE_PATH = "FFTCONV_AUTOTUNE_CACHE"
@@ -39,18 +51,27 @@ def _key(kh: int, kw: int, f: int) -> tuple:
 
 
 def register_tuned_geometry(
-    kh: int, kw: int, valid_h: int, valid_w: int, *, f: int = 1
+    kh: int, kw: int, valid_h: int, valid_w: int, *, f: int = 1,
+    fused: bool = False,
 ) -> None:
-    """Record a measured-best geometry for kernels in (kh, kw)'s envelope."""
-    _MEASURED[_key(kh, kw, f)] = (int(valid_h), int(valid_w))
+    """Record a measured-best geometry (and whether the fused Pallas
+    block-conv won) for kernels in (kh, kw)'s envelope."""
+    _MEASURED[_key(kh, kw, f)] = (int(valid_h), int(valid_w), bool(fused))
 
 
 def lookup_tuned_geometry(
     kh: int, kw: int, f: int = 1
-) -> tuple[int, int] | None:
-    """Best-known (valid_h, valid_w) for this kernel envelope, or None."""
+) -> tuple[int, int, bool] | None:
+    """Best-known (valid_h, valid_w, use_fused) for this kernel envelope,
+    or None."""
     _load_user_cache()
-    return _MEASURED.get(_key(kh, kw, f))
+    key = _key(kh, kw, f)
+    hit = _MEASURED.get(key, _BUILTIN.get(key))
+    if hit is None:
+        return None
+    if len(hit) == 2:  # legacy 2-tuple cache entries
+        return (hit[0], hit[1], False)
+    return tuple(hit)
 
 
 _user_cache_loaded = False

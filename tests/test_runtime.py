@@ -133,9 +133,9 @@ def test_autotune_table_lookup_and_registration():
 
     try:
         autotune.register_tuned_geometry(64, 64, 48, 192, f=1)
-        assert autotune.lookup_tuned_geometry(64, 64, 1) == (48, 192)
+        assert autotune.lookup_tuned_geometry(64, 64, 1) == (48, 192, False)
         # same pow-2 envelope (33..64 -> 64) shares the entry
-        assert autotune.lookup_tuned_geometry(40, 50, 1) == (48, 192)
+        assert autotune.lookup_tuned_geometry(40, 50, 1) == (48, 192, False)
         # different feature bucket and envelope are distinct
         assert autotune.lookup_tuned_geometry(64, 64, 31) is None
         assert autotune.lookup_tuned_geometry(128, 128, 1) is None
@@ -162,13 +162,28 @@ def test_autotune_live_measure_cpu(tmp_path, monkeypatch):
             iters=1,
         )
         assert best in timings and len(timings) == 2
-        assert autotune.lookup_tuned_geometry(5, 5, 1) == best
+        assert autotune.lookup_tuned_geometry(5, 5, 1) == (*best, False)
         cache = tmp_path / "tune.json"
         monkeypatch.setenv("FFTCONV_AUTOTUNE_CACHE", str(cache))
         autotune.save_user_cache()
         autotune._MEASURED.clear()
         autotune._user_cache_loaded = False
-        assert autotune.lookup_tuned_geometry(5, 5, 1) == best
+        assert autotune.lookup_tuned_geometry(5, 5, 1) == (*best, False)
     finally:
         autotune._MEASURED.clear()
         autotune._user_cache_loaded = False
+
+
+def test_autotune_builtin_seed_v5e():
+    """The shipped v5e-measured entry survives user-overlay clears and
+    carries the fused-engine flag."""
+    from cuda_fft_convolution_tpu.runtime import autotune
+
+    autotune._MEASURED.clear()
+    hit = autotune.lookup_tuned_geometry(64, 64, 1)
+    assert hit == (64, 512, True)
+    # user registration overrides the builtin; clearing restores it
+    autotune.register_tuned_geometry(64, 64, 32, 192, f=1, fused=False)
+    assert autotune.lookup_tuned_geometry(64, 64, 1) == (32, 192, False)
+    autotune._MEASURED.clear()
+    assert autotune.lookup_tuned_geometry(64, 64, 1) == (64, 512, True)
