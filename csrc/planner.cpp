@@ -96,25 +96,46 @@ void ffc_plan_bank(int64_t n, int64_t f, int64_t fft_h, int64_t fft_w,
                    int64_t b, int64_t hbm_budget_bytes, int64_t* out_chunk,
                    int64_t* out_peak_bytes) {
   const int64_t wc = fft_w / 2 + 1;
-  const int64_t spec = fft_h * wc * 8;      // one c64 spectrum plane
-  const int64_t map = fft_h * fft_w * 4;    // one f32 output map
-  // Per bank-kernel per chunk: kernel spectrum (f planes) + product (b
-  // planes) + output maps (b) + inverse-FFT scratch (XLA's C2R lowering
-  // materializes a full-size c64 intermediate, ~2*map). x2 for double
-  // buffering (XLA overlaps the next chunk while this one retires).
-  const int64_t per_kernel = 2 * (f * spec + b * spec + b * (3 * map));
-  // Fixed: data spectra (b*f planes), input data, and the RESIDENT bank
-  // spectra (n*f planes) — in the amortized path the whole bank lives in
-  // HBM while chunks stream through it.
+  // PADDED bytes: TPU HBM stores f32 arrays in (8, 128) tiles, so the
+  // trailing (h, wc) dims round up — a (540, 271) spectrum plane occupies
+  // (544, 384), 1.43x its nominal bytes (measured: the nominal model
+  // OOM'd a 9.3 GB-nominal / 13.3 GB-padded bank at every chunk size).
+  const int64_t h_pad = ffc_align_up(fft_h, 8);
+  const int64_t spec = h_pad * ffc_align_up(wc, 128) * 8;
+  const int64_t map = h_pad * ffc_align_up(fft_w, 128) * 4;
+  // Fixed: data spectra (b*f planes), input data, the RESIDENT bank spectra
+  // (n*f planes), and the full output maps (b*n) — all live for the whole
+  // call regardless of chunking.
   const int64_t fixed =
-      b * f * spec + b * f * fft_h * fft_w * 4 + n * f * spec;
+      b * f * spec + b * f * fft_h * fft_w * 4 + n * f * spec + b * n * map;
+  // UNCHUNKED working set per kernel: products (b planes) + inverse scratch
+  // (~2 maps); x2 for producer/consumer overlap. For f > 1 the MAC's
+  // F-contraction relayouts the bank (measured: a whole-bank dot OOMs at
+  // sizes the in-place model says fit), so budget must also cover one
+  // bank-sized relayout copy; f == 1 is elementwise and truly in-place.
+  const int64_t per_unchunked = 2 * (b * spec + 2 * b * map);
+  const int64_t unchunked_extra = (f > 1) ? n * f * spec : 0;
   int64_t budget = hbm_budget_bytes - fixed;
-  if (budget < per_kernel) budget = per_kernel;
-  int64_t chunk = budget / per_kernel;
+  if (budget >= n * per_unchunked + unchunked_extra) {
+    // Whole bank in one pass — measured to be both the fastest and the
+    // memory-honest choice (a chunked lax.map pays a bank-slice COPY per
+    // chunk; with chunk_size 1 that was a measured 30x slowdown).
+    *out_chunk = n;
+    *out_peak_bytes = fixed + n * per_unchunked + unchunked_extra;
+    return;
+  }
+  // Chunked: each chunk's working set adds a bank-slice copy PLUS its
+  // F-contraction relayout (f planes each, f > 1) on top of products/maps;
+  // x2 for double buffering. (A chunk of 42 with the single-copy model
+  // OOM'd on hardware; the relayout term restores the safety margin.)
+  const int64_t slice_copies = (f > 1) ? 2 * f * spec : f * spec;
+  const int64_t per_chunked = 2 * (slice_copies + b * spec + b * (3 * map));
+  if (budget < per_chunked) budget = per_chunked;
+  int64_t chunk = budget / per_chunked;
   if (chunk > n) chunk = n;
   if (chunk < 1) chunk = 1;
   *out_chunk = chunk;
-  *out_peak_bytes = fixed + chunk * per_kernel;
+  *out_peak_bytes = fixed + chunk * per_chunked;
 }
 
 // ABI version for the ctypes loader's compatibility check.

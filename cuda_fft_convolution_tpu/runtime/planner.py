@@ -79,18 +79,42 @@ def plan_bank(
         return BankPlan(int(chunk.value), int(peak.value))
     # Pure-Python fallback — same arithmetic as csrc/planner.cpp:ffc_plan_bank.
     wc = fft_w // 2 + 1
-    spec = fft_h * wc * 8
-    map_bytes = fft_h * fft_w * 4
-    per_kernel = 2 * (
-        feature_dim * spec + batch * spec + batch * (3 * map_bytes)
-    )
-    # resident bank spectra count as fixed: the whole bank lives in HBM
-    # while chunks stream through it (csrc/planner.cpp keeps in sync)
+    # PADDED bytes — TPU HBM tiles f32 as (8, 128) on the trailing dims; a
+    # (540, 271) plane occupies (544, 384), 1.43x nominal (measured OOMs
+    # with the nominal model). csrc/planner.cpp keeps in sync.
+    h_pad = -(-fft_h // 8) * 8
+    spec = h_pad * (-(-wc // 128) * 128) * 8
+    map_bytes = h_pad * (-(-fft_w // 128) * 128) * 4
+    # Fixed: data spectra + input + RESIDENT bank spectra + full output maps.
     fixed = (
         batch * feature_dim * spec
         + batch * feature_dim * fft_h * fft_w * 4
         + n_kernels * feature_dim * spec
+        + batch * n_kernels * map_bytes
     )
-    budget = max(hbm_budget_bytes - fixed, per_kernel)
-    chunk = max(1, min(n_kernels, budget // per_kernel))
-    return BankPlan(int(chunk), int(fixed + chunk * per_kernel))
+    budget = hbm_budget_bytes - fixed
+    # Unchunked per-kernel cost: products + inverse scratch. For F > 1 the
+    # MAC's F-contraction relayouts the bank (measured: a whole-bank dot
+    # OOMs at sizes an in-place model says fit) — require headroom for one
+    # bank-sized relayout copy; F == 1 is elementwise, truly in-place.
+    # Prefer unchunked whenever it fits (a chunked lax.map pays a
+    # bank-slice copy per chunk; chunk_size=1 measured 30x slower on the
+    # 9.3 GB-bank config).
+    per_unchunked = 2 * (batch * spec + 2 * batch * map_bytes)
+    unchunked_extra = n_kernels * feature_dim * spec if feature_dim > 1 else 0
+    if budget >= n_kernels * per_unchunked + unchunked_extra:
+        return BankPlan(
+            int(n_kernels),
+            int(fixed + n_kernels * per_unchunked + unchunked_extra),
+        )
+    # Slice copy + its F-contraction relayout (F > 1) per kernel; a chunk
+    # of 42 with a single-copy model OOM'd on hardware.
+    slice_copies = (
+        2 * feature_dim * spec if feature_dim > 1 else feature_dim * spec
+    )
+    per_chunked = 2 * (
+        slice_copies + batch * spec + batch * (3 * map_bytes)
+    )
+    budget = max(budget, per_chunked)
+    chunk = max(1, min(n_kernels, budget // per_chunked))
+    return BankPlan(int(chunk), int(fixed + chunk * per_chunked))

@@ -187,3 +187,23 @@ def test_autotune_builtin_seed_v5e():
     assert autotune.lookup_tuned_geometry(64, 64, 1) == (32, 192, False)
     autotune._MEASURED.clear()
     assert autotune.lookup_tuned_geometry(64, 64, 1) == (64, 512, True)
+
+
+def test_plan_bank_native_matches_python(monkeypatch):
+    """csrc/planner.cpp ffc_plan_bank must agree with the Python fallback."""
+    from cuda_fft_convolution_tpu.runtime import native, planner
+
+    lib = planner.get_native_planner()
+    if lib is None:
+        pytest.skip("native planner unavailable")
+    cases = [
+        (256, 31, 540, 540, 1, 12 << 30),   # giant bank: unchunked
+        (100, 1, 2160, 2160, 8, 4 << 30),   # tight: chunk 1
+        (100, 1, 2160, 2160, 1, 12 << 30),
+        (10, 3, 80, 16, 1, 8 << 30),
+    ]
+    native_plans = [planner.plan_bank(*c[:5], hbm_budget_bytes=c[5]) for c in cases]
+    monkeypatch.setattr(native, "load", lambda: None)
+    python_plans = [planner.plan_bank(*c[:5], hbm_budget_bytes=c[5]) for c in cases]
+    for c, a, b in zip(cases, native_plans, python_plans):
+        assert (a.chunk_size, a.peak_bytes) == (b.chunk_size, b.peak_bytes), c
