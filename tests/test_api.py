@@ -173,8 +173,10 @@ def test_api_is_jit_transparent(rng):
 
 
 def test_ragged_same_mode_uses_each_kernels_window(rng):
-    """'same' with a ragged bank must center per kernel size (MATLAB conv2
-    'same' semantics), not reuse the first kernel's offset."""
+    """'same' with a ragged bank must center per kernel size, not reuse the
+    first kernel's offset. Centering uses the scipy/numpy convention
+    ((K-1)//2); note MATLAB conv2 'same' uses K//2 — one pixel lower for
+    even kernels (documented in api._trim)."""
     data = rng.standard_normal((20, 20, 1)).astype(np.float32)
     k1 = rng.standard_normal((3, 3, 1)).astype(np.float32)
     k2 = rng.standard_normal((7, 5, 1)).astype(np.float32)
