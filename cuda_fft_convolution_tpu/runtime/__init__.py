@@ -11,6 +11,9 @@ execution schedule (src/cudaConvFFTDataStreams.cu:273-328). Here:
   - ``plan``: ``FftConvPlan`` — geometry fixed up front, all XLA executables
     compiled ahead of time (jax AOT). The cufftPlanMany analogue: pay
     compilation once, then every execute() is dispatch-only.
+  - ``autotune``: measured block-geometry table + on-device tuner (the
+    reference's thread-dim 4-vector knob, src/cudaConvolutionFFT.cu:72-82,
+    done with measurements instead of magic numbers).
 """
 
 from cuda_fft_convolution_tpu.runtime.planner import (
@@ -19,8 +22,18 @@ from cuda_fft_convolution_tpu.runtime.planner import (
     plan_bank,
 )
 from cuda_fft_convolution_tpu.runtime.plan import FftConvPlan, make_plan
+from cuda_fft_convolution_tpu.runtime.autotune import (
+    autotune_block_geometry,
+    lookup_tuned_geometry,
+    register_tuned_geometry,
+    save_user_cache,
+)
 
 __all__ = [
+    "autotune_block_geometry",
+    "lookup_tuned_geometry",
+    "register_tuned_geometry",
+    "save_user_cache",
     "BankPlan",
     "get_native_planner",
     "plan_bank",
