@@ -46,6 +46,49 @@ from jax.experimental.pallas import tpu as pltpu
 from cuda_fft_convolution_tpu.ops.dft import _inv_full_mats, _inv_packed_mats
 
 
+def _make_kernel_v3(mbh: int, f: int, vh: int, wc: int, precision,
+                    karatsuba):
+    """v3 (row-stacked W stage): per-block H-dots land in a VMEM scratch at
+    row offset i·Vh (plain 8-aligned stores — sidesteps the Mosaic
+    tpu.concatenate limitation that blocked restacking v2's column-stacked
+    slices), then ONE W-stage dot (MBH·Vh, Wc) @ (Wc, Vw) synthesizes the
+    whole output tile. Both hot dots now have ≥128 rows — v2's dots all had
+    Vh (=64 at the headline geometry) rows, i.e. ≤50% MXU row utilization."""
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
+                mi_ref, out_ref, xr_ref, xi_ref):
+        kr, ki = kr_ref[0], ki_ref[0]  # (F, Lh, Wc)
+        gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        for i in range(mbh):  # static unroll over the block group
+            dr, di = dr_ref[0, i, 0], di_ref[0, i, 0]  # (F, Lh, Wc)
+            s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (Lh, Wc)
+            s_i = jnp.sum(kr * di + ki * dr, axis=0)
+            if karatsuba:
+                t1 = dot(gr, s_r)
+                t2 = dot(gi, s_i)
+                t3 = dot(gr + gi, s_r + s_i)
+                xr_ref[i * vh:(i + 1) * vh, :] = t1 - t2
+                xi_ref[i * vh:(i + 1) * vh, :] = t3 - t1 - t2
+            else:
+                xr_ref[i * vh:(i + 1) * vh, :] = (
+                    dot(gr, s_r) - dot(gi, s_i)
+                )
+                xi_ref[i * vh:(i + 1) * vh, :] = (
+                    dot(gr, s_i) + dot(gi, s_r)
+                )
+        out_ref[0, 0, :, :] = (
+            dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
+        )
+
+    return _kernel
+
+
 def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, out_ref):
@@ -95,7 +138,8 @@ def block_conv_vmem_bytes(
     f: int, lh: int, wc: int, vh: int, vw: int, mbh: int = 4
 ) -> int:
     """Estimated per-cell VMEM working set (double-buffered I/O blocks +
-    matrices + stacked intermediates)."""
+    matrices + scratch/stacked intermediates; sized for the larger of the
+    v2/v3 kernel variants so the model covers both)."""
     d_block = 4 * 2 * mbh * f * lh * wc
     k_block = 4 * 2 * f * lh * wc
     out_block = 4 * mbh * vh * vw
@@ -124,7 +168,7 @@ def _choose_mbh(nbh: int, f: int, lh: int, wc: int, vh: int, vw: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
-                     "interpret", "precision", "karatsuba", "mbh"),
+                     "interpret", "precision", "karatsuba", "mbh", "wstack"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32
@@ -142,6 +186,7 @@ def block_conv_pallas(
     precision=None,
     karatsuba: bool = False,
     mbh: int | None = None,
+    wstack: bool = True,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
     assembled in place by clipped block writes, normalization folded in.
@@ -152,7 +197,10 @@ def block_conv_pallas(
     ``karatsuba`` uses 3 H-stage dots instead of 4 (exact — same bilinear
     form; off by default: the extra VMEM temporaries overflowed at the
     measured-best MBH on v5e); ``mbh`` overrides the VMEM-model group size
-    (forcing it past the model overflows VMEM — Mosaic aborts)."""
+    (forcing it past the model overflows VMEM — Mosaic aborts);
+    ``wstack=True`` selects the v3 kernel (row-stacked single W-stage dot
+    via VMEM scratch — full MXU row utilization), False the v2 kernel
+    (column-stacked H stage, per-block W dots)."""
     b, nbh, nbw, f, lh, wc = dr.shape
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
@@ -199,7 +247,15 @@ def block_conv_pallas(
         memory_space=pltpu.VMEM,
     )
 
-    kern = _make_kernel(mbh, f, vh, wc, precision, karatsuba)
+    if wstack:
+        kern = _make_kernel_v3(mbh, f, vh, wc, precision, karatsuba)
+        scratch = [
+            pltpu.VMEM((mbh * vh, wc), jnp.float32),
+            pltpu.VMEM((mbh * vh, wc), jnp.float32),
+        ]
+    else:
+        kern = _make_kernel(mbh, f, vh, wc, precision, karatsuba)
+        scratch = []
 
     flops_mac = 8 * f * lh * wc
     flops_h = 8 * vh * lh * wc
@@ -207,6 +263,7 @@ def block_conv_pallas(
     out = pl.pallas_call(
         kern,
         grid=grid,
+        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec(
                 (1, mbh, 1, f, lh, wc),

@@ -25,6 +25,10 @@ import jax  # noqa: E402
 
 if os.environ.get("FFTCONV_TEST_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # First TPU compiles go through a remote-compile service (minutes);
+    # persist them so a suite run is feasible and re-runs are fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -162,14 +162,17 @@ def test_api_is_jit_transparent(rng):
             jnp.asarray(data), jnp.asarray(kerns)
         )
     )
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # Different fusion inside vs outside the user jit reorders fp32
+    # reductions on TPU — compare at the accuracy bar (1e-5 on O(10)
+    # outputs), not bitwise.
+    np.testing.assert_allclose(got, want, atol=1e-5)
     sd = fc.fft_data(data, 5, 5)
     got2 = np.array(
         jax.jit(lambda s, k: fc.conv_spectral(s, k, mode="same"))(
             sd, jnp.asarray(kerns)
         )
     )
-    np.testing.assert_allclose(got2, want, atol=1e-6)
+    np.testing.assert_allclose(got2, want, atol=1e-5)
 
 
 def test_ragged_same_mode_uses_each_kernels_window(rng):

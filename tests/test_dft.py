@@ -2,6 +2,7 @@
 jnp.fft on every geometry, and the engine flip must be invisible through the
 public API (set_config invalidates cached executables)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -97,9 +98,10 @@ def test_matmul_gradients(rng):
 
 def test_irfft2_mm_partial_window(rng):
     """window=(r0,nr,c0,nc) equals the full inverse sliced."""
-    s = jnp.asarray(
-        (rng.standard_normal((2, 32, 17)) + 1j * rng.standard_normal((2, 32, 17)))
-        .astype(np.complex64)
+    # device-side complex (host-complex H2D is unimplemented on axon TPU)
+    s = jax.jit(jax.lax.complex)(
+        jnp.asarray(rng.standard_normal((2, 32, 17)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 32, 17)).astype(np.float32)),
     )
     full = irfft2_mm(s, 32, 32)
     part = irfft2_mm(s, 32, 32, window=(5, 12, 7, 20))

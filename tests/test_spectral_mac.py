@@ -16,9 +16,20 @@ from cuda_fft_convolution_tpu.ops.spectral_mac import (
 
 
 def _random_spectra(rng, b, n, f, h, wc):
-    d = (rng.standard_normal((b, f, h, wc)) + 1j * rng.standard_normal((b, f, h, wc)))
-    k = (rng.standard_normal((n, f, h, wc)) + 1j * rng.standard_normal((n, f, h, wc)))
-    return jnp.asarray(d.astype(np.complex64)), jnp.asarray(k.astype(np.complex64))
+    # Build the complex arrays ON DEVICE from real planes: transferring a
+    # host complex64 array H2D is UNIMPLEMENTED on the axon TPU runtime and
+    # poisons the process (CLAUDE.md quirk), while device-side complex via
+    # the X64Split emulation works fine.
+    mk = jax.jit(jax.lax.complex)
+    d = mk(
+        jnp.asarray(rng.standard_normal((b, f, h, wc)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((b, f, h, wc)).astype(np.float32)),
+    )
+    k = mk(
+        jnp.asarray(rng.standard_normal((n, f, h, wc)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((n, f, h, wc)).astype(np.float32)),
+    )
+    return d, k
 
 
 def _ref(d, k):

@@ -14,15 +14,25 @@ TOL = 1e-5
 
 
 def test_choose_block_policy():
-    # big image, small kernel → tile
-    blk = choose_block_fft(2048, 2048, 64, 64)
+    # big image, small kernel → tile (engine pinned per-branch so the test
+    # is deterministic on both CPU and TPU backends)
+    blk = choose_block_fft(2048, 2048, 64, 64, matmul_engine=False)
     assert blk is not None
     lh, lw = blk
+    # XLA-FFT engine wants large (≈8×K) 5-smooth blocks
     assert lh >= 8 * 64 and lw >= 8 * 64
-    # kernel comparable to image → decline (direct engine wins)
-    assert choose_block_fft(2048, 2048, 512, 512) is None
-    # small image → decline
-    assert choose_block_fft(64, 64, 8, 8) is None
+    blk_mm = choose_block_fft(2048, 2048, 64, 64, matmul_engine=True)
+    assert blk_mm is not None
+    lh, lw = blk_mm
+    # MXU-DFT engine wants small blocks with an aligned valid window
+    assert lh >= 64 + 8 - 1 and lw >= 64 + 128 - 1
+    # FFT engine: kernel comparable to image → decline (direct engine wins);
+    # small image → decline. The MXU-DFT engine's windowed inverses absorb
+    # overlap redundancy, so it keeps tiling these shapes (its per-pixel
+    # cost grows with block size, not kernel/image ratio).
+    assert choose_block_fft(2048, 2048, 512, 512, matmul_engine=False) is None
+    assert choose_block_fft(64, 64, 8, 8, matmul_engine=False) is None
+    assert choose_block_fft(2048, 2048, 512, 512, matmul_engine=True) is not None
 
 
 def test_tiled_matches_oracle_full(rng):
