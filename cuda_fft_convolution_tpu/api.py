@@ -40,7 +40,7 @@ from cuda_fft_convolution_tpu.ops.conv import (
 )
 from cuda_fft_convolution_tpu.ops.spectral_mac import spectral_mac_auto_planes
 from cuda_fft_convolution_tpu.ops.tiled import (
-    choose_block_fft,
+    choose_block_plan,
     conv_blocks,
     fallback_block_fft,
     fft_data_blocks,
@@ -353,12 +353,20 @@ def fft_data_tiled(
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     if block_h is None or block_w is None:
-        blk = choose_block_fft(h, w, max_kernel_h, max_kernel_w, feature_dim=f)
-        if blk is None:
+        plan = choose_block_plan(
+            h, w, max_kernel_h, max_kernel_w, feature_dim=f
+        )
+        if plan is None:
             # Caller forced tiling where the planner declines — still honor
             # it with the smallest sane block.
-            blk = fallback_block_fft(max_kernel_h, max_kernel_w)
-        block_h, block_w = blk
+            block_h, block_w = fallback_block_fft(
+                max_kernel_h, max_kernel_w
+            )
+        else:
+            # Measured plans may enlarge the effective kernel envelope so
+            # the valid window is tile-aligned (extra prehistory zeros —
+            # results identical, kernels up to the enlarged max accepted).
+            block_h, block_w, max_kernel_h, max_kernel_w = plan
     validate(
         block_h >= max_kernel_h and block_w >= max_kernel_w,
         f"block ({block_h},{block_w}) smaller than kernel "
@@ -852,17 +860,23 @@ def fft_conv(
             if data_arr.ndim == 3
             else (data_arr.shape[1], data_arr.shape[2])
         )
-        blk = choose_block_fft(
+        plan = choose_block_plan(
             h, w, max_kernel_h, max_kernel_w,
             feature_dim=int(data_arr.shape[-1]),
         )
-        if algorithm == "tiled" or blk is not None:
-            spectral = fft_data_tiled(
-                data, max_kernel_h, max_kernel_w,
-                block_h=None if blk is None else blk[0],
-                block_w=None if blk is None else blk[1],
-                device=device,
-            )
+        if algorithm == "tiled" or plan is not None:
+            if plan is None:
+                spectral = fft_data_tiled(
+                    data, max_kernel_h, max_kernel_w, device=device
+                )
+            else:
+                # plan may enlarge the effective kernel envelope (aligned
+                # valid window — see choose_block_plan); fft_data_tiled
+                # stores the enlarged envelope as its planned max.
+                lh, lw, pkh, pkw = plan
+                spectral = fft_data_tiled(
+                    data, pkh, pkw, block_h=lh, block_w=lw, device=device
+                )
             return conv_spectral(
                 spectral, kernels, mode=mode, correlation=correlation,
                 use_pallas=use_pallas,

@@ -89,6 +89,94 @@ def _make_kernel_v3(mbh: int, f: int, vh: int, wc: int, precision,
     return _kernel
 
 
+def _make_kernel_v4(mbh: int, f: int, vh: int, wc: int, lh: int, w0: int,
+                    precision, karatsuba):
+    """v4 (radix-2 H stage): the windowed H-inverse of an even-length block
+    (Lh = 2M) splits into two M-point sub-transforms over the even/odd
+    spectrum rows plus a VPU twiddle combine —
+
+        x[v] = Ê[v mod M] + e^{+iπv/M} · Ô[v mod M]
+
+    Spectra arrive with H-rows PRE-PERMUTED (even rows 0..M-1, odd rows
+    M..2M-1; the elementwise MAC commutes with the row permutation). Both
+    sub-transform dots are (M, M) @ (M, Wc) — with M = 128 every dot
+    dimension is MXU-native, eliminating v3's ≤50% row utilization on the
+    H stage — and cost 2·M²·Wc MACs against the direct windowed form's
+    Vh·2M·Wc: a 2M/(2·Vh)... i.e. Vh/M× reduction (1.5× at Vh=192, M=128).
+    The valid window rows [w0, w0+vh) are assembled into the scratch in two
+    8-aligned chunks split at row M (requires w0 and M multiples of 8)."""
+    m = lh // 2
+    c1 = m - w0  # chunk-A rows (window rows below the period boundary)
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, mr_ref,
+                mi_ref, out_ref, xr_ref, xi_ref):
+        kr, ki = kr_ref[0], ki_ref[0]  # (F, 2M, Wc), rows even-then-odd
+        ur, ui = ur_ref[...], ui_ref[...]  # (M, M) sub-transform matrices
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        # twiddle t[u] = exp(+iπ u / M), broadcast over lanes
+        u_row = jax.lax.broadcasted_iota(jnp.float32, (m, 1), 0)
+        twr = jnp.cos(jnp.pi * u_row / m)
+        twi = jnp.sin(jnp.pi * u_row / m)
+
+        def csub(sr, si):  # complex (M,M)@(M,Wc) with U = ur + i·ui
+            if karatsuba:
+                t1 = dot(ur, sr)
+                t2 = dot(ui, si)
+                t3 = dot(ur + ui, sr + si)
+                return t1 - t2, t3 - t1 - t2
+            return (dot(ur, sr) - dot(ui, si),
+                    dot(ur, si) + dot(ui, sr))
+
+        for i in range(mbh):  # static unroll over the block group
+            dr, di = dr_ref[0, i, 0], di_ref[0, i, 0]  # (F, 2M, Wc)
+            s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (2M, Wc)
+            s_i = jnp.sum(kr * di + ki * dr, axis=0)
+            er, ei = csub(s_r[:m], s_i[:m])  # Ê from even spectrum rows
+            orr, oi = csub(s_r[m:], s_i[m:])  # Ô from odd spectrum rows
+            tr = twr * orr - twi * oi  # T = t ⊙ Ô  (VPU)
+            ti = twr * oi + twi * orr
+            # window rows [w0, M): u = v  → Ê + T, rows [w0:M]
+            xr_ref[i * vh:i * vh + c1, :] = (er + tr)[w0:, :]
+            xi_ref[i * vh:i * vh + c1, :] = (ei + ti)[w0:, :]
+            # window rows [M, w0+vh): u = v − M → Ê − T, rows [0:w0+vh−M]
+            xr_ref[i * vh + c1:(i + 1) * vh, :] = (er - tr)[: vh - c1, :]
+            xi_ref[i * vh + c1:(i + 1) * vh, :] = (ei - ti)[: vh - c1, :]
+        out_ref[0, 0, :, :] = (
+            dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
+        )
+
+    return _kernel
+
+
+def radix_h_legal(lh: int, vh: int) -> bool:
+    """Whether the v4 radix-2 H-stage applies: even block height whose
+    half-period and window start are 8-aligned, with the window spanning
+    the period boundary (otherwise v3 is the same cost, use it)."""
+    m, w0 = lh // 2, lh - vh
+    return lh % 2 == 0 and m % 8 == 0 and w0 % 8 == 0 and 0 < w0 < m
+
+
+@functools.lru_cache(maxsize=32)
+def _radix_mats(lh: int) -> tuple:
+    """M-point sub-transform matrices U[u,j] = exp(+2πi uj/M)/Lh (the 1/Lh
+    inverse normalization folded), split f32 planes."""
+    import numpy as np
+
+    m = lh // 2
+    u = np.arange(m)[:, None].astype(np.float64)
+    j = np.arange(m)[None, :].astype(np.float64)
+    ph = 2.0 * np.pi * u * j / m
+    return (
+        (np.cos(ph) / lh).astype(np.float32),
+        (np.sin(ph) / lh).astype(np.float32),
+    )
+
+
 def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, out_ref):
@@ -168,7 +256,8 @@ def _choose_mbh(nbh: int, f: int, lh: int, wc: int, vh: int, vw: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
-                     "interpret", "precision", "karatsuba", "mbh", "wstack"),
+                     "interpret", "precision", "karatsuba", "mbh", "wstack",
+                     "radix_h"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32
@@ -187,6 +276,7 @@ def block_conv_pallas(
     karatsuba: bool = False,
     mbh: int | None = None,
     wstack: bool = True,
+    radix_h: bool = False,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
     assembled in place by clipped block writes, normalization folded in.
@@ -200,7 +290,10 @@ def block_conv_pallas(
     (forcing it past the model overflows VMEM — Mosaic aborts);
     ``wstack=True`` selects the v3 kernel (row-stacked single W-stage dot
     via VMEM scratch — full MXU row utilization), False the v2 kernel
-    (column-stacked H stage, per-block W dots)."""
+    (column-stacked H stage, per-block W dots);
+    ``radix_h=True`` (requires ``radix_h_legal(block_h, vh)`` and wstack)
+    selects the v4 kernel: radix-2 split of the H-stage inverse into two
+    (M, M) @ (M, Wc) sub-transform dots + a VPU twiddle combine."""
     b, nbh, nbw, f, lh, wc = dr.shape
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
@@ -219,9 +312,29 @@ def block_conv_pallas(
         dr = jnp.pad(dr, pad)
         di = jnp.pad(di, pad)
 
-    gr_np, gi_np = _inv_full_mats(block_h)
-    gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh])  # (Vh, Lh)
-    gi = jnp.asarray(gi_np[kh - 1 : kh - 1 + vh])
+    if radix_h:
+        assert wstack and radix_h_legal(block_h, vh), (
+            "radix_h requires the v4 window/period alignment "
+            f"(block_h={block_h}, vh={vh})"
+        )
+        # even/odd H-row permutation of the spectra (the elementwise MAC
+        # commutes with it, so permuting inputs once outside the kernel is
+        # exact); sub-transform matrices replace the windowed G.
+        perm = jnp.concatenate(
+            [jnp.arange(0, lh, 2), jnp.arange(1, lh, 2)]
+        )
+        dr = jnp.take(dr, perm, axis=4)
+        di = jnp.take(di, perm, axis=4)
+        kr = jnp.take(kr, perm, axis=2)
+        ki = jnp.take(ki, perm, axis=2)
+        ur_np, ui_np = _radix_mats(block_h)
+        gr, gi = jnp.asarray(ur_np), jnp.asarray(ui_np)  # (M, M)
+        h_mat_shape = (block_h // 2, block_h // 2)
+    else:
+        gr_np, gi_np = _inv_full_mats(block_h)
+        gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh])  # (Vh, Lh)
+        gi = jnp.asarray(gi_np[kh - 1 : kh - 1 + vh])
+        h_mat_shape = (vh, lh)
     mr_np, mi_np = _inv_packed_mats(block_w)
     mr = jnp.asarray(mr_np[:, kw - 1 : kw - 1 + vw])  # (Wc, Vw)
     mi = jnp.asarray(mi_np[:, kw - 1 : kw - 1 + vw])
@@ -247,7 +360,15 @@ def block_conv_pallas(
         memory_space=pltpu.VMEM,
     )
 
-    if wstack:
+    if radix_h:
+        kern = _make_kernel_v4(
+            mbh, f, vh, wc, lh, lh - vh, precision, karatsuba
+        )
+        scratch = [
+            pltpu.VMEM((mbh * vh, wc), jnp.float32),
+            pltpu.VMEM((mbh * vh, wc), jnp.float32),
+        ]
+    elif wstack:
         kern = _make_kernel_v3(mbh, f, vh, wc, precision, karatsuba)
         scratch = [
             pltpu.VMEM((mbh * vh, wc), jnp.float32),
@@ -277,8 +398,8 @@ def block_conv_pallas(
             ),
             spec_k,
             spec_k,
-            spec_const2((vh, lh)),
-            spec_const2((vh, lh)),
+            spec_const2(h_mat_shape),
+            spec_const2(h_mat_shape),
             spec_const2((wc, vw)),
             spec_const2((wc, vw)),
         ],

@@ -36,11 +36,32 @@ from cuda_fft_convolution_tpu.utils.config import register_jit_consumer
 from cuda_fft_convolution_tpu.utils.fft_size import next_fast_len
 
 
+def choose_block_plan(
+    data_h: int, data_w: int, max_kh: int, max_kw: int,
+    *, min_ratio: int | None = None, max_block: int = 1024,
+    matmul_engine: bool | None = None, feature_dim: int = 1,
+) -> tuple[int, int, int, int] | None:
+    """Like ``choose_block_fft`` but returns the full overlap-save plan
+    (block_h, block_w, plan_kh, plan_kw) where (plan_kh, plan_kw) is the
+    EFFECTIVE kernel envelope — ≥ the user's (max_kh, max_kw) when a
+    measured geometry deliberately enlarges the overlap so the valid window
+    V = block − plan_k + 1 is tile-aligned (e.g. the radix-2 v4 plan:
+    blocks (256, 511), valid (192, 384) → envelope (65, 128)). A larger
+    envelope only adds prehistory zeros; results are identical."""
+    blk = choose_block_fft(
+        data_h, data_w, max_kh, max_kw, min_ratio=min_ratio,
+        max_block=max_block, matmul_engine=matmul_engine,
+        feature_dim=feature_dim, _with_plan=True,
+    )
+    return blk
+
+
 def choose_block_fft(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
     *, min_ratio: int | None = None, max_block: int = 1024,
     matmul_engine: bool | None = None, feature_dim: int = 1,
-) -> tuple[int, int] | None:
+    _with_plan: bool = False,
+) -> tuple | None:
     """Pick the overlap-save block FFT size, or None when tiling won't pay.
 
     A MEASURED geometry table (runtime/autotune.py — seeded from sweeps on
@@ -66,17 +87,22 @@ def choose_block_fft(
 
         tuned = lookup_tuned_geometry(max_kh, max_kw, feature_dim)
         if tuned is not None:
-            vh, vw, _ = tuned
-            lh = min(vh + max_kh - 1, max_block)
-            lw = min(vw + max_kw - 1, max_block)
+            vh, vw = tuned[0], tuned[1]
+            if len(tuned) >= 5:
+                # explicit block dims → an enlarged effective envelope
+                lh, lw = tuned[3], tuned[4]
+            else:
+                lh = min(vh + max_kh - 1, max_block)
+                lw = min(vw + max_kw - 1, max_block)
+            pkh, pkw = lh - vh + 1, lw - vw + 1
             # Measured entries skip the analytic redundancy guard (they ARE
             # the measurement); only require the image to actually span
-            # multiple blocks.
-            if not (
-                data_h + max_kh - 1 <= 2 * lh
-                and data_w + max_kw - 1 <= 2 * lw
+            # multiple blocks and the enlarged envelope to stay valid.
+            if pkh >= max_kh and pkw >= max_kw and not (
+                data_h + pkh - 1 <= 2 * lh
+                and data_w + pkw - 1 <= 2 * lw
             ):
-                return lh, lw
+                return (lh, lw, pkh, pkw) if _with_plan else (lh, lw)
             # tuned block doesn't fit this image/kernel ratio → fall through
         # The dense DFT works at ANY size, so geometry is chosen for the
         # hardware: the VALID window (V = L − K + 1) is what gets written,
@@ -109,7 +135,7 @@ def choose_block_fft(
     # decline when the image is small enough that one big FFT is comparable
     if data_h + max_kh - 1 <= 2 * lh and data_w + max_kw - 1 <= 2 * lw:
         return None
-    return lh, lw
+    return (lh, lw, max_kh, max_kw) if _with_plan else (lh, lw)
 
 
 def fallback_block_fft(max_kh: int, max_kw: int) -> tuple[int, int]:
@@ -221,11 +247,17 @@ def conv_blocks(
         # Single Pallas kernel: MAC + windowed inverse-DFT matmuls + direct
         # clipped writes into the final map layout — nothing between stages
         # touches HBM and there is no reassembly pass (ops/block_conv.py).
-        from cuda_fft_convolution_tpu.ops.block_conv import block_conv_pallas
+        # The radix-2 H-stage variant (v4) runs whenever the block/window
+        # geometry allows it — every MXU dot dimension 128-native.
+        from cuda_fft_convolution_tpu.ops.block_conv import (
+            block_conv_pallas,
+            radix_h_legal,
+        )
 
         return block_conv_pallas(
             d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
             interpret=jax.default_backend() != "tpu",
+            radix_h=radix_h_legal(block_h, vh),
         )
     p_re, p_im = spectral_mac_auto_planes(
         dflat_re, dflat_im, k_re, k_im, use_pallas=use_pallas

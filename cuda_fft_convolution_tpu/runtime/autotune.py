@@ -20,15 +20,20 @@ import json
 import os
 import time
 
-# (kh_env, kw_env, f_bucket) -> (valid_h, valid_w, use_fused). Envelopes are
-# pow-2 round-ups; f_bucket: 1 for F < 8, 8 for F >= 8. ``use_fused`` routes
-# the shape through the fused Pallas block-conv kernel (ops/block_conv.py)
-# when its alignment/VMEM constraints hold.
-# Measured on TPU v5e (perf/sweep_focused.py + perf/bench_fused_knobs.py,
+# (kh_env, kw_env, f_bucket) -> (valid_h, valid_w, use_fused[, block_h,
+# block_w]). Envelopes are pow-2 round-ups; f_bucket: 1 for F < 8, 8 for
+# F >= 8. ``use_fused`` routes the shape through the fused Pallas
+# block-conv kernel (ops/block_conv.py) when its alignment/VMEM constraints
+# hold. Optional explicit (block_h, block_w) override the derived
+# vh+kh_env-1 block — used by plans whose effective kernel envelope is
+# deliberately larger than the user's (e.g. the radix-2 v4 plan: blocks
+# (256, 511) with valid (192, 384) → effective envelope (65, 128), every
+# MXU dot dimension 128-native).
+# Measured on TPU v5e (perf/sweep_focused.py + perf/bench_fused_*.py,
 # 2048² image, N=100 bank). Findings: lane-aligned Hermitian width
 # (Wc = (vw+kw-1)//2+1 multiple of 128) dominates the unfused vw axis
-# (best (64,192) = 80.1 ms); the fused kernel at its alignment-legal
-# geometries matches/beats it ((64,512) = 77.8 ms).
+# (best (64,192) = 80.1 ms); the fused v2 kernel at its alignment-legal
+# geometries matched it ((64,512) = 77.8 ms).
 # Shipped seeds, measured on TPU v5e in this repo's perf/ sweeps; the
 # user-level _MEASURED overlay (register_tuned_geometry / cache file)
 # takes precedence and can be cleared without losing these.
@@ -52,18 +57,24 @@ def _key(kh: int, kw: int, f: int) -> tuple:
 
 def register_tuned_geometry(
     kh: int, kw: int, valid_h: int, valid_w: int, *, f: int = 1,
-    fused: bool = False,
+    fused: bool = False, block_h: int | None = None,
+    block_w: int | None = None,
 ) -> None:
     """Record a measured-best geometry (and whether the fused Pallas
-    block-conv won) for kernels in (kh, kw)'s envelope."""
-    _MEASURED[_key(kh, kw, f)] = (int(valid_h), int(valid_w), bool(fused))
+    block-conv won) for kernels in (kh, kw)'s envelope. Explicit
+    ``block_h/block_w`` pin the block beyond the derived vh+kh-1 (plans
+    with an enlarged effective kernel envelope)."""
+    entry = [int(valid_h), int(valid_w), bool(fused)]
+    if block_h is not None and block_w is not None:
+        entry += [int(block_h), int(block_w)]
+    _MEASURED[_key(kh, kw, f)] = tuple(entry)
 
 
 def lookup_tuned_geometry(
     kh: int, kw: int, f: int = 1
-) -> tuple[int, int, bool] | None:
-    """Best-known (valid_h, valid_w, use_fused) for this kernel envelope,
-    or None."""
+) -> tuple | None:
+    """Best-known (valid_h, valid_w, use_fused[, block_h, block_w]) for
+    this kernel envelope, or None."""
     _load_user_cache()
     key = _key(kh, kw, f)
     hit = _MEASURED.get(key, _BUILTIN.get(key))
@@ -88,7 +99,10 @@ def _load_user_cache() -> None:
             with open(path) as fh:
                 for k, v in json.load(fh).items():
                     env_h, env_w, fb = (int(x) for x in k.split(","))
-                    _MEASURED[(env_h, env_w, fb)] = (int(v[0]), int(v[1]))
+                    _MEASURED[(env_h, env_w, fb)] = tuple(
+                        bool(x) if i == 2 else int(x)
+                        for i, x in enumerate(v)
+                    )
         except Exception:
             pass
 

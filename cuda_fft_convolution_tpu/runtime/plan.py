@@ -102,22 +102,25 @@ def make_plan(
     if algorithm == "tiled":
         from cuda_fft_convolution_tpu import api as _api
         from cuda_fft_convolution_tpu.ops.tiled import (
-            choose_block_fft,
+            choose_block_plan,
             fallback_block_fft,
         )
         from cuda_fft_convolution_tpu.types import SpectralKernels, TiledSpectralData
 
         if mode == "fftmap":
             mode = "full"
-        # static block geometry, resolved once on host
-        blk = choose_block_fft(h, w, kh, kw, feature_dim=f) or (
-            fallback_block_fft(kh, kw)
-        )
-        block_h, block_w = blk
+        # static block geometry, resolved once on host (the plan may
+        # enlarge the effective kernel envelope — aligned valid window)
+        plan = choose_block_plan(h, w, kh, kw, feature_dim=f)
+        if plan is None:
+            block_h, block_w = fallback_block_fft(kh, kw)
+            pkh, pkw = kh, kw
+        else:
+            block_h, block_w, pkh, pkw = plan
 
         def _data_fft_t(data):
             sd = _api.fft_data_tiled(
-                data, kh, kw, block_h=block_h, block_w=block_w
+                data, pkh, pkw, block_h=block_h, block_w=block_w
             )
             return sd.re, sd.im
 
@@ -133,7 +136,7 @@ def make_plan(
                 re=d_re if d_re.ndim == 6 else d_re[None],
                 im=d_im if d_im.ndim == 6 else d_im[None],
                 block_h=block_h, block_w=block_w,
-                max_kh=kh, max_kw=kw, data_h=h, data_w=w,
+                max_kh=pkh, max_kw=pkw, data_h=h, data_w=w,
             )
             sk = SpectralKernels(
                 re=k_re, im=k_im, fft_h=block_h, fft_w=block_w,
