@@ -154,6 +154,47 @@ def test_fused_block_conv_matches_unfused(rng):
     assert rel_err(got[0], ref) < 1e-5
 
 
+def test_fused_radix_h_matches_unfused(rng):
+    """The v4 radix-2 H-stage kernel (ops/block_conv.py _make_kernel_v4),
+    auto-selected by conv_blocks whenever radix_h_legal holds, must match
+    the unfused pipeline and the f64 oracle. Block (32, 37) with kh=9 →
+    vh=24, M=16, w0=8: radix-legal, window spans the period boundary."""
+    from cuda_fft_convolution_tpu.ops.block_conv import radix_h_legal
+
+    data = rng.standard_normal((100, 90, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((9, 6, 2)).astype(np.float32) for _ in range(3)]
+    sd = fc.fft_data_tiled(data, 9, 6, block_h=32, block_w=37)
+    assert radix_h_legal(32, 32 - 9 + 1)
+    want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    try:
+        fc.set_config(use_fused_block_conv=True)
+        got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    finally:
+        fc.set_config(use_fused_block_conv=None)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    ref = fft_conv_full_f64(data, kerns[0])
+    assert rel_err(got[0], ref) < 1e-5
+
+
+def test_enlarged_envelope_plan_equivalence(rng):
+    """A plan whose effective kernel envelope exceeds the bank's true max
+    (extra prehistory zeros — e.g. the v4 headline plan (65, 128) for 64²
+    kernels) must produce identical linear-conv windows."""
+    data = rng.standard_normal((200, 180, 1)).astype(np.float32)
+    kern = rng.standard_normal((9, 6, 1)).astype(np.float32)
+    base = fc.fft_data_tiled(data, 9, 6, block_h=32, block_w=37)
+    # enlarged: plan envelope (12, 10) though kernels are only (9, 6)
+    big = fc.fft_data_tiled(data, 12, 10, block_h=40, block_w=48)
+    for mode in ("full", "same", "valid"):
+        a = np.array(fc.conv_spectral(base, [kern], mode=mode))
+        b = np.array(fc.conv_spectral(big, [kern], mode=mode))
+        assert a.shape == b.shape, mode
+        scale = np.max(np.abs(a))
+        assert np.max(np.abs(a - b)) / scale < 1e-5, mode
+    full = np.array(fc.conv_spectral(big, [kern], mode="full"))
+    assert rel_err(full[0], fft_conv_full_f64(data, kern)) < 1e-5
+
+
 def test_pipelined_tiled_matches_plain(rng):
     """conv_spectral_pipelined on TiledSpectralData: chunked tiled path
     equals the unchunked result for dividing and non-dividing chunks."""
