@@ -118,8 +118,11 @@ def _make_kernel_v4(mbh: int, f: int, vh: int, wc: int, lh: int, w0: int,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        # twiddle t[u] = exp(+iπ u / M), broadcast over lanes
-        u_row = jax.lax.broadcasted_iota(jnp.float32, (m, 1), 0)
+        # twiddle t[u] = exp(+iπ u / M), broadcast over lanes (integer iota:
+        # Mosaic's tpu.iota only produces int vectors)
+        u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
+            jnp.float32
+        )
         twr = jnp.cos(jnp.pi * u_row / m)
         twi = jnp.sin(jnp.pi * u_row / m)
 
@@ -223,16 +226,22 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
 
 
 def block_conv_vmem_bytes(
-    f: int, lh: int, wc: int, vh: int, vw: int, mbh: int = 4
+    f: int, lh: int, wc: int, vh: int, vw: int, mbh: int = 4,
+    wstack: bool = True,
 ) -> int:
     """Estimated per-cell VMEM working set (double-buffered I/O blocks +
-    matrices + scratch/stacked intermediates; sized for the larger of the
-    v2/v3 kernel variants so the model covers both)."""
+    matrices + scratch/intermediates). The scratch variants (v3/v4) hold
+    only a (MBH·Vh, Wc) re/im scratch plus per-iteration temporaries; the
+    v2 kernel column-stacks (Lh, MBH·Wc) intermediates."""
     d_block = 4 * 2 * mbh * f * lh * wc
     k_block = 4 * 2 * f * lh * wc
     out_block = 4 * mbh * vh * vw
     mats = 4 * 2 * (vh * lh + wc * vw)
-    inter = 4 * (2 * lh * mbh * wc + 4 * vh * mbh * wc)
+    if wstack:
+        # re/im scratch + one block's MAC planes + sub-transform temps
+        inter = 4 * (2 * mbh * vh * wc + 2 * lh * wc + 4 * vh * wc)
+    else:
+        inter = 4 * (2 * lh * mbh * wc + 4 * vh * mbh * wc)
     return 2 * (d_block + k_block + out_block) + mats + inter
 
 
@@ -241,14 +250,17 @@ def block_conv_fits_vmem(f: int, lh: int, wc: int, vh: int, vw: int) -> bool:
     return block_conv_vmem_bytes(f, lh, wc, vh, vw, mbh=1) < (12 << 20)
 
 
-def _choose_mbh(nbh: int, f: int, lh: int, wc: int, vh: int, vw: int) -> int:
+def _choose_mbh(
+    nbh: int, f: int, lh: int, wc: int, vh: int, vw: int,
+    wstack: bool = True,
+) -> int:
     """Vertical blocks per cell: amortizes the kernel-spectrum fetch and
-    widens the MXU dots (H-dot columns = MBH·Wc), bounded by VMEM."""
+    feeds the stacked W-stage dot (rows = MBH·Vh), bounded by VMEM."""
     mbh = 1
     for cand in (2, 4, 8, 16):
-        if cand <= nbh and block_conv_vmem_bytes(f, lh, wc, vh, vw, cand) < (
-            12 << 20
-        ):
+        if cand <= nbh and block_conv_vmem_bytes(
+            f, lh, wc, vh, vw, cand, wstack
+        ) < (12 << 20):
             mbh = cand
     return mbh
 
@@ -273,7 +285,7 @@ def block_conv_pallas(
     *,
     interpret: bool = False,
     precision=None,
-    karatsuba: bool = False,
+    karatsuba: bool | None = None,
     mbh: int | None = None,
     wstack: bool = True,
     radix_h: bool = False,
@@ -285,8 +297,10 @@ def block_conv_pallas(
     ``precision=None`` follows the global matmul_precision config (note
     Mosaic dots support HIGHEST/DEFAULT only — HIGH raises);
     ``karatsuba`` uses 3 H-stage dots instead of 4 (exact — same bilinear
-    form; off by default: the extra VMEM temporaries overflowed at the
-    measured-best MBH on v5e); ``mbh`` overrides the VMEM-model group size
+    form; default: ON for the scratch variants where it measured faster at
+    every geometry — v3 (64,384) 64.7→61.8 ms — and OFF for v2 whose extra
+    column-stacked temporaries overflowed VMEM at the measured-best MBH);
+    ``mbh`` overrides the VMEM-model group size
     (forcing it past the model overflows VMEM — Mosaic aborts);
     ``wstack=True`` selects the v3 kernel (row-stacked single W-stage dot
     via VMEM scratch — full MXU row utilization), False the v2 kernel
@@ -302,8 +316,10 @@ def block_conv_pallas(
         from cuda_fft_convolution_tpu.ops.conv import _matmul_precision
 
         precision = _matmul_precision()
+    if karatsuba is None:
+        karatsuba = wstack or radix_h
     if mbh is None:
-        mbh = _choose_mbh(nbh, f, lh, wc, vh, vw)
+        mbh = _choose_mbh(nbh, f, lh, wc, vh, vw, wstack or radix_h)
     mbh = min(mbh, nbh)
     gbh = -(-nbh // mbh)  # block groups along H
     if gbh * mbh != nbh:
