@@ -217,25 +217,23 @@ def conv_blocks(
     dflat_im = d_im.reshape(b * nbh * nbw, f, lh, lwc)
     fused = get_config().use_fused_block_conv
     if fused is None:
-        # auto: follow the MEASURED autotune table — shapes where the fused
-        # v2 kernel (column-stacked full-width MXU dots) beat the unfused
-        # pipeline on real hardware run fused; unmeasured shapes stay on
-        # the unfused path (its traffic roofline is a known quantity).
-        fused = False
-        if jax.default_backend() == "tpu" and _use_matmul_fft(
-            block_h, block_w
-        ):
-            from cuda_fft_convolution_tpu.runtime.autotune import (
-                lookup_tuned_geometry,
-            )
+        # auto: the scratch-variant fused kernels (v3 row-stacked W stage /
+        # v4 radix-2 H stage) beat the unfused pipeline at EVERY legal
+        # geometry measured on v5e (perf/bench_fused_v3.py: 61.8–79.6 ms vs
+        # a flat 75–90 ms unfused traffic roofline), so legality — aligned
+        # valid window + VMEM fit on the matmul-transform TPU path — IS the
+        # dispatch condition.
+        from cuda_fft_convolution_tpu.ops.block_conv import (
+            block_conv_fits_vmem,
+        )
 
-            tuned = lookup_tuned_geometry(kh, kw, f)
-            if tuned is not None and tuned[2]:
-                from cuda_fft_convolution_tpu.ops.block_conv import (
-                    block_conv_fits_vmem,
-                )
-
-                fused = block_conv_fits_vmem(f, lh, lwc, vh, vw)
+        fused = (
+            jax.default_backend() == "tpu"
+            and _use_matmul_fft(block_h, block_w)
+            and vh % 8 == 0
+            and vw % 128 == 0
+            and block_conv_fits_vmem(f, lh, lwc, vh, vw)
+        )
     if fused and jax.default_backend() == "tpu" and (
         vh % 8 != 0 or vw % 128 != 0
     ):

@@ -38,9 +38,10 @@ import time
 # user-level _MEASURED overlay (register_tuned_geometry / cache file)
 # takes precedence and can be cleared without losing these.
 _BUILTIN: dict = {
-    # 2048² image × 100 kernels of 64², F=1: fused block-conv at (64, 512)
-    # measured 77.8 ms vs unfused-best (64, 192) 80.1 ms.
-    (64, 64, 1): (64, 512, True),
+    # 2048² image × 100 kernels of 64², F=1 (perf/bench_fused_v3.py, r2):
+    # fused v3 at V=(64, 384), karatsuba, mbh=8 measured 61.8 ms vs 77.8
+    # (fused v2 (64,512)) and 75–90 (unfused all geometries).
+    (64, 64, 1): (64, 384, True),
 }
 _MEASURED: dict = {}
 
