@@ -38,10 +38,11 @@ import time
 # user-level _MEASURED overlay (register_tuned_geometry / cache file)
 # takes precedence and can be cleared without losing these.
 _BUILTIN: dict = {
-    # 2048² image × 100 kernels of 64², F=1 (perf/bench_fused_v3.py, r2):
-    # fused v3 at V=(64, 384), karatsuba, mbh=8 measured 61.8 ms vs 77.8
-    # (fused v2 (64,512)) and 75–90 (unfused all geometries).
-    (64, 64, 1): (64, 384, True),
+    # 2048² image × 100 kernels of 64², F=1 (perf/bench_fused_v3/v4.py, r2):
+    # the radix-2 v4 plan — blocks (256, 511), valid (192, 384), effective
+    # envelope (65, 128), every MXU dot dimension 128-native — measured
+    # 59–61 ms vs 61.8 (v3 (64,384)), 77.8 (v2 (64,512)), 75–90 (unfused).
+    (64, 64, 1): (192, 384, True, 256, 511),
 }
 _MEASURED: dict = {}
 
