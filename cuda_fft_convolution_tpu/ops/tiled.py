@@ -232,6 +232,10 @@ def conv_blocks(
             and _use_matmul_fft(block_h, block_w)
             and vh % 8 == 0
             and vw % 128 == 0
+            # stay inside measured-winning dot territory: narrow cells
+            # (small Wc / short windows) starve the MXU — the v1 lesson
+            and vh >= 32
+            and lwc >= 128
             and block_conv_fits_vmem(f, lh, lwc, vh, vw)
         )
     if fused and jax.default_backend() == "tpu" and (
