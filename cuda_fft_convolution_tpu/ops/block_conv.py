@@ -15,19 +15,24 @@ HBM sees exactly: block spectra (once per block group), kernel spectra
 (once per (group, kernel)), and the final maps — ~4× less traffic than the
 unfused pipeline, whose product/intermediate tensors round-trip HBM.
 
-MXU-shape discipline (v2 — the v1 kernel looped mbh small dots and lost to
-the unfused path): the MBH vertically-adjacent blocks in a cell are
-column-STACKED so the H-stage dots are full-width —
+Three kernel variants, in measured-speed order on v5e (2048²×100×64²):
 
-    MAC     → S (Lh, MBH·Wc)      column-stacked per block
-    H-stage → 4 dots (Vh, Lh) @ (Lh, MBH·Wc)       [one per re/im term]
-    W-stage → 2 dots (Vh, Wc) @ (Wc, Vw) per block
+  v4 ``radix_h=True``  — radix-2 split of the H-stage inverse: two
+      (M, M) @ (M, Wc) sub-transform dots over even/odd spectrum rows +
+      VPU twiddle combine; at the (256,511)/(192,384) plan every dot
+      dimension is 128-native. 59–61 ms.
+  v3 ``wstack=True``   — per-block H dots stored into a VMEM scratch at
+      8-aligned row offsets, then ONE W-stage dot (MBH·Vh, Wc) @ (Wc, Vw)
+      forms the whole output tile at full MXU row utilization. 61.8 ms.
+      (Direct tpu.concatenate of lane-offset slices is a Mosaic
+      limitation — "result/input offset mismatch on non-concat
+      dimension" — scratch STORES of freshly computed dots are not.)
+  v2 ``wstack=False``  — column-stacked H stage (Vh, Lh) @ (Lh, MBH·Wc),
+      per-block W dots; every dot has only Vh rows (≤50% MXU row
+      utilization at Vh=64). 77.8 ms. Kept as the measured fallback.
 
-(A row-restacked single W dot was tried and hits a Mosaic limitation —
-tpu.concatenate cannot merge lane-offset slices along the sublane axis:
-"result/input offset mismatch on non-concat dimension".) All matmuls
-accumulate fp32 on the MXU at HIGHEST precision (default MXU bf16 measured
-2.3e-3 rel err, far above the 1e-5 bar).
+All matmuls accumulate fp32 on the MXU at HIGHEST precision (default MXU
+bf16 measured 2.3e-3 rel err, far above the 1e-5 bar).
 
 This is the Pallas realization of what the reference's streams variant
 gestures at (keep per-kernel work on-chip and overlapped,
