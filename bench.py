@@ -244,18 +244,10 @@ def main() -> None:
         )
         dpm_gpixf = feats.shape[0] * feats.shape[1] * NK / 1e9
 
-        # tiled amortized serving path (the production detector loop)
-        sdd = fc.fft_data_tiled(feats, KD, KD)
-        skd = fc.fft_kernels(dpm_bank, spectral=sdd)
-        jax.block_until_ready((sdd.re, skd.re))
-        conv_dpm = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
-        t_dpm = _time_fn(conv_dpm, sdd, skd, iters=3)
-        v_dpm = dpm_gpixf / t_dpm
-        del sdd, skd
-
-        # giant-bank DIRECT engine (round-1 OOM config: ~9 GB of F=31 bank
-        # spectra at the full 540² FFT size — runnable now that spectra are
-        # donatable split-f32 planes), reference-parity fftmap output
+        # giant-bank DIRECT engine first, while HBM is least fragmented
+        # (round-1 OOM config: ~9 GB of F=31 bank spectra at the full 540²
+        # FFT size — runnable now that spectra are donatable split-f32
+        # planes), reference-parity fftmap output
         NKD = 256
         sdf = fc.fft_data(feats.astype(jnp.float32), KD, KD)
         skf = fc.fft_kernels(dpm_bank[:NKD], spectral=sdf)
@@ -264,7 +256,16 @@ def main() -> None:
         conv_gd = _probed(lambda s, k: fc.conv_spectral(s, k, mode="fftmap"))
         t_gd = _time_fn(conv_gd, sdf, skf, iters=2)
         v_dpm_direct = feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gd
-        del sdf, skf, feats, dpm_bank
+        del sdf, skf
+
+        # tiled amortized serving path (the production detector loop)
+        sdd = fc.fft_data_tiled(feats, KD, KD)
+        skd = fc.fft_kernels(dpm_bank, spectral=sdd)
+        jax.block_until_ready((sdd.re, skd.re))
+        conv_dpm = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+        t_dpm = _time_fn(conv_dpm, sdd, skd, iters=3)
+        v_dpm = dpm_gpixf / t_dpm
+        del sdd, skd, feats, dpm_bank
 
     # --- algorithm-independent HBM floor: any implementation must at least
     # read the image, read the bank, and write N 'same' maps.
