@@ -247,7 +247,13 @@ def main() -> None:
         # giant-bank DIRECT engine first, while HBM is least fragmented
         # (round-1 OOM config: ~9 GB of F=31 bank spectra at the full 540²
         # FFT size — runnable now that spectra are donatable split-f32
-        # planes), reference-parity fftmap output
+        # planes), reference-parity fftmap output. Drain the async queue
+        # and collect garbage first: buffers del'd above are only freed
+        # once their queued work completes, and the bank needs most of HBM.
+        import gc
+
+        gc.collect()
+        np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
         NKD = 256
         sdf = fc.fft_data(feats.astype(jnp.float32), KD, KD)
         skf = fc.fft_kernels(dpm_bank[:NKD], spectral=sdf)
