@@ -254,10 +254,17 @@ def main() -> None:
 
         gc.collect()
         np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
-        NKD = 256
+        # NKD=224: the bank's RESIDENT footprint is its (8,128)-tile-PADDED
+        # layout — (540, 271) f32 planes occupy (544, 384), 1.43× nominal —
+        # so 224 kernels ≈ 11.6 GB padded (8.1 GB nominal) on the 15 GiB
+        # allocatable ceiling. 256 (13.3 GB padded) left no headroom for
+        # the conv chunks and OOM'd right at the edge.
+        NKD = 224
         sdf = fc.fft_data(feats.astype(jnp.float32), KD, KD)
         skf = fc.fft_kernels(dpm_bank[:NKD], spectral=sdf)
-        jax.block_until_ready((sdf.re, skf.re))
+        # true queue drain (block_until_ready returns early on axon): the
+        # conv must not enqueue on top of still-executing bank transforms
+        np.asarray(_probed(lambda a: a[0, 0, :2, :2])(skf.re)[0])
         bank_gb = 2 * skf.re.size * 4 / 1e9
         conv_gd = _probed(lambda s, k: fc.conv_spectral(s, k, mode="fftmap"))
         t_gd = _time_fn(conv_gd, sdf, skf, iters=2)

@@ -253,6 +253,60 @@ def _conv_from_spectra_chunked(
     return jnp.moveaxis(out, 0, 1)  # (B, N, fft_h, fft_w)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fft_h", "fft_w", "use_pallas", "chunk_size",
+                     "correlation"),
+)
+def _conv_from_spatial_chunked(
+    d_re: jnp.ndarray,
+    d_im: jnp.ndarray,
+    kstack: jnp.ndarray,  # (N, F, Kh, Kw) SPATIAL kernels
+    fft_h: int,
+    fft_w: int,
+    use_pallas: bool | None,
+    chunk_size: int,
+    correlation: bool,
+) -> jnp.ndarray:
+    """Memory-light giant-bank pipeline: kernel spectra are never resident —
+    each chunk is transformed on the fly, MAC'd, and inverted, so peak HBM
+    is data spectra + output maps + ONE chunk. This is the reference's own
+    regime (it pads+FFTs each kernel inside the loop,
+    src/cudaConvFFTData.cu:191-282); the resident-spectra path is the
+    amortization upgrade, used whenever the bank actually fits."""
+    n = kstack.shape[0]
+    num_chunks = -(-n // chunk_size)
+    starts = jnp.arange(num_chunks) * chunk_size
+
+    def one_chunk(start):
+        kc = jax.lax.dynamic_slice_in_dim(kstack, start, chunk_size, axis=0)
+        kc_re, kc_im = _fft_kernels_worker(kc, fft_h, fft_w, correlation)
+        p_re, p_im = spectral_mac_auto_planes(
+            d_re, d_im, kc_re, kc_im, use_pallas=use_pallas
+        )
+        return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+
+    out = jax.lax.map(one_chunk, starts)
+    out = jnp.moveaxis(out, 2, 1).reshape(-1, d_re.shape[0], fft_h, fft_w)
+    if n % chunk_size:
+        head = out[: (num_chunks - 1) * chunk_size]
+        tail = out[-(n - (num_chunks - 1) * chunk_size) :]
+        out = jnp.concatenate([head, tail])
+    return jnp.moveaxis(out, 0, 1)  # (B, N, fft_h, fft_w)
+
+
+def _drain_device_queue(arr) -> None:
+    """Wait for ALL queued device work by fetching a tiny jit output (the
+    device queue is FIFO, so one probe fetch of the newest array is a full
+    barrier). ``jax.block_until_ready`` returns EARLY on tunneled runtimes
+    (axon) — this is the only honest sync there. No-op under tracing."""
+    import numpy as _np
+
+    if isinstance(arr, jax.core.Tracer):
+        return
+    _np.asarray(jax.jit(lambda a: jnp.ravel(a)[:1])(arr))
+
+
 def _resolve_policy(policy):
     return get_config().policy if policy is None else FftSizePolicy(policy)
 
@@ -419,7 +473,12 @@ def fft_kernels(
         "(reference check src/cudaConvolutionFFT.cu:242-243)",
     )
     n, f = kstack.shape[0], kstack.shape[1]
-    spectra_bytes = n * f * fft_h * (fft_w // 2 + 1) * 8  # re + im planes
+    # RESIDENT footprint is the (8,128)-tile-PADDED HBM layout, not the
+    # nominal element count — a (540, 271) plane occupies (544, 384),
+    # 1.43× nominal (measured OOMs with the nominal model).
+    h_pad = -(-fft_h // 8) * 8
+    wc_pad = -(-(fft_w // 2 + 1) // 128) * 128
+    spectra_bytes = n * f * h_pad * wc_pad * 8  # re + im planes, padded
     budget = _device_memory_budget() // 4  # transform temps ≈ 2-3× spectra
     if spectra_bytes > budget and n > 1:
         # Chunk the forward transform so its temporaries stay bounded (big
@@ -435,6 +494,11 @@ def fft_kernels(
                 kstack[s : s + min(step, n - s)], fft_h, fft_w, correlation
             )
             re, im = _write_bank_chunk(re, im, c_re, c_im, s)
+            # Drain the device queue per chunk: on runtimes where
+            # block_until_ready returns early (axon), unsynced chunk
+            # programs all hold their output buffers at once — the queued
+            # pile-up re-creates the 2×-bank peak the donation avoids.
+            _drain_device_queue(re)
     else:
         re, im = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
     return SpectralKernels(
@@ -527,6 +591,31 @@ def conv_spectral(
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
     else:
+        # Giant banks: when the bank's RESIDENT spectra would take over
+        # half the device budget in their (8,128)-tile-padded HBM layout,
+        # never materialize them — stream SPATIAL kernels (tiny) and
+        # transform each chunk on the fly inside the conv. This is the
+        # reference's own regime (per-kernel pad+FFT in the loop,
+        # src/cudaConvFFTData.cu:191-282); resident spectra are the
+        # amortization upgrade, used whenever they actually fit.
+        kstack, khs, kws = _kernels_to_stack(
+            kernels, spectral.feature_dim
+        )
+        validate(
+            max(khs) <= spectral.fft_h and max(kws) <= spectral.fft_w,
+            f"kernel ({max(khs)},{max(kws)}) exceeds FFT dims "
+            f"({spectral.fft_h},{spectral.fft_w}) "
+            "(reference check src/cudaConvolutionFFT.cu:242-243)",
+        )
+        n, f = int(kstack.shape[0]), int(kstack.shape[1])
+        h_pad = -(-spectral.fft_h // 8) * 8
+        wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
+        resident_bytes = 8 * n * f * h_pad * wc_pad
+        if n > 1 and resident_bytes > _device_memory_budget() // 2:
+            return _conv_spectral_streaming_spatial(
+                spectral, kstack, khs, kws, mode=mode,
+                correlation=correlation, use_pallas=use_pallas,
+            )
         sk = fft_kernels(
             kernels, spectral=spectral, correlation=correlation
         )
@@ -572,6 +661,56 @@ def conv_spectral(
             use_pallas,
         )
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+
+
+def _conv_spectral_streaming_spatial(
+    spectral: SpectralData,
+    kstack: jnp.ndarray,  # (N, F, Kh, Kw) spatial
+    khs: tuple,
+    kws: tuple,
+    *,
+    mode: str,
+    correlation: bool,
+    use_pallas: bool | None,
+):
+    """conv_spectral tail for banks too large to hold as resident spectra:
+    chunked on-the-fly transform + MAC + inverse (see
+    _conv_from_spatial_chunked)."""
+    if mode != "fftmap":
+        validate(
+            spectral.data_h + max(khs) - 1 <= spectral.fft_h
+            and spectral.data_w + max(kws) - 1 <= spectral.fft_w,
+            f"kernel ({max(khs)},{max(kws)}) too large for linear "
+            f"convolution at FFT dims ({spectral.fft_h},{spectral.fft_w}) "
+            f"with data ({spectral.data_h},{spectral.data_w}): output "
+            "would be circularly aliased. Recompute fft_data with larger "
+            "max_kernel dims, or use mode='fftmap' for raw circular maps",
+        )
+    use_pallas = _resolve_pallas(use_pallas)
+    batched = spectral.batched
+    d_re = spectral.re if batched else spectral.re[None]
+    d_im = spectral.im if batched else spectral.im[None]
+    n, f = int(kstack.shape[0]), int(kstack.shape[1])
+    b = d_re.shape[0]
+    h_pad = -(-spectral.fft_h // 8) * 8
+    wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
+    w_pad = -(-spectral.fft_w // 128) * 128
+    # fixed residents: data spectra + full output maps + spatial bank
+    fixed = (
+        8 * b * f * h_pad * wc_pad
+        + 4 * b * n * h_pad * w_pad
+        + kstack.size * 4
+    )
+    # per streamed kernel (double-buffered): chunk spectra + products + map
+    per_k = 2 * (8 * f * h_pad * wc_pad + 8 * b * h_pad * wc_pad
+                 + 8 * b * h_pad * w_pad)
+    budget = max(_device_memory_budget() - fixed, per_k)
+    chunk = int(max(1, min(n, budget // per_k)))
+    maps = _conv_from_spatial_chunked(
+        d_re, d_im, kstack, spectral.fft_h, spectral.fft_w,
+        use_pallas, chunk, correlation,
+    )
+    return _trim(maps, spectral, khs, kws, mode, batched)
 
 
 def _conv_spectral_tiled(

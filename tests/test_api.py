@@ -175,6 +175,34 @@ def test_api_is_jit_transparent(rng):
     np.testing.assert_allclose(got2, want, atol=1e-5)
 
 
+def test_streaming_spatial_giant_bank_path(rng):
+    """Banks whose resident spectra exceed half the budget stream SPATIAL
+    kernels with on-the-fly chunk transforms (_conv_from_spatial_chunked)
+    and must match the resident-spectra path exactly."""
+    from unittest import mock
+
+    import cuda_fft_convolution_tpu.api as api
+
+    data = rng.standard_normal((40, 40, 2)).astype(np.float32)
+    kerns = rng.standard_normal((5, 7, 7, 2)).astype(np.float32)
+    sd = fc.fft_data(data, 7, 7)
+    want = np.array(fc.conv_spectral(sd, kerns, mode="same"))
+    # Shrink the budget so this small bank counts as "giant" and takes the
+    # streaming path (chunked, chunk < N).
+    with mock.patch.object(api, "_device_memory_budget", lambda: 1 << 20):
+        got = np.array(fc.conv_spectral(sd, kerns, mode="same"))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # correlation flag flows through the on-the-fly transform
+    want_c = np.array(
+        fc.conv_spectral(sd, kerns[:, ::-1, ::-1], mode="same")
+    )
+    with mock.patch.object(api, "_device_memory_budget", lambda: 1 << 20):
+        got_c = np.array(
+            fc.conv_spectral(sd, kerns, mode="same", correlation=True)
+        )
+    np.testing.assert_allclose(got_c, want_c, atol=1e-6)
+
+
 def test_ragged_same_mode_uses_each_kernels_window(rng):
     """'same' with a ragged bank must center per kernel size, not reuse the
     first kernel's offset. Centering uses the scipy/numpy convention
