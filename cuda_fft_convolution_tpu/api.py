@@ -479,14 +479,18 @@ def fft_kernels(
     h_pad = -(-fft_h // 8) * 8
     wc_pad = -(-(fft_w // 2 + 1) // 128) * 128
     spectra_bytes = n * f * h_pad * wc_pad * 8  # re + im planes, padded
-    budget = _device_memory_budget() // 4  # transform temps ≈ 2-3× spectra
-    if spectra_bytes > budget and n > 1:
+    total = _device_memory_budget()
+    if spectra_bytes > total // 4 and n > 1:
         # Chunk the forward transform so its temporaries stay bounded (big
         # DPM banks at large FFT sizes OOM otherwise). Chunks land in
         # DONATED plane accumulators — a concatenate would hold all chunks
         # plus the result live at once (2× the multi-GB bank, measured OOM).
-        n_chunks = -(-spectra_bytes // budget)
-        step = max(1, -(-n // n_chunks))
+        # Chunk size comes from what's LEFT after the resident accumulator:
+        # each in-flight chunk holds its padded output planes plus ~3×
+        # that in transform temporaries (Karatsuba + layout copies).
+        avail = max(total - spectra_bytes - 2 * kstack.size * 4, total // 8)
+        per_kernel = 8 * f * h_pad * wc_pad
+        step = int(max(1, min(n, avail // (4 * per_kernel))))
         re = jnp.zeros((n, f, fft_h, fft_w // 2 + 1), jnp.float32)
         im = jnp.zeros((n, f, fft_h, fft_w // 2 + 1), jnp.float32)
         for s in range(0, n, step):
