@@ -393,14 +393,28 @@ def fft_data_tiled(
     block_h: int | None = None,
     block_w: int | None = None,
     device=None,
+    trim_mode: str = "full",
+    trim_kernel_h: int | None = None,
+    trim_kernel_w: int | None = None,
 ) -> TiledSpectralData:
     """Precompute overlap-save BLOCK spectra of the data (ops/tiled.py).
 
     The tiled analogue of ``fft_data``: one small-FFT pass over the image,
     reusable across the whole bank and across calls. Beyond the reference —
     its engine always transforms at full image+pad size. Block size defaults
-    to the planner's choice (``choose_block_fft``)."""
+    to the planner's choice (``choose_block_fft``).
+
+    ``trim_mode='same'``/``'valid'`` BAKES that output window into the
+    block tiling (for kernels of exactly ``trim_kernel_h/w``, default the
+    max): the engine then writes the windowed maps directly — no trim copy
+    (a measured ~14 ms / 1.7 GB of HBM traffic on the 2048²×100 headline).
+    'full'-window requests against such spectra still work whenever the
+    requested rows/cols lie inside the baked window; wider requests raise."""
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
+    validate(
+        trim_mode in ("full", "same", "valid"),
+        "trim_mode must be 'full', 'same', or 'valid'",
+    )
     if device is not None:
         # gpuId parity (src/cudaConvolutionFFT.cu:84-89): explicit placement.
         data = jax.device_put(_as_array(data), device)
@@ -426,14 +440,32 @@ def fft_data_tiled(
         f"block ({block_h},{block_w}) smaller than kernel "
         f"({max_kernel_h},{max_kernel_w})",
     )
+    tkh = max_kernel_h if trim_kernel_h is None else int(trim_kernel_h)
+    tkw = max_kernel_w if trim_kernel_w is None else int(trim_kernel_w)
+    if trim_mode == "same":
+        origin_h, origin_w = (tkh - 1) // 2, (tkw - 1) // 2
+        win_h, win_w = h, w
+    elif trim_mode == "valid":
+        validate(
+            h >= tkh and w >= tkw,
+            f"trim_mode='valid' needs data >= kernel; got data ({h},{w}), "
+            f"kernel ({tkh},{tkw})",
+        )
+        origin_h, origin_w = tkh - 1, tkw - 1
+        win_h, win_w = h - tkh + 1, w - tkw + 1
+    else:
+        origin_h = origin_w = 0
+        win_h = win_w = None
     re, im = fft_data_blocks(
-        data_cf, block_h, block_w, max_kernel_h, max_kernel_w
+        data_cf, block_h, block_w, max_kernel_h, max_kernel_w,
+        origin_h, origin_w, win_h, win_w,
     )
     if not batched:
         re, im = re[0], im[0]
     return TiledSpectralData(
         re=re, im=im, block_h=block_h, block_w=block_w,
         max_kh=max_kernel_h, max_kw=max_kernel_w, data_h=h, data_w=w,
+        origin_h=origin_h, origin_w=origin_w, win_h=win_h, win_w=win_w,
     )
 
 
@@ -531,18 +563,35 @@ def _trim(
         out = maps
         return out if batched else out[0]
     ragged = len(set(khs)) > 1 or len(set(kws)) > 1
+    # Spectra with a baked output window (fft_data_tiled trim_mode) carry
+    # the block-tiling origin: window coordinates below are 'full'-window
+    # indices, shifted here into the maps' frame. A request matching the
+    # baked window slices [0:rh] — a no-op XLA elides (zero trim copies).
+    org_h = getattr(spectral, "origin_h", 0)
+    org_w = getattr(spectral, "origin_w", 0)
+    avail_h, avail_w = maps.shape[-2], maps.shape[-1]
 
     def window(kh, kw):
         if mode == "full":
-            return 0, 0, h + kh - 1, w + kw - 1
-        if mode == "same":
-            return (kh - 1) // 2, (kw - 1) // 2, h, w
-        # valid
+            r = (0, 0, h + kh - 1, w + kw - 1)
+        elif mode == "same":
+            r = ((kh - 1) // 2, (kw - 1) // 2, h, w)
+        else:  # valid
+            validate(
+                h >= kh and w >= kw, f"mode='valid' needs data >= kernel; "
+                f"got data ({h},{w}), kernel ({kh},{kw})"
+            )
+            r = (kh - 1, kw - 1, h - kh + 1, w - kw + 1)
+        r0, c0, rh, rw = r[0] - org_h, r[1] - org_w, r[2], r[3]
         validate(
-            h >= kh and w >= kw, f"mode='valid' needs data >= kernel; "
-            f"got data ({h},{w}), kernel ({kh},{kw})"
+            0 <= r0 and r0 + rh <= avail_h
+            and 0 <= c0 and c0 + rw <= avail_w,
+            f"mode='{mode}' window for kernel ({kh},{kw}) falls outside "
+            "the window baked into these tiled spectra — recompute "
+            "fft_data_tiled with trim_mode='full' (or the matching mode "
+            "and kernel size)",
         )
-        return kh - 1, kw - 1, h - kh + 1, w - kw + 1
+        return r0, c0, rh, rw
 
     if not ragged:
         r0, c0, rh, rw = window(khs[0], kws[0])
@@ -1008,9 +1057,29 @@ def fft_conv(
             feature_dim=int(data_arr.shape[-1]),
         )
         if algorithm == "tiled" or plan is not None:
+            # Uniform banks with a windowed mode: bake the window into the
+            # block tiling so the engine writes 'same'/'valid' maps
+            # directly — the trim slice becomes a no-op (saves a
+            # full-output HBM copy, ~14 ms on the 2048²×100 headline).
+            trim_kwargs = {}
+            if mode in ("same", "valid"):
+                if isinstance(kernels, (list, tuple)):
+                    kshapes = {
+                        (int(k.shape[0]), int(k.shape[1])) for k in kernels
+                    }
+                    uniform = len(kshapes) == 1
+                else:
+                    uniform = True
+                if uniform:
+                    trim_kwargs = dict(
+                        trim_mode=mode,
+                        trim_kernel_h=max_kernel_h,
+                        trim_kernel_w=max_kernel_w,
+                    )
             if plan is None:
                 spectral = fft_data_tiled(
-                    data, max_kernel_h, max_kernel_w, device=device
+                    data, max_kernel_h, max_kernel_w, device=device,
+                    **trim_kwargs,
                 )
             else:
                 # plan may enlarge the effective kernel envelope (aligned
@@ -1018,7 +1087,8 @@ def fft_conv(
                 # stores the enlarged envelope as its planned max.
                 lh, lw, pkh, pkw = plan
                 spectral = fft_data_tiled(
-                    data, pkh, pkw, block_h=lh, block_w=lw, device=device
+                    data, pkh, pkw, block_h=lh, block_w=lw, device=device,
+                    **trim_kwargs,
                 )
             return conv_spectral(
                 spectral, kernels, mode=mode, correlation=correlation,

@@ -149,7 +149,8 @@ def fallback_block_fft(max_kh: int, max_kw: int) -> tuple[int, int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_h", "block_w", "kh", "kw"),
+    static_argnames=("block_h", "block_w", "kh", "kw", "origin_h",
+                     "origin_w", "win_h", "win_w"),
 )
 def fft_data_blocks(
     data_cf: jnp.ndarray,  # (B, F, H, W)
@@ -157,23 +158,37 @@ def fft_data_blocks(
     block_w: int,
     kh: int,
     kw: int,
+    origin_h: int = 0,
+    origin_w: int = 0,
+    win_h: int | None = None,
+    win_w: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Block spectra (B, nbh, nbw, F, block_h, block_w//2+1) split (re, im)
     f32 planes.
 
     Blocks start every V = L−K+1 output rows/cols; block g covers padded
     input rows [g·V, g·V+L) where the input carries K−1 leading zeros (the
-    overlap-save prehistory) and trailing zeros to fill the last block."""
+    overlap-save prehistory) and trailing zeros to fill the last block.
+
+    ``origin_h/origin_w`` shift the block tiling so output row/col 0 is
+    'full'-window index origin (the prehistory shrinks by the shift —
+    history stays complete because origin ≤ K−1); ``win_h/win_w`` bound
+    the covered extent. Together they bake a 'same'/'valid' window into
+    the spectra so no trim copy is ever needed."""
     b, f, h, w = data_cf.shape
     vh, vw = block_h - kh + 1, block_w - kw + 1
-    oh, ow = h + kh - 1, w + kw - 1  # 'full' output extent
+    oh = (h + kh - 1 - origin_h) if win_h is None else win_h
+    ow = (w + kw - 1 - origin_w) if win_w is None else win_w
     nbh, nbw = -(-oh // vh), -(-ow // vw)
     hp = (nbh - 1) * vh + block_h
     wp = (nbw - 1) * vw + block_w
+    pt, pl = kh - 1 - origin_h, kw - 1 - origin_w
     x = jnp.pad(
         data_cf.astype(jnp.float32),
-        ((0, 0), (0, 0), (kh - 1, hp - (kh - 1) - h), (kw - 1, wp - (kw - 1) - w)),
+        ((0, 0), (0, 0), (pt, max(hp - pt - h, 0)),
+         (pl, max(wp - pl - w, 0))),
     )
+    x = x[:, :, :hp, :wp]
     r = jnp.arange(nbh)[:, None] * vh + jnp.arange(block_h)[None]
     c = jnp.arange(nbw)[:, None] * vw + jnp.arange(block_w)[None]
     xb = x[:, :, r, :]  # (B, F, nbh, block_h, Wp)

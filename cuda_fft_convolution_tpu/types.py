@@ -163,6 +163,18 @@ class TiledSpectralData:
     max_kw: int = dataclasses.field(metadata=dict(static=True))
     data_h: int = dataclasses.field(metadata=dict(static=True))
     data_w: int = dataclasses.field(metadata=dict(static=True))
+    # Baked output window (api.fft_data_tiled ``trim_mode``): the block
+    # tiling origin is shifted so the engine writes EXACTLY the requested
+    # window ('same'/'valid' for a known kernel size) with no trim copy —
+    # origin = the 'full'-window index of output row/col 0, win = extent.
+    origin_h: int = dataclasses.field(default=0, metadata=dict(static=True))
+    origin_w: int = dataclasses.field(default=0, metadata=dict(static=True))
+    win_h: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    win_w: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def fft(self) -> jnp.ndarray:
@@ -178,12 +190,19 @@ class TiledSpectralData:
 
     @property
     def out_h(self) -> int:
-        """'full' output extent covered by the blocks."""
-        return self.data_h + self.max_kh - 1
+        """Output extent the blocks synthesize (the 'full' extent unless a
+        window was baked at precompute time)."""
+        return (
+            self.win_h if self.win_h is not None
+            else self.data_h + self.max_kh - 1
+        )
 
     @property
     def out_w(self) -> int:
-        return self.data_w + self.max_kw - 1
+        return (
+            self.win_w if self.win_w is not None
+            else self.data_w + self.max_kw - 1
+        )
 
 
 @jax.tree_util.register_dataclass

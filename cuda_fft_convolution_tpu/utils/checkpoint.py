@@ -49,7 +49,9 @@ def save_spectral(path: str, obj) -> None:
         fft_re=np.asarray(obj.re, np.float32),
         fft_im=np.asarray(obj.im, np.float32),
         **{
-            k: (np.asarray(v) if not isinstance(v, tuple) else np.asarray(v))
+            # None-valued optional ints (e.g. TiledSpectralData.win_h)
+            # serialize as -1 (npz has no null scalar)
+            k: np.asarray(-1 if v is None else v)
             for k, v in meta.items()
         },
     )
@@ -70,9 +72,13 @@ def load_spectral(path: str):
         for f in dataclasses.fields(cls):
             if f.name in ("re", "im"):
                 continue
+            if f.name not in z:
+                # field added after this file was saved → dataclass default
+                continue
             v = z[f.name]
             if v.ndim == 0:
-                kwargs[f.name] = int(v)
+                iv = int(v)
+                kwargs[f.name] = None if iv < 0 else iv
             else:
                 kwargs[f.name] = tuple(int(x) for x in v)
         return cls(**kwargs)

@@ -195,6 +195,53 @@ def test_enlarged_envelope_plan_equivalence(rng):
     assert rel_err(full[0], fft_conv_full_f64(data, kern)) < 1e-5
 
 
+def test_baked_trim_window_matches_full_path(rng):
+    """fft_data_tiled(trim_mode='same'/'valid') bakes the output window
+    into the block tiling (no trim copy); results must equal the
+    full-spectra path exactly, for odd and even kernels."""
+    data = rng.standard_normal((100, 90, 2)).astype(np.float32)
+    for kh, kw in [(9, 6), (8, 8), (5, 5)]:
+        kerns = [rng.standard_normal((kh, kw, 2)).astype(np.float32)
+                 for _ in range(2)]
+        full_sd = fc.fft_data_tiled(data, kh, kw, block_h=32, block_w=40)
+        for mode in ("same", "valid"):
+            want = np.array(fc.conv_spectral(full_sd, kerns, mode=mode))
+            baked = fc.fft_data_tiled(
+                data, kh, kw, block_h=32, block_w=40, trim_mode=mode
+            )
+            assert baked.out_h == want.shape[-2]
+            assert baked.out_w == want.shape[-1]
+            got = np.array(fc.conv_spectral(baked, kerns, mode=mode))
+            assert got.shape == want.shape, (kh, kw, mode)
+            scale = np.max(np.abs(want))
+            assert np.max(np.abs(got - want)) / scale < 1e-6, (kh, kw, mode)
+    # a window the baked spectra can't serve raises
+    baked = fc.fft_data_tiled(data, 9, 6, block_h=32, block_w=40,
+                              trim_mode="valid")
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral(
+            baked, [rng.standard_normal((9, 6, 2)).astype(np.float32)],
+            mode="full",
+        )
+
+
+def test_baked_trim_oneshot_dispatch(rng):
+    """fft_conv with a uniform bank and mode='same' routes through baked
+    spectra and still matches the direct engine and the f64 oracle."""
+    data = rng.standard_normal((300, 280, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((8, 8, 1)).astype(np.float32)
+             for _ in range(3)]
+    got = np.array(
+        fc.fft_conv(data, kernels=kerns, mode="same", algorithm="tiled")
+    )
+    want = np.array(
+        fc.fft_conv(data, kernels=kerns, mode="same", algorithm="direct")
+    )
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
 def test_pipelined_tiled_matches_plain(rng):
     """conv_spectral_pipelined on TiledSpectralData: chunked tiled path
     equals the unchunked result for dividing and non-dividing chunks."""
