@@ -415,6 +415,10 @@ def fft_data_tiled(
         trim_mode in ("full", "same", "valid"),
         "trim_mode must be 'full', 'same', or 'valid'",
     )
+    # window offsets follow the USER's kernel size — captured before a
+    # measured block plan possibly enlarges the planned envelope below
+    tkh = max_kernel_h if trim_kernel_h is None else int(trim_kernel_h)
+    tkw = max_kernel_w if trim_kernel_w is None else int(trim_kernel_w)
     if device is not None:
         # gpuId parity (src/cudaConvolutionFFT.cu:84-89): explicit placement.
         data = jax.device_put(_as_array(data), device)
@@ -440,8 +444,6 @@ def fft_data_tiled(
         f"block ({block_h},{block_w}) smaller than kernel "
         f"({max_kernel_h},{max_kernel_w})",
     )
-    tkh = max_kernel_h if trim_kernel_h is None else int(trim_kernel_h)
-    tkw = max_kernel_w if trim_kernel_w is None else int(trim_kernel_w)
     if trim_mode == "same":
         origin_h, origin_w = (tkh - 1) // 2, (tkw - 1) // 2
         win_h, win_w = h, w

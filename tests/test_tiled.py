@@ -225,6 +225,27 @@ def test_baked_trim_window_matches_full_path(rng):
         )
 
 
+def test_baked_trim_offsets_under_enlarged_plan(rng, monkeypatch):
+    """When a measured block plan enlarges the planned kernel envelope,
+    the baked 'same' offsets must still follow the USER's kernel size."""
+    import cuda_fft_convolution_tpu.api as api
+
+    monkeypatch.setattr(
+        api, "choose_block_plan", lambda *a, **k: (32, 40, 12, 10)
+    )
+    data = rng.standard_normal((100, 90, 1)).astype(np.float32)
+    sd = api.fft_data_tiled(data, 9, 6, trim_mode="same")
+    assert sd.max_kh == 12 and sd.max_kw == 10  # plan envelope stored
+    assert (sd.origin_h, sd.origin_w) == (4, 2)  # offsets from (9, 6)
+    kern = rng.standard_normal((9, 6, 1)).astype(np.float32)
+    got = np.array(fc.conv_spectral(sd, [kern], mode="same"))
+    want = np.array(
+        fc.fft_conv(data, kernels=[kern], mode="same", algorithm="direct")
+    )
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
 def test_baked_trim_oneshot_dispatch(rng):
     """fft_conv with a uniform bank and mode='same' routes through baked
     spectra and still matches the direct engine and the f64 oracle."""
