@@ -158,8 +158,9 @@ def main() -> None:
     v_head = gpix_filters / t_head
 
     # --- tiled amortized (overlap-save serving path: block spectra + bank
-    # spectra precomputed, MAC + windowed MXU-DFT inverse per call)
-    sdt = fc.fft_data_tiled(data, KH, KW)
+    # spectra precomputed, MAC + windowed MXU-DFT inverse per call; the
+    # 'same' window is baked into the tiling — no trim copy)
+    sdt = fc.fft_data_tiled(data, KH, KW, trim_mode="same")
     skt = fc.fft_kernels(kernels, spectral=sdt)
     jax.block_until_ready((sdt.re, skt.re))
     conv_t = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
