@@ -28,7 +28,7 @@ rng = np.random.default_rng(0)
 
 # --- giant-bank direct: isolate MAC vs inverse vs chunking
 feats = jnp.asarray(rng.standard_normal((512, 512, 31)).astype(np.float32))
-NKD, KD = 256, 12
+NKD, KD = 224, 12
 bank = jnp.asarray(rng.standard_normal((NKD, KD, KD, 31)).astype(np.float32))
 sdf = fc.fft_data(feats, KD, KD)
 skf = fc.fft_kernels(bank, spectral=sdf)
@@ -61,7 +61,21 @@ try:
 except Exception as e:
     emit(kind="mac33_pallas", error=repr(e)[:200])
 
-# whole-bank MAC einsum (no chunking, no inverse): 256 kernels
+# explicit broadcast-mul-reduce MAC (no dot_general): 33 kernels
+def mac_mulsum(a, b, c, d):
+    pr = jnp.sum(a[:, None] * c[None] - b[:, None] * d[None], axis=2)
+    pi = jnp.sum(a[:, None] * d[None] + b[:, None] * c[None], axis=2)
+    return pr, pi
+m4 = probed(mac_mulsum)
+emit(kind="mac33_mulsum", ms=round(tfn(m4, dr, di, kr, ki), 1))
+
+# inverse+MAC fused for one chunk (the actual chunked-conv body)
+from cuda_fft_convolution_tpu.api import _conv_from_spectra_chunked
+cc = probed(lambda a,b,c,d: _conv_from_spectra_chunked(
+    a, b, c, d, sdf.fft_h, sdf.fft_w, None, 13))
+emit(kind="conv_chunk13_full224", ms=round(tfn(cc, dr, di, skf.re, skf.im), 1))
+
+# whole-bank MAC einsum (no chunking, no inverse): 224 kernels
 m3 = probed(lambda a,b,c,d: spectral_mac_planes(a,b,c,d))
 try:
     emit(kind="mac256_einsum", ms=round(tfn(m3, dr, di, skf.re, skf.im), 1))
