@@ -109,12 +109,15 @@ void ffc_plan_bank(int64_t n, int64_t f, int64_t fft_h, int64_t fft_w,
   const int64_t fixed =
       b * f * spec + b * f * fft_h * fft_w * 4 + n * f * spec + b * n * map;
   // UNCHUNKED working set per kernel: products (b planes) + inverse scratch
-  // (~2 maps); x2 for producer/consumer overlap. For f > 1 the MAC's
-  // F-contraction relayouts the bank (measured: a whole-bank dot OOMs at
-  // sizes the in-place model says fit), so budget must also cover one
-  // bank-sized relayout copy; f == 1 is elementwise and truly in-place.
+  // (~2 maps); x2 for producer/consumer overlap. For f > 1 keep a
+  // bank/16 slack for MAC fusion failures: the F-contraction einsum was
+  // once modeled as a full bank-sized relayout copy, but the whole-bank
+  // MAC at the F=31, N=224, 11.6 GB-padded-bank config measured RUNNING
+  // unchunked within 2.4 GB of real slack (perf/diag_dpm.py
+  // mac256_einsum) — the full-bank allowance forced a chunked plan that
+  // was 6-12x slower than the unchunked pass it prohibited.
   const int64_t per_unchunked = 2 * (b * spec + 2 * b * map);
-  const int64_t unchunked_extra = (f > 1) ? n * f * spec : 0;
+  const int64_t unchunked_extra = (f > 1) ? (n * f * spec) / 16 : 0;
   int64_t budget = hbm_budget_bytes - fixed;
   if (budget >= n * per_unchunked + unchunked_extra) {
     // Whole bank in one pass — measured to be both the fastest and the

@@ -93,15 +93,20 @@ def plan_bank(
         + batch * n_kernels * map_bytes
     )
     budget = hbm_budget_bytes - fixed
-    # Unchunked per-kernel cost: products + inverse scratch. For F > 1 the
-    # MAC's F-contraction relayouts the bank (measured: a whole-bank dot
-    # OOMs at sizes an in-place model says fit) — require headroom for one
-    # bank-sized relayout copy; F == 1 is elementwise, truly in-place.
+    # Unchunked per-kernel cost: products + inverse scratch. For F > 1 keep
+    # bank/16 slack for MAC fusion failures: the F-contraction einsum was
+    # once modeled as a full bank-sized relayout copy, but the whole-bank
+    # MAC at the F=31, N=224, 11.6 GB-padded-bank config measured RUNNING
+    # unchunked within 2.4 GB of real slack (perf/diag_dpm.py
+    # mac256_einsum) — the full-bank allowance forced a chunked plan that
+    # was 6-12x slower than the unchunked pass it prohibited.
     # Prefer unchunked whenever it fits (a chunked lax.map pays a
     # bank-slice copy per chunk; chunk_size=1 measured 30x slower on the
-    # 9.3 GB-bank config).
+    # 9.3 GB-bank config). csrc/planner.cpp keeps in sync.
     per_unchunked = 2 * (batch * spec + 2 * batch * map_bytes)
-    unchunked_extra = n_kernels * feature_dim * spec if feature_dim > 1 else 0
+    unchunked_extra = (
+        (n_kernels * feature_dim * spec) // 16 if feature_dim > 1 else 0
+    )
     if budget >= n_kernels * per_unchunked + unchunked_extra:
         return BankPlan(
             int(n_kernels),
