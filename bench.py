@@ -206,7 +206,7 @@ def main() -> None:
         bdata = jnp.asarray(
             rng.standard_normal((8, 1024, 1024, F)).astype(np.float32)
         )
-        sdb = fc.fft_data_tiled(bdata, KH, KW)
+        sdb = fc.fft_data_tiled(bdata, KH, KW, trim_mode="same")
         skb = fc.fft_kernels(kernels, spectral=sdb)
         jax.block_until_ready((sdb.re, skb.re))
         conv_b = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
@@ -273,7 +273,7 @@ def main() -> None:
         del sdf, skf
 
         # tiled amortized serving path (the production detector loop)
-        sdd = fc.fft_data_tiled(feats, KD, KD)
+        sdd = fc.fft_data_tiled(feats, KD, KD, trim_mode="same")
         skd = fc.fft_kernels(dpm_bank, spectral=sdd)
         jax.block_until_ready((sdd.re, skd.re))
         conv_dpm = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
