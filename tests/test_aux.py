@@ -32,7 +32,7 @@ def test_config_from_env(monkeypatch):
     assert cfg.chunk_size == 4
 
 
-@pytest.mark.parametrize("kind", ["data", "tiled", "kernels"])
+@pytest.mark.parametrize("kind", ["data", "tiled", "tiled_same", "kernels"])
 def test_checkpoint_roundtrip(tmp_path, rng, kind):
     data = rng.standard_normal((40, 30, 2)).astype(np.float32)
     kerns = [rng.standard_normal((5, 5, 2)).astype(np.float32) for _ in range(3)]
@@ -40,6 +40,11 @@ def test_checkpoint_roundtrip(tmp_path, rng, kind):
         obj = fc.fft_data(data, 5, 5)
     elif kind == "tiled":
         obj = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
+    elif kind == "tiled_same":
+        # baked output window: origin/win fields (incl. None) must survive
+        obj = fc.fft_data_tiled(
+            data, 5, 5, block_h=32, block_w=32, trim_mode="same"
+        )
     else:
         obj = fc.fft_kernels(kerns, fft_h=64, fft_w=48, feature_dim=2)
     path = str(tmp_path / f"{kind}.npz")
@@ -47,9 +52,14 @@ def test_checkpoint_roundtrip(tmp_path, rng, kind):
     back = load_spectral(path)
     assert type(back) is type(obj)
     np.testing.assert_allclose(fc.fetch(back.fft), fc.fetch(obj.fft), atol=1e-6)
-    for field in ("fft_h", "fft_w", "data_h", "block_h", "kernel_hs"):
+    for field in ("fft_h", "fft_w", "data_h", "block_h", "kernel_hs",
+                  "origin_h", "origin_w", "win_h", "win_w"):
         if hasattr(obj, field):
-            assert getattr(back, field) == getattr(obj, field)
+            assert getattr(back, field) == getattr(obj, field), field
+    if kind == "tiled_same":
+        got = np.array(fc.conv_spectral(back, kerns, mode="same"))
+        want = np.array(fc.conv_spectral(obj, kerns, mode="same"))
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_checkpoint_resume_produces_identical_results(tmp_path, rng):
