@@ -113,14 +113,16 @@ def test_tiled_rejects_fftmap_and_oversize(rng):
 
 
 def test_auto_algorithm_dispatch(rng):
-    """'auto' must agree with 'direct' wherever it chooses to tile."""
+    """'auto' must agree with 'direct' wherever it chooses to tile — to the
+    same relative bar both engines meet against the f64 oracle."""
     data = rng.standard_normal((400, 300, 1)).astype(np.float32)
     kern = rng.standard_normal((8, 8, 1)).astype(np.float32)
     auto = np.array(fc.fft_conv(data, kernels=[kern], mode="same"))
     direct = np.array(
         fc.fft_conv(data, kernels=[kern], mode="same", algorithm="direct")
     )
-    np.testing.assert_allclose(auto, direct, atol=2e-4)
+    scale = np.max(np.abs(direct))
+    assert np.max(np.abs(auto - direct)) / scale < 1e-5
 
 
 def test_tiled_correlation(rng):
