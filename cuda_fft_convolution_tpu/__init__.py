@@ -49,6 +49,7 @@ from cuda_fft_convolution_tpu.utils.fft_size import (
     next_multiple_of_16,
     next_pow2,
 )
+from cuda_fft_convolution_tpu.runtime import FftConvPlan, make_plan
 from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
 from cuda_fft_convolution_tpu.utils.config import get_config, set_config
 from cuda_fft_convolution_tpu.utils.selftest import selftest
@@ -73,6 +74,8 @@ __all__ = [
     "make_mesh",
     "shard_kernel_bank",
     "fetch",
+    "FftConvPlan",
+    "make_plan",
     "load_spectral",
     "save_spectral",
     "get_config",

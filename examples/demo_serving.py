@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Serving patterns — how to run the bank-convolution loop in production.
+
+The reference's serving story is `cudaFFTData` → repeated `cudaConvFFTData`
+calls (src/cudaFFTData.cu:97-150 keeps the data FFT on the GPU between
+calls). This demo shows the TPU-native upgrades measured in docs/PERF.md:
+
+  1. amortized spectra on BOTH sides (data blocks + kernel bank)
+  2. a BAKED output window (trim_mode='same'): the engine writes 'same'
+     maps directly — no trim copy per call
+  3. AOT plans (zero retracing at call time)
+  4. pipelined dispatch: keep a few calls in flight and sync every k-th —
+     on remote/tunneled runtimes this amortizes the per-call round trip
+  5. frame batching: B frames per call, linear device cost per frame
+
+CPU-safe (small shapes); the measured numbers quoted are from a v5e.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import cuda_fft_convolution_tpu as fc  # noqa: E402
+
+rng = np.random.default_rng(7)
+H, W, F = 256, 256, 1
+N, K = 16, 16
+
+frames = rng.standard_normal((8, H, W, F)).astype(np.float32)
+bank = rng.standard_normal((N, K, K, F)).astype(np.float32)
+
+# 1+2. amortize spectra; bake the 'same' window into the block tiling
+sd = fc.fft_data_tiled(frames[0], K, K, trim_mode="same")
+sk = fc.fft_kernels(bank, spectral=sd)
+
+# the serving call: precomputed spectra in, 'same' maps out — jit the loop
+serve = jax.jit(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+maps = serve(sd, sk)
+assert maps.shape == (N, H, W), maps.shape
+
+# 3. AOT plan (the cufftPlanMany analogue): fixed geometry, compiled once
+plan = fc.make_plan(frames[0].shape, bank.shape, algorithm="tiled",
+                    mode="same")
+maps_plan = plan.execute(frames[0], bank)
+_mp, _m = np.asarray(maps_plan), np.asarray(maps)
+assert np.max(np.abs(_mp - _m)) / np.max(np.abs(_m)) < 1e-5
+
+# 4. pipelined dispatch: sync every k-th call (measured on v5e: 62.9 →
+# 39.6 ms/call from sync_every 1 → 6 on the 2048²×100 config)
+t0 = time.perf_counter()
+probe = None
+for i, frame in enumerate(frames):
+    sd_i = fc.fft_data_tiled(frame, K, K, trim_mode="same")
+    probe = serve(sd_i, sk)
+    if (i + 1) % 4 == 0:  # sync point — bound queued work
+        np.asarray(jax.jit(jnp.ravel)(probe)[:4])
+np.asarray(jax.jit(jnp.ravel)(probe)[:4])
+print(f"pipelined 8 frames: {(time.perf_counter() - t0) * 1e3:.1f} ms")
+
+# 5. frame batching: B frames per call (measured: 38.9 -> 14.6 ms/frame
+# from B=1 -> 8 at 1024²; marginal device cost ~11 ms/frame)
+sd_b = fc.fft_data_tiled(frames, K, K, trim_mode="same")
+maps_b = serve(sd_b, sk)
+assert maps_b.shape == (8, N, H, W)
+_mb, _m = np.asarray(maps_b[0]), np.asarray(maps)
+assert np.max(np.abs(_mb - _m)) / np.max(np.abs(_m)) < 1e-5
+
+print("serving demo OK")
