@@ -89,6 +89,22 @@ def test_tiled_sharded_bank(rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_tiled_sharded_baked_window(rng):
+    """Baked-window tiled spectra (trim_mode='same') through the sharded
+    path: the engine writes 'same' maps directly on every shard."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((60, 50, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 2)).astype(np.float32) for _ in range(9)]
+    full_sd = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
+    want = np.array(fc.conv_spectral(full_sd, kerns, mode="same"))
+    baked = fc.fft_data_tiled(
+        data, 5, 5, block_h=32, block_w=32, trim_mode="same"
+    )
+    got = np.array(fc.conv_spectral_sharded(baked, kerns, mesh, mode="same"))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 @needs_multidevice
 def test_tiled_sharded_batched_2d_mesh(rng):
     if len(jax.devices()) % 2 != 0:
