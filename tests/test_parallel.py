@@ -102,7 +102,9 @@ def test_tiled_sharded_baked_window(rng):
     )
     got = np.array(fc.conv_spectral_sharded(baked, kerns, mesh, mode="same"))
     assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # different block tilings round differently — compare at output scale
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-6
 
 
 @needs_multidevice
