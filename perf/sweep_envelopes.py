@@ -70,7 +70,7 @@ for K, label, lh, lw, pkh, pkw in CASES:
         got = np.array(conv(sd, sk)[1][:1, 300:364, 300:364])
         ref = np.array(
             fc.fft_conv(np.asarray(data), kernels=[np.asarray(kernels[0])],
-                        mode="same", algorithm="direct")
+                        mode="same", algorithm="direct")[0]
         )[300:364, 300:364]
         err = float(np.max(np.abs(got[0] - ref)) / np.max(np.abs(ref)))
         emit(kind="envelope", ms=round(t, 2),
