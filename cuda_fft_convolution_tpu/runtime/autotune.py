@@ -43,6 +43,11 @@ _BUILTIN: dict = {
     # envelope (65, 128), every MXU dot dimension 128-native — measured
     # 59–61 ms vs 61.8 (v3 (64,384)), 77.8 (v2 (64,512)), 75–90 (unfused).
     (64, 64, 1): (192, 384, True, 256, 511),
+    # 32² kernels (perf/sweep_envelopes.py): v4 plan blocks (128, 511),
+    # valid (96, 384) — amortized 'same' 56.9 ms vs 84.3 analytic-auto.
+    # (128² kernels: the analytic (255, 895) v3 plan WINS (76.6 ms) over
+    # v4 at M=256 (121 ms — sub-transform cost grows as 2M²); no entry.)
+    (32, 32, 1): (96, 384, True, 128, 511),
 }
 _MEASURED: dict = {}
 
