@@ -37,6 +37,14 @@ data = jnp.asarray(rng.standard_normal((H, W, 1)).astype(np.float32))
 
 # (K, label, block_h, block_w, plan_kh, plan_kw); block None = auto dispatch
 CASES = [
+    (16, "auto", None, None, None, None),
+    # v4: Lh=256 (M=128, vh=224, kh_eff=33), Lw=511 (wc=256, vw=384)
+    (16, "v4_256x511", 256, 511, 33, 128),
+    # v3-ish smaller H: Lh=128 (vh=112, kh_eff=17), Lw=511
+    (16, "v3_128x511", 128, 511, 17, 128),
+    (8, "auto", None, None, None, None),
+    (8, "v4_256x511", 256, 511, 33, 128),
+    (8, "v3_128x511", 128, 511, 17, 128),
     (32, "auto", None, None, None, None),
     # v4: Lh=128 (M=64, vh=96, kh_eff=33), Lw=511 (wc=256, vw=384)
     (32, "v4_128x511", 128, 511, 33, 128),
