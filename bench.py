@@ -290,6 +290,12 @@ def main() -> None:
     roofline = gpix_filters / floor_s
 
     fft_h, fft_w = compute_fft_size(H, W, KH, KW, "fast")
+    # Device-side view of the headline: the tunnel RTT (measured above, a
+    # harness property — a plain PCIe/gRPC host pays ~1 ms) subtracted
+    # from the per-call wall time. The pipelined 'streaming' number is the
+    # fully-measured counterpart (RTT amortized over in-flight calls).
+    rtt_s = _rtt_floor()
+    v_device = gpix_filters / max(t_head - rtt_s, 1e-9)
     result = {
         "metric": "GPix*filters/s, one-shot fft_conv (jit-fused, auto engine), "
                   "2048^2 image x 100 64x64 kernels, fp32, 'same' maps",
@@ -300,7 +306,8 @@ def main() -> None:
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,
             "headline_ms": round(t_head * 1e3, 3),
-            "sync_rtt_floor_ms": round(_rtt_floor() * 1e3, 3),
+            "sync_rtt_floor_ms": round(rtt_s * 1e3, 3),
+            "headline_minus_rtt_GPixF_s": round(v_device, 3),
             "amortized_tiled_GPixF_s": round(v_tiled, 3),
             "amortized_tiled_ms": round(t_tiled * 1e3, 3),
             "streaming_tiled_GPixF_s": round(v_stream, 3),
