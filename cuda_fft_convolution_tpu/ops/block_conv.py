@@ -400,7 +400,12 @@ def block_conv_pallas(
         scratch = []
 
     flops_mac = 8 * f * lh * wc
-    flops_h = 8 * vh * lh * wc
+    if radix_h:
+        # two M-point sub-transforms + VPU twiddle combine
+        m_half = lh // 2
+        flops_h = 16 * m_half * m_half * wc + 8 * m_half * wc
+    else:
+        flops_h = 8 * vh * lh * wc
     flops_w = 4 * vh * wc * vw
     out = pl.pallas_call(
         kern,
