@@ -521,8 +521,10 @@ def fft_kernels(
         # plus the result live at once (2× the multi-GB bank, measured OOM).
         # Chunk size comes from what's LEFT after the resident accumulator:
         # each in-flight chunk holds its padded output planes plus ~3×
-        # that in transform temporaries (Karatsuba + layout copies).
-        avail = max(total - spectra_bytes - 2 * kstack.size * 4, total // 8)
+        # that in transform temporaries (Karatsuba + layout copies). No
+        # floor — when residents leave less than total//8 free, a floored
+        # chunk would oversubscribe HBM (step>=1 below is the only minimum).
+        avail = total - spectra_bytes - 2 * kstack.size * 4
         per_kernel = 8 * f * h_pad * wc_pad
         step = int(max(1, min(n, avail // (4 * per_kernel))))
         re = jnp.zeros((n, f, fft_h, fft_w // 2 + 1), jnp.float32)
@@ -705,16 +707,27 @@ def conv_spectral(
         sk.num_kernels, spectral.feature_dim, spectral.fft_h, spectral.fft_w,
         batch=spectral.batch_size, hbm_budget_bytes=_device_memory_budget(),
     )
-    if plan.chunk_size < sk.num_kernels:
-        maps = _conv_from_spectra_chunked(
-            d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
-            use_pallas, plan.chunk_size,
-        )
-    else:
-        maps = _conv_from_spectra(
-            d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
-            use_pallas,
-        )
+    try:
+        if plan.chunk_size < sk.num_kernels:
+            maps = _conv_from_spectra_chunked(
+                d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
+                use_pallas, plan.chunk_size,
+            )
+        else:
+            maps = _conv_from_spectra(
+                d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
+                use_pallas,
+            )
+    except Exception as exc:  # noqa: BLE001 — annotate allocator failures
+        if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
+            raise MemoryError(
+                f"{exc}\n[cuda_fft_convolution_tpu] the bank plan "
+                f"(chunk_size={plan.chunk_size}, est. peak "
+                f"{plan.peak_bytes >> 20} MiB) exceeded device memory — "
+                "lower FFTCONV_HBM_FRACTION (e.g. 0.8) to force smaller "
+                "chunks, or pass conv_spectral_pipelined(chunk_size=...)"
+            ) from exc
+        raise
     return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
 
 
@@ -1065,18 +1078,28 @@ def fft_conv(
             # full-output HBM copy, ~14 ms on the 2048²×100 headline).
             trim_kwargs = {}
             if mode in ("same", "valid"):
+                # Bake the window at the ACTUAL uniform kernel shape — not
+                # max_kernel_h/w, which callers may pass larger than the
+                # kernels (the reference's buffer-sizing pattern,
+                # src/cudaConvolutionFFT.cu:103-110): _trim requests the
+                # window at the actual kernel size, and a max-sized baked
+                # window would put that request out of range.
                 if isinstance(kernels, (list, tuple)):
                     kshapes = {
                         (int(k.shape[0]), int(k.shape[1])) for k in kernels
                     }
                     uniform = len(kshapes) == 1
+                    ukh, ukw = next(iter(kshapes))
                 else:
+                    karr = _as_array(kernels)
+                    kh_ax, kw_ax = (1, 2) if karr.ndim == 4 else (0, 1)
                     uniform = True
+                    ukh, ukw = int(karr.shape[kh_ax]), int(karr.shape[kw_ax])
                 if uniform:
                     trim_kwargs = dict(
                         trim_mode=mode,
-                        trim_kernel_h=max_kernel_h,
-                        trim_kernel_w=max_kernel_w,
+                        trim_kernel_h=ukh,
+                        trim_kernel_w=ukw,
                     )
             if plan is None:
                 spectral = fft_data_tiled(

@@ -164,9 +164,15 @@ def _make_kernel_v4(mbh: int, f: int, vh: int, wc: int, lh: int, w0: int,
 def radix_h_legal(lh: int, vh: int) -> bool:
     """Whether the v4 radix-2 H-stage applies: even block height whose
     half-period and window start are 8-aligned, with the window spanning
-    the period boundary (otherwise v3 is the same cost, use it)."""
+    the period boundary (otherwise v3 is the same cost, use it), and a
+    half-period ≤ 128 — the sub-transform dot cost grows as 2M² and v4
+    measured LOSING to v3 at M=256 (121 vs 76.6 ms, runtime/autotune.py
+    notes), so larger-M geometries must fall back to v3."""
     m, w0 = lh // 2, lh - vh
-    return lh % 2 == 0 and m % 8 == 0 and w0 % 8 == 0 and 0 < w0 < m
+    return (
+        lh % 2 == 0 and m % 8 == 0 and w0 % 8 == 0 and 0 < w0 < m
+        and m <= 128
+    )
 
 
 @functools.lru_cache(maxsize=32)

@@ -28,12 +28,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Max axis size for which the matmul transform is considered by the auto
-# dispatcher: beyond this the O(L^3)/O(L^2 logL) flop ratio eats the MXU
-# advantage and matrices get big. (2160-per-axis direct transforms still
-# measured faster via MXU-DFT than XLA FFT on v5e: 601 ms vs 953 ms for the
-# 2048²×100-kernel amortized pass.)
+# Max axis size for the SINGLE-STAGE dense matmul transform: beyond this the
+# O(L^3)/O(L^2 logL) flop ratio eats the MXU advantage and matrices get big.
+# (2160-per-axis direct transforms still measured faster via MXU-DFT than
+# XLA FFT on v5e: 601 ms vs 953 ms for the 2048²×100-kernel amortized pass.)
 MATMUL_FFT_MAX_AXIS = 2304
+
+# Max axis size for the TWO-STAGE Cooley–Tukey matmul transform (L = A·B,
+# two dense stage matmuls + a twiddle multiply — the cuFFT-parity answer for
+# arbitrary plan sizes, /root/reference/src/cudaConvolutionFFT.cu:128-142):
+# per-vector cost is L·(A+B) MACs instead of L², so even 8192-point axes
+# stay ~40× under the dense cost and far above XLA's VPU FFT throughput.
+MATMUL_CT_MAX_AXIS = 8192
+
+# Axis size above which a factorable length prefers the CT path over the
+# dense single-stage matmul (dense is still used for the windowed partial
+# inverses the overlap-save engine relies on — a capability CT lacks).
+MATMUL_CT_MIN_AXIS = 1536
 
 
 @functools.lru_cache(maxsize=64)

@@ -365,3 +365,31 @@ def test_bucketing_not_applied_to_similar_sizes(rng):
     ks2 = [np.zeros((8, 8, 1)), np.zeros((256, 256, 1))]
     buckets = _bucket_ragged([jnp.asarray(k) for k in ks2])
     assert buckets is not None and len(buckets) == 2
+
+
+def test_same_mode_oversized_max_kernel_tiled(rng):
+    """Explicit max_kernel_h/w LARGER than the actual uniform kernels (the
+    reference's buffer-sizing pattern, src/cudaConvolutionFFT.cu:103-110)
+    must not break windowed modes on the tiled engine: the baked trim
+    window follows the ACTUAL kernel shape (round-2 advisor regression)."""
+    data = rng.standard_normal((96, 96, 1)).astype(np.float32)
+    kerns = rng.standard_normal((3, 8, 8, 1)).astype(np.float32)
+    got = fc.fft_conv(data, 16, 16, kerns, mode="same", algorithm="tiled")
+    ref = fc.fft_conv(data, 8, 8, kerns, mode="same", algorithm="direct")
+    assert rel_err(np.array(got), np.array(ref)) < TOL
+    # list-of-kernels route
+    got2 = fc.fft_conv(
+        data, 16, 16, [np.asarray(k) for k in kerns], mode="same",
+        algorithm="tiled",
+    )
+    assert rel_err(np.array(got2), np.array(ref)) < TOL
+
+
+def test_radix_h_gate_large_half_period():
+    """v4 dispatch is gated on half-period M ≤ 128 (measured losing at
+    M=256: sub-transform cost grows as 2M² — round-2 advisor finding)."""
+    from cuda_fft_convolution_tpu.ops.block_conv import radix_h_legal
+
+    assert radix_h_legal(256, 192)        # M=128: the measured-winning plan
+    assert not radix_h_legal(512, 384)    # M=256: measured loser
+    assert not radix_h_legal(1024, 768)   # M=512
