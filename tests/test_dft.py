@@ -108,3 +108,59 @@ def test_irfft2_mm_partial_window(rng):
     np.testing.assert_allclose(
         np.array(part), np.array(full[:, 5:17, 7:27]), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage Cooley–Tukey transforms (axes above the dense cap)
+# ---------------------------------------------------------------------------
+
+
+def test_ct_factor_properties():
+    from cuda_fft_convolution_tpu.ops.dft import (
+        MATMUL_FFT_MAX_AXIS,
+        ct_factor,
+        matmul_fft_profitable,
+    )
+
+    # lane-friendly factor preferred when one exists
+    a, b = ct_factor(2560)
+    assert a * b == 2560 and b % 128 == 0
+    for l in (2560, 2688, 4096, 3000, 2816, 5400):
+        a, b = ct_factor(l)
+        assert a * b == l
+        assert a <= MATMUL_FFT_MAX_AXIS and b <= MATMUL_FFT_MAX_AXIS
+    assert ct_factor(2551) is None  # prime > cap: no factorization
+    assert ct_factor(9000) is None  # beyond the CT cap
+
+
+@pytest.mark.parametrize(
+    "h,w,fh,fw",
+    [
+        (40, 50, 2560, 2560),   # both axes CT (the BASELINE config-3 size)
+        (30, 30, 2560, 128),    # H-axis CT only
+        (30, 30, 128, 2560),    # W-axis CT only
+        (20, 20, 2688, 3000),   # mixed awkward factorizations
+        (16, 16, 3125, 128),    # 5^5: no 8-friendly factor on H
+    ],
+)
+def test_ct_transforms_match_fft(rng, h, w, fh, fw):
+    """CT forward/inverse vs the f64 numpy oracle at sizes beyond the dense
+    cap — the regime the reference's cuFFT plans handle natively
+    (src/cudaConvolutionFFT.cu:128-142) and round 2 punted to the VPU FFT."""
+    from cuda_fft_convolution_tpu.ops.dft import (
+        irfft2_mm_planes,
+        rfft2_mm_planes,
+    )
+
+    x = rng.standard_normal((2, h, w)).astype(np.float32)
+    sr, si = rfft2_mm_planes(jnp.asarray(x), fh, fw)
+    ref = np.fft.rfft2(x.astype(np.float64), s=(fh, fw))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(np.array(sr) - ref.real)) / scale < 1e-5
+    assert np.max(np.abs(np.array(si) - ref.imag)) / scale < 1e-5
+
+    # inverse round-trip: irfft2(rfft2(x)) == padded x
+    y = irfft2_mm_planes(sr, si, fh, fw)
+    pad = np.zeros((2, fh, fw), np.float32)
+    pad[:, :h, :w] = x
+    assert np.max(np.abs(np.array(y) - pad)) / np.max(np.abs(x)) < 1e-5
