@@ -142,15 +142,30 @@ def _kernels_to_stack(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("fft_h", "fft_w"))
-def _fft_data_worker(data_cf: jnp.ndarray, fft_h: int, fft_w: int):
+@functools.partial(
+    jax.jit, static_argnames=("fft_h", "fft_w", "clamp_h", "clamp_w")
+)
+def _fft_data_worker(
+    data_cf: jnp.ndarray, fft_h: int, fft_w: int,
+    clamp_h: int = 0, clamp_w: int = 0,
+):
     """(B, F, H, W) → (re, im) f32 planes (B, F, fft_h, fft_w//2+1).
 
     ≈ padData + batched cufftExecR2C (src/cudaFFTData.cu:115-146); the batch
     over B·F leading axes is XLA FFT HLO's native batching (the reference's
     cufftPlanMany BATCH=F, src/cudaFFTData.cu:137-143). Split-plane output:
     no complex64 at the program boundary (see types.py).
+
+    ``clamp_h/clamp_w`` > 0 selects border-clamp padding (edge pixels
+    replicated through a (clamp_h, clamp_w) band — ≈ padDataClampToBorder,
+    src/convolutionFFTkernel.cu:46-76) instead of zero padding.
     """
+    if clamp_h or clamp_w:
+        from cuda_fft_convolution_tpu.ops.padding import pad_clamp_to_border
+
+        data_cf = pad_clamp_to_border(
+            data_cf.astype(jnp.float32), fft_h, fft_w, clamp_h, clamp_w
+        )
     return rfft2_padded_planes(data_cf, fft_h, fft_w)
 
 
@@ -167,6 +182,28 @@ def _fft_kernels_worker(
     if correlation:
         kstack = kstack[..., ::-1, ::-1]
     return rfft2_padded_planes(kstack, fft_h, fft_w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fft_h", "fft_w", "khs", "kws")
+)
+def _fft_kernels_centered_worker(
+    kstack: jnp.ndarray, fft_h: int, fft_w: int, khs: tuple, kws: tuple
+):
+    """(N, F, Kh, Kw) → (re, im) planes with each kernel's CENTER wrapped to
+    the origin (≈ padKernel, src/convolutionFFTkernel.cu:13-40): maps come
+    out un-shifted, so 'same' needs no trim offset. Each kernel rolls by its
+    OWN center (ragged banks center correctly)."""
+    from cuda_fft_convolution_tpu.ops.padding import pad_to_fft
+
+    padded = pad_to_fft(kstack.astype(jnp.float32), fft_h, fft_w)
+    shifts = jnp.asarray(
+        [(-(kh // 2), -(kw // 2)) for kh, kw in zip(khs, kws)]
+    )
+    rolled = jax.vmap(
+        lambda x, s: jnp.roll(x, (s[0], s[1]), axis=(-2, -1))
+    )(padded, shifts)
+    return rfft2_padded_planes(rolled, fft_h, fft_w)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -329,8 +366,12 @@ def _device_memory_budget() -> int:
     """Usable HBM bytes on the default device (conservative fraction from
     Config.hbm_fraction): runtime memory_stats when available, else a
     device-kind table minus a 1 GiB runtime reserve (measured allocatable
-    ceiling on the 16 GB v5e runtime: 15 GiB), else 8 GiB (CPU/unknown)."""
-    frac = get_config().hbm_fraction
+    ceiling on the 16 GB v5e runtime: 15 GiB), else 8 GiB (CPU/unknown).
+    ``Config.hbm_budget_bytes`` overrides everything (tests, fleets)."""
+    cfg = get_config()
+    if cfg.hbm_budget_bytes is not None:
+        return int(cfg.hbm_budget_bytes)
+    frac = cfg.hbm_fraction
     try:
         dev = jax.devices()[0]
         stats = dev.memory_stats()
@@ -357,6 +398,7 @@ def fft_data(
     *,
     policy: FftSizePolicy | str | None = None,
     device=None,
+    padding: str = "zero",
 ) -> SpectralData:
     """Precompute the reusable data spectrum — ≈ ``cudaFFTData(data, Kh, Kw)``
     (src/cudaFFTData.cu:18-150).
@@ -366,8 +408,15 @@ def fft_data(
     ``mxGPUArray`` return (src/cudaFFTData.cu:150). FFT dims follow
     ``policy(data + max_kernel − 1)`` (src/cudaConvolutionFFT.cu:103-110,
     policy pluggable per SURVEY.md §7).
+
+    ``padding``: 'zero' pads with zeros (padData,
+    src/cudaConvFFTData.cuh:11-31); 'clamp' replicates edge pixels through
+    the (max_kernel − 1) pad band (padDataClampToBorder,
+    src/convolutionFFTkernel.cu:46-76) — boundary-friendly filtering where
+    edge outputs see replicated pixels instead of an implicit black border.
     """
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
+    validate(padding in ("zero", "clamp"), "padding must be 'zero' or 'clamp'")
     policy = _resolve_policy(policy)
     if device is not None:
         # ≈ the reference's optional 0-based GPU id argument
@@ -377,7 +426,10 @@ def fft_data(
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     fft_h, fft_w = compute_fft_size(h, w, max_kernel_h, max_kernel_w, policy)
-    re, im = _fft_data_worker(data_cf, fft_h, fft_w)
+    clamp = (
+        (max_kernel_h - 1, max_kernel_w - 1) if padding == "clamp" else (0, 0)
+    )
+    re, im = _fft_data_worker(data_cf, fft_h, fft_w, *clamp)
     if not batched:
         re, im = re[0], im[0]
     return SpectralData(
@@ -396,6 +448,7 @@ def fft_data_tiled(
     trim_mode: str = "full",
     trim_kernel_h: int | None = None,
     trim_kernel_w: int | None = None,
+    same_offset: str = "scipy",
 ) -> TiledSpectralData:
     """Precompute overlap-save BLOCK spectra of the data (ops/tiled.py).
 
@@ -444,8 +497,15 @@ def fft_data_tiled(
         f"block ({block_h},{block_w}) smaller than kernel "
         f"({max_kernel_h},{max_kernel_w})",
     )
+    validate(
+        same_offset in ("scipy", "matlab"),
+        "same_offset must be 'scipy' or 'matlab'",
+    )
     if trim_mode == "same":
-        origin_h, origin_w = (tkh - 1) // 2, (tkw - 1) // 2
+        if same_offset == "matlab":
+            origin_h, origin_w = tkh // 2, tkw // 2
+        else:
+            origin_h, origin_w = (tkh - 1) // 2, (tkw - 1) // 2
         win_h, win_w = h, w
     elif trim_mode == "valid":
         validate(
@@ -480,13 +540,32 @@ def fft_kernels(
     feature_dim: int | None = None,
     correlation: bool = False,
     device=None,
+    kernel_layout: str = "corner",
 ) -> SpectralKernels:
     """Precompute a kernel bank's spectra at a fixed FFT size.
 
     Beyond the reference (which re-runs kernel FFTs every call,
     src/cudaConvFFTData.cu:191-282) — amortizes the bank FFT across an image
     stream. Pass either explicit (fft_h, fft_w) or the ``SpectralData`` the
-    bank will be used against."""
+    bank will be used against.
+
+    ``kernel_layout``: 'corner' anchors kernels top-left (padData — the
+    reference's built path); 'centered' wraps each kernel's center to the
+    origin (padKernel, src/convolutionFFTkernel.cu:13-40) so conv maps come
+    out un-shifted — mode='same' then needs no trim offset. Centered banks
+    support mode 'fftmap'/'same' on the direct engine only, and require
+    pre-flipped kernels for correlation (correlation=True is rejected)."""
+    validate(
+        kernel_layout in ("corner", "centered"),
+        "kernel_layout must be 'corner' or 'centered'",
+    )
+    centered = kernel_layout == "centered"
+    validate(
+        not (centered and correlation),
+        "kernel_layout='centered' requires pre-flipped kernels "
+        "(correlation=True is ambiguous for centered anchors — flip by "
+        "hand like the reference demo, demoCudaConvolutionFFT.m:67-69)",
+    )
     if isinstance(spectral, TiledSpectralData):
         fft_h, fft_w = spectral.block_h, spectral.block_w
         feature_dim = spectral.feature_dim
@@ -507,6 +586,14 @@ def fft_kernels(
         "(reference check src/cudaConvolutionFFT.cu:242-243)",
     )
     n, f = kstack.shape[0], kstack.shape[1]
+    if centered:
+        re, im = _fft_kernels_centered_worker(
+            kstack, fft_h, fft_w, khs, kws
+        )
+        return SpectralKernels(
+            re=re, im=im, fft_h=fft_h, fft_w=fft_w,
+            kernel_hs=khs, kernel_ws=kws, centered=True,
+        )
     # RESIDENT footprint is the (8,128)-tile-PADDED HBM layout, not the
     # nominal element count — a (540, 271) plane occupies (544, 384),
     # 1.43× nominal (measured OOMs with the nominal model).
@@ -553,19 +640,33 @@ def _trim(
     kws: tuple[int, ...],
     mode: str,
     batched: bool,
+    same_offset: str = "scipy",
+    centered: bool = False,
 ):
     """Slice the circular FFT maps down to the requested window.
 
     'fftmap' → raw maps (reference-parity). 'full' → top-left
     (H+Kh−1)×(W+Kw−1) (demoCudaConvolutionFFT.m:149); 'same' → centered H×W
-    with the scipy/numpy offset convention ((Kh−1)//2 — note MATLAB's conv2
-    'same' uses Kh//2, one pixel lower for even kernels); 'valid' →
-    (H−Kh+1)×(W−Kw+1) starting at (Kh−1, Kw−1). Ragged banks return a list
-    for modes whose window depends on kernel size."""
+    with offset ``same_offset``: 'scipy' = (Kh−1)//2 (scipy/numpy
+    convention) or 'matlab' = Kh//2 (MATLAB conv2 — one pixel lower/right
+    for even kernels); 'valid' → (H−Kh+1)×(W−Kw+1) starting at (Kh−1, Kw−1).
+    Ragged banks return a list for modes whose window depends on kernel
+    size. ``centered`` (kernel_layout='centered' spectra) → maps are
+    un-shifted; 'same' is the plain top-left H×W block."""
     h, w = spectral.data_h, spectral.data_w
     if mode == "fftmap":
         out = maps
         return out if batched else out[0]
+    validate(
+        same_offset in ("scipy", "matlab"),
+        "same_offset must be 'scipy' or 'matlab'",
+    )
+    validate(
+        not centered or mode == "same",
+        "kernel_layout='centered' spectra support mode 'fftmap' or 'same' "
+        "only (the 'full'/'valid' windows wrap circularly for centered "
+        "anchors — use the default corner layout)",
+    )
     ragged = len(set(khs)) > 1 or len(set(kws)) > 1
     # Spectra with a baked output window (fft_data_tiled trim_mode) carry
     # the block-tiling origin: window coordinates below are 'full'-window
@@ -576,10 +677,15 @@ def _trim(
     avail_h, avail_w = maps.shape[-2], maps.shape[-1]
 
     def window(kh, kw):
-        if mode == "full":
+        if centered:  # un-shifted maps: 'same' = top-left H×W
+            r = (0, 0, h, w)
+        elif mode == "full":
             r = (0, 0, h + kh - 1, w + kw - 1)
         elif mode == "same":
-            r = ((kh - 1) // 2, (kw - 1) // 2, h, w)
+            if same_offset == "matlab":
+                r = (kh // 2, kw // 2, h, w)
+            else:
+                r = ((kh - 1) // 2, (kw - 1) // 2, h, w)
         else:  # valid
             validate(
                 h >= kh and w >= kw, f"mode='valid' needs data >= kernel; "
@@ -616,6 +722,8 @@ def conv_spectral(
     mode: str = "fftmap",
     correlation: bool = False,
     use_pallas: bool | None = None,
+    same_offset: str = "scipy",
+    kernel_layout: str = "corner",
 ):
     """Convolve a kernel bank against a precomputed data spectrum —
     ≈ ``cudaConvFFTData(fftData, {kernels})`` (src/cudaConvFFTData.cu:24-282).
@@ -626,12 +734,26 @@ def conv_spectral(
     'fftmap', trimmed windows for 'full'/'same'/'valid' (list if ragged).
 
     A ``TiledSpectralData`` routes through the overlap-save engine
-    (ops/tiled.py; linear-conv modes only)."""
+    (ops/tiled.py; linear-conv modes only).
+
+    ``same_offset``: 'scipy' = (Kh−1)//2 or 'matlab' = Kh//2 ('same' window
+    offset — MATLAB conv2 parity for even kernels). ``kernel_layout``:
+    see ``fft_kernels`` (centered banks → un-shifted maps; 'fftmap'/'same',
+    direct engine only)."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
     if isinstance(spectral, TiledSpectralData):
+        validate(
+            kernel_layout == "corner"
+            and not (
+                isinstance(kernels, SpectralKernels) and kernels.centered
+            ),
+            "kernel_layout='centered' requires the direct engine "
+            "(SpectralData) — tiled block decomposition assumes "
+            "corner-anchored kernels",
+        )
         return _conv_spectral_tiled(
             spectral, kernels, mode=mode, correlation=correlation,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, same_offset=same_offset,
         )
     if isinstance(kernels, SpectralKernels):
         sk = kernels
@@ -668,13 +790,19 @@ def conv_spectral(
         h_pad = -(-spectral.fft_h // 8) * 8
         wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
         resident_bytes = 8 * n * f * h_pad * wc_pad
-        if n > 1 and resident_bytes > _device_memory_budget() // 2:
+        if (
+            n > 1
+            and kernel_layout == "corner"
+            and resident_bytes > _device_memory_budget() // 2
+        ):
             return _conv_spectral_streaming_spatial(
                 spectral, kstack, khs, kws, mode=mode,
                 correlation=correlation, use_pallas=use_pallas,
+                same_offset=same_offset,
             )
         sk = fft_kernels(
-            kernels, spectral=spectral, correlation=correlation
+            kernels, spectral=spectral, correlation=correlation,
+            kernel_layout=kernel_layout,
         )
     if mode != "fftmap":
         # Linear-conv windows are only valid when the FFT dims cover
@@ -728,7 +856,10 @@ def conv_spectral(
                 "chunks, or pass conv_spectral_pipelined(chunk_size=...)"
             ) from exc
         raise
-    return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+    return _trim(
+        maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
+        same_offset=same_offset, centered=sk.centered,
+    )
 
 
 def _conv_spectral_streaming_spatial(
@@ -740,6 +871,7 @@ def _conv_spectral_streaming_spatial(
     mode: str,
     correlation: bool,
     use_pallas: bool | None,
+    same_offset: str = "scipy",
 ):
     """conv_spectral tail for banks too large to hold as resident spectra:
     chunked on-the-fly transform + MAC + inverse (see
@@ -778,7 +910,9 @@ def _conv_spectral_streaming_spatial(
         d_re, d_im, kstack, spectral.fft_h, spectral.fft_w,
         use_pallas, chunk, correlation,
     )
-    return _trim(maps, spectral, khs, kws, mode, batched)
+    return _trim(
+        maps, spectral, khs, kws, mode, batched, same_offset=same_offset
+    )
 
 
 def _conv_spectral_tiled(
@@ -788,6 +922,7 @@ def _conv_spectral_tiled(
     mode: str,
     correlation: bool,
     use_pallas: bool | None,
+    same_offset: str = "scipy",
 ):
     """Overlap-save bank convolution against precomputed block spectra."""
     validate(
@@ -821,7 +956,10 @@ def _conv_spectral_tiled(
     # direct engine's auto-chunking).
     chunk = _tiled_chunk_size(spectral, d_re, sk.num_kernels)
     maps = _tiled_chunked_maps(spectral, d_re, d_im, sk, chunk, use_pallas)
-    return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+    return _trim(
+        maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
+        same_offset=same_offset,
+    )
 
 
 def _tiled_chunk_size(
@@ -885,6 +1023,7 @@ def conv_spectral_pipelined(
     mode: str = "fftmap",
     correlation: bool = False,
     use_pallas: bool | None = None,
+    same_offset: str = "scipy",
 ):
     """Memory-bounded bank convolution — ≈ ``cudaConvFFTDataStreams``
     (src/cudaConvFFTDataStreams.cu): the bank is processed ``chunk_size``
@@ -945,7 +1084,10 @@ def conv_spectral_pipelined(
             spectral, d_re, d_im, sk, min(chunk_size, sk.num_kernels),
             use_pallas,
         )
-        return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+        return _trim(
+            maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
+            same_offset=same_offset,
+        )
     batched = spectral.batched
     d_re = spectral.re if batched else spectral.re[None]
     d_im = spectral.im if batched else spectral.im[None]
@@ -953,7 +1095,10 @@ def conv_spectral_pipelined(
         d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w, use_pallas,
         chunk_size,
     )
-    return _trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+    return _trim(
+        maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
+        same_offset=same_offset, centered=sk.centered,
+    )
 
 
 def np_prod_blocks(spectral: TiledSpectralData) -> int:
@@ -1000,6 +1145,9 @@ def fft_conv(
     algorithm: str = "auto",
     device=None,
     bucket_ragged: bool = True,
+    padding: str = "zero",
+    kernel_layout: str = "corner",
+    same_offset: str = "scipy",
 ):
     """One-shot bank convolution — ≈ ``cudaConvolutionFFT(data, maxKh, maxKw,
     kernelCell)`` (src/cudaConvolutionFFT.cu:27-310): one forward data FFT
@@ -1012,12 +1160,32 @@ def fft_conv(
 
     ``algorithm``: 'direct' = one image-sized FFT (the reference's engine);
     'tiled' = overlap-save block FFTs (ops/tiled.py, linear modes only);
-    'auto' = tiled when the planner says it pays and the mode allows it."""
+    'auto' = tiled when the planner says it pays and the mode allows it.
+
+    ``padding='clamp'`` replicates edge pixels through the pad band
+    (padDataClampToBorder, src/convolutionFFTkernel.cu:46-76);
+    ``kernel_layout='centered'`` wraps kernel centers to the origin
+    (padKernel, :13-40) for un-shifted maps; ``same_offset='matlab'``
+    selects MATLAB conv2's Kh//2 'same' offset (scipy's is (Kh-1)//2 — the
+    conventions differ by one pixel for even kernels). The first two force
+    the direct engine."""
     validate(kernels is not None, "kernels is required")
     validate(
         algorithm in ("auto", "direct", "tiled"),
         "algorithm must be 'auto', 'direct', or 'tiled'",
     )
+    validate(padding in ("zero", "clamp"), "padding must be 'zero' or 'clamp'")
+    validate(
+        kernel_layout in ("corner", "centered"),
+        "kernel_layout must be 'corner' or 'centered'",
+    )
+    if padding == "clamp" or kernel_layout == "centered":
+        validate(
+            algorithm != "tiled",
+            "padding='clamp' / kernel_layout='centered' require the direct "
+            "engine (algorithm='direct' or 'auto')",
+        )
+        algorithm = "direct"
     if (
         bucket_ragged
         and mode != "fftmap"  # fftmap's raw-map shape is FFT-size-defined
@@ -1038,6 +1206,8 @@ def fft_conv(
                     correlation=correlation, policy=policy,
                     use_pallas=use_pallas, algorithm=algorithm,
                     device=device, bucket_ragged=False,
+                    padding=padding, kernel_layout=kernel_layout,
+                    same_offset=same_offset,
                 )
                 if not isinstance(out, list):  # uniform bucket → stacked
                     out = [out[..., i, :, :] for i in range(len(sub))]
@@ -1100,6 +1270,7 @@ def fft_conv(
                         trim_mode=mode,
                         trim_kernel_h=ukh,
                         trim_kernel_w=ukw,
+                        same_offset=same_offset,
                     )
             if plan is None:
                 spectral = fft_data_tiled(
@@ -1117,7 +1288,7 @@ def fft_conv(
                 )
             return conv_spectral(
                 spectral, kernels, mode=mode, correlation=correlation,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, same_offset=same_offset,
             )
     validate(
         algorithm != "tiled",
@@ -1125,11 +1296,13 @@ def fft_conv(
         "use mode='full'/'same'/'valid'",
     )
     spectral = fft_data(
-        data, max_kernel_h, max_kernel_w, policy=policy, device=device
+        data, max_kernel_h, max_kernel_w, policy=policy, device=device,
+        padding=padding,
     )
     return conv_spectral(
         spectral, kernels, mode=mode, correlation=correlation,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, same_offset=same_offset,
+        kernel_layout=kernel_layout,
     )
 
 

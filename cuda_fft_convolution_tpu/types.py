@@ -217,6 +217,14 @@ class SpectralKernels:
     # Per-kernel true spatial sizes (pre-padding), for trimming modes.
     kernel_hs: tuple = dataclasses.field(metadata=dict(static=True))
     kernel_ws: tuple = dataclasses.field(metadata=dict(static=True))
+    # Kernel anchoring baked into the spectra: False = top-left corner (the
+    # reference's built path, src/cudaConvFFTData.cuh:11-31); True = kernel
+    # CENTER at the origin via circular wrap (≈ the vestigial padKernel,
+    # src/convolutionFFTkernel.cu:13-40) — maps come out un-shifted, so
+    # 'same' needs no trim offset.
+    centered: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def fft(self) -> jnp.ndarray:

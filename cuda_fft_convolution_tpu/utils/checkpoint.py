@@ -78,7 +78,12 @@ def load_spectral(path: str):
             v = z[f.name]
             if v.ndim == 0:
                 iv = int(v)
-                kwargs[f.name] = None if iv < 0 else iv
+                if iv < 0:
+                    kwargs[f.name] = None
+                elif f.type in ("bool", bool):
+                    kwargs[f.name] = bool(iv)
+                else:
+                    kwargs[f.name] = iv
             else:
                 kwargs[f.name] = tuple(int(x) for x in v)
         return cls(**kwargs)

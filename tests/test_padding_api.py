@@ -1,0 +1,150 @@
+"""API plumbing tests for the carried-forward padding/layout capabilities:
+padding='clamp' (padDataClampToBorder, src/convolutionFFTkernel.cu:46-76),
+kernel_layout='centered' (padKernel, :13-40), and same_offset='matlab'
+(MATLAB conv2 'same' parity — offset Kh//2 vs scipy's (Kh-1)//2)."""
+
+import numpy as np
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.utils.errors import InvalidInputError
+from tests.oracles import rel_err
+
+TOL = 1e-5
+
+
+def _clamp_pad_f64(x, fft_h, fft_w, bh, bw):
+    """f64 oracle of pad_clamp_to_border: edge-replicate a (bh, bw) band,
+    zero beyond."""
+    h, w = x.shape
+    out = np.zeros((fft_h, fft_w), np.float64)
+    rows = np.minimum(np.arange(h + bh), h - 1)
+    cols = np.minimum(np.arange(w + bw), w - 1)
+    out[: h + bh, : w + bw] = x[np.ix_(rows, cols)]
+    return out
+
+
+def test_fft_conv_padding_clamp_vs_oracle(rng):
+    data = rng.standard_normal((40, 36, 2)).astype(np.float32)
+    kern = rng.standard_normal((7, 5, 2)).astype(np.float32)
+    out = np.array(
+        fc.fft_conv(data, 7, 5, [kern], mode="fftmap", padding="clamp",
+                    policy="fast")
+    )[0]
+    fft_h, fft_w = out.shape
+    ref = np.zeros((fft_h, fft_w))
+    for c in range(2):
+        dp = _clamp_pad_f64(data[:, :, c].astype(np.float64), fft_h, fft_w,
+                            6, 4)
+        kf = np.fft.fft2(kern[:, :, c].astype(np.float64), (fft_h, fft_w))
+        ref += np.real(np.fft.ifft2(np.fft.fft2(dp) * kf))
+    assert rel_err(out, ref) < TOL
+
+
+def test_fft_data_padding_clamp_split_api(rng):
+    """fft_data(padding='clamp') → conv_spectral ≡ one-shot with clamp."""
+    data = rng.standard_normal((30, 30, 1)).astype(np.float32)
+    kern = rng.standard_normal((6, 6, 1)).astype(np.float32)
+    one = np.array(
+        fc.fft_conv(data, 6, 6, [kern], mode="fftmap", padding="clamp")
+    )
+    sd = fc.fft_data(data, 6, 6, padding="clamp")
+    split = np.array(fc.conv_spectral(sd, [kern], mode="fftmap"))
+    np.testing.assert_allclose(one, split, atol=1e-6)
+
+
+def test_kernel_layout_centered_equals_matlab_same(rng):
+    """Centered kernels produce un-shifted maps: mode='same' with centered
+    layout == corner layout with the MATLAB Kh//2 offset (exactly the shift
+    padKernel encodes)."""
+    data = rng.standard_normal((32, 28, 3)).astype(np.float32)
+    for ksz in [(6, 4), (5, 7)]:  # even (conventions differ) and odd (agree)
+        kern = rng.standard_normal((*ksz, 3)).astype(np.float32)
+        cent = np.array(
+            fc.fft_conv(data, kernels=[kern], mode="same",
+                        kernel_layout="centered")
+        )
+        matl = np.array(
+            fc.fft_conv(data, kernels=[kern], mode="same",
+                        same_offset="matlab", algorithm="direct")
+        )
+        assert rel_err(cent, matl) < TOL
+        scip = np.array(
+            fc.fft_conv(data, kernels=[kern], mode="same",
+                        algorithm="direct")
+        )
+        if ksz[0] % 2 == 1 and ksz[1] % 2 == 1:
+            assert rel_err(cent, scip) < TOL
+        else:
+            assert rel_err(cent, scip) > 1e-3  # conventions really differ
+
+
+def test_centered_ragged_bank(rng):
+    """Each ragged kernel centers at its OWN size."""
+    data = rng.standard_normal((24, 24, 1)).astype(np.float32)
+    kerns = [
+        rng.standard_normal((5, 5, 1)).astype(np.float32),
+        rng.standard_normal((9, 3, 1)).astype(np.float32),
+    ]
+    cent = fc.fft_conv(data, kernels=kerns, mode="same",
+                       kernel_layout="centered")
+    for k, c in zip(kerns, cent):
+        m = np.array(
+            fc.fft_conv(data, kernels=[k], mode="same", same_offset="matlab",
+                        algorithm="direct")
+        )[0]
+        assert rel_err(np.array(c), m) < TOL
+
+
+def test_matlab_same_offset_tiled_matches_direct(rng):
+    """same_offset='matlab' through the tiled engine (baked window) must
+    match the direct engine."""
+    data = rng.standard_normal((96, 96, 1)).astype(np.float32)
+    kerns = rng.standard_normal((2, 8, 8, 1)).astype(np.float32)
+    t = np.array(
+        fc.fft_conv(data, 8, 8, kerns, mode="same", algorithm="tiled",
+                    same_offset="matlab")
+    )
+    d = np.array(
+        fc.fft_conv(data, 8, 8, kerns, mode="same", algorithm="direct",
+                    same_offset="matlab")
+    )
+    assert rel_err(t, d) < TOL
+    # matlab vs scipy really shift by one pixel for even kernels
+    s = np.array(
+        fc.fft_conv(data, 8, 8, kerns, mode="same", algorithm="direct")
+    )
+    np.testing.assert_allclose(d[:, :-1, :-1], s[:, 1:, 1:], atol=1e-4)
+
+
+def test_centered_rejects_unsupported_combos(rng):
+    data = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    kern = rng.standard_normal((4, 4, 1)).astype(np.float32)
+    with pytest.raises(InvalidInputError):
+        fc.fft_conv(data, kernels=[kern], mode="full",
+                    kernel_layout="centered")
+    with pytest.raises(InvalidInputError):
+        fc.fft_conv(data, kernels=[kern], mode="same",
+                    kernel_layout="centered", algorithm="tiled")
+    with pytest.raises(InvalidInputError):
+        fc.fft_kernels([kern], 16, 16, kernel_layout="centered",
+                       correlation=True)
+    with pytest.raises(InvalidInputError):
+        fc.fft_conv(data, kernels=[kern], mode="same", padding="clamp",
+                    algorithm="tiled")
+
+
+def test_centered_kernels_checkpoint_roundtrip(rng, tmp_path):
+    from cuda_fft_convolution_tpu.utils.checkpoint import (
+        load_spectral,
+        save_spectral,
+    )
+
+    kern = rng.standard_normal((5, 5, 1)).astype(np.float32)
+    sk = fc.fft_kernels([kern], 16, 16, kernel_layout="centered")
+    assert sk.centered
+    p = str(tmp_path / "sk.npz")
+    save_spectral(p, sk)
+    back = load_spectral(p)
+    assert back.centered is True
+    np.testing.assert_array_equal(np.array(back.re), np.array(sk.re))
