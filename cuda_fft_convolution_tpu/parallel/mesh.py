@@ -117,6 +117,7 @@ def shard_kernel_bank(sk: SpectralKernels, mesh: Mesh) -> SpectralKernels:
         fft_w=sk.fft_w,
         kernel_hs=sk.kernel_hs,
         kernel_ws=sk.kernel_ws,
+        centered=sk.centered,
     )
 
 
@@ -127,10 +128,16 @@ def _sharded_conv_exec(
     tiled: bool,
     geom: tuple,
     use_pallas: bool | None,
+    chunk: int | None = None,
 ):
     """Build (once per key) the jitted shard_map executable for a bank
     convolution. The jit cache inside handles per-shape compilation; this
-    cache removes the per-call closure rebuild that would defeat it."""
+    cache removes the per-call closure rebuild that would defeat it.
+
+    ``chunk`` (kernels per pipelined slice, from the per-device plan) bounds
+    each device's product/output working set — the single-device path's
+    auto-chunking (api.py plan_bank), applied to the LOCAL shard. None =
+    whole shard in one pass."""
     global TRACE_COUNT
     TRACE_COUNT += 1
     dspec = P(*([DATA_AXIS] + [None] * (ndim_d - 1)))
@@ -144,9 +151,16 @@ def _sharded_conv_exec(
             # spectra are replicated along the kernel axis via their
             # PartitionSpec (≈ the reference's peer-copy of the data FFT,
             # src/cudaConvFFTDataStreams.cu:279-289, as a sharding).
-            return conv_blocks(
-                d_re, d_im, k_re, k_im, bh, bw, mkh, mkw, oh, ow, use_pallas
-            )
+            ln = k_re.shape[0]
+            step = ln if chunk is None else max(1, min(chunk, ln))
+            outs = [
+                conv_blocks(
+                    d_re, d_im, k_re[s : s + step], k_im[s : s + step],
+                    bh, bw, mkh, mkw, oh, ow, use_pallas,
+                )
+                for s in range(0, ln, step)
+            ]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     else:
         fft_h, fft_w = geom
 
@@ -157,6 +171,12 @@ def _sharded_conv_exec(
             # spectrum is in place; the replication of the data planes along
             # the kernel axis is expressed by their PartitionSpec and rides
             # ICI.
+            ln = k_re.shape[0]
+            if chunk is not None and chunk < ln:
+                return _api._conv_from_spectra_chunked(
+                    d_re, d_im, k_re, k_im, fft_h, fft_w, use_pallas,
+                    max(1, chunk),
+                )
             p_re, p_im = spectral_mac_auto_planes(
                 d_re, d_im, k_re, k_im, use_pallas=use_pallas
             )
@@ -172,6 +192,42 @@ def _sharded_conv_exec(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_stream_exec(
+    mesh: Mesh,
+    ndim_d: int,
+    fft_h: int,
+    fft_w: int,
+    use_pallas: bool | None,
+    chunk: int,
+    correlation: bool,
+):
+    """Streaming-spatial sharded executable: each device holds its SPATIAL
+    kernel shard (tiny) and transforms/MACs/inverts it in ``chunk``-kernel
+    slices — per-device peak HBM = data spectra + output maps + one chunk.
+    The sharded analogue of api._conv_spectral_streaming_spatial, for banks
+    whose resident spectra exceed even a per-device budget (the regime the
+    reference's per-kernel loop lives in, src/cudaConvFFTData.cu:191-282)."""
+    global TRACE_COUNT
+    TRACE_COUNT += 1
+    dspec = P(*([DATA_AXIS] + [None] * (ndim_d - 1)))
+    kspec = P(KERNEL_AXIS, None, None, None)
+
+    def _local_conv(d_re, d_im, kstack):
+        return _api._conv_from_spatial_chunked(
+            d_re, d_im, kstack, fft_h, fft_w, use_pallas, chunk, correlation
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            _local_conv,
+            mesh=mesh,
+            in_specs=(dspec, dspec, kspec),
+            out_specs=P(DATA_AXIS, KERNEL_AXIS, None, None),
+        )
+    )
+
+
 def conv_spectral_sharded(
     spectral: SpectralData,
     kernels,
@@ -180,6 +236,7 @@ def conv_spectral_sharded(
     mode: str = "fftmap",
     correlation: bool = False,
     use_pallas: bool | None = None,
+    same_offset: str = "scipy",
 ):
     """Bank convolution sharded over ``mesh`` — the multi-device
     ``conv_spectral``.
@@ -191,14 +248,41 @@ def conv_spectral_sharded(
 
     Accepts a ``TiledSpectralData`` too: the overlap-save engine runs
     per-device on the bank shard (block spectra replicated like the direct
-    spectrum)."""
+    spectrum).
+
+    Memory planning mirrors the single-device path, per device: each
+    device's shard is planned against the HBM budget (runtime/planner.py)
+    and runs chunked when the whole shard wouldn't fit; raw giant banks
+    whose resident spectra exceed half the per-device budget never
+    materialize spectra at all — the spatial kernels are sharded and each
+    device streams its shard (transform + MAC + inverse per chunk)."""
+    tiled = isinstance(spectral, TiledSpectralData)
+    kshards = mesh.shape[KERNEL_AXIS]
+    budget = _api._device_memory_budget()
     if isinstance(kernels, SpectralKernels):
         sk = kernels
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
     else:
+        if not tiled:
+            # Giant raw banks: size the RESIDENT per-device spectra before
+            # transforming anything; stream spatial shards when they exceed
+            # half the per-device budget (same rule as api.conv_spectral).
+            kstack, khs, kws = _api._kernels_to_stack(
+                kernels, spectral.feature_dim
+            )
+            n, f = int(kstack.shape[0]), int(kstack.shape[1])
+            h_pad = -(-spectral.fft_h // 8) * 8
+            wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
+            per_dev_resident = 8 * (-(-n // kshards)) * f * h_pad * wc_pad
+            if n > kshards and per_dev_resident > budget // 2:
+                return _conv_sharded_streaming(
+                    spectral, kstack, khs, kws, mesh,
+                    mode=mode, correlation=correlation,
+                    use_pallas=use_pallas, same_offset=same_offset,
+                    budget=budget,
+                )
         sk = _api.fft_kernels(kernels, spectral=spectral, correlation=correlation)
-    tiled = isinstance(spectral, TiledSpectralData)
     if tiled:
         validate(
             mode != "fftmap",
@@ -233,7 +317,6 @@ def conv_spectral_sharded(
     d_im = spectral.im if batched else spectral.im[None]
     b = d_re.shape[0]
     dshards = mesh.shape[DATA_AXIS]
-    kshards = mesh.shape[KERNEL_AXIS]
     validate(
         b % dshards == 0,
         f"batch {b} not divisible by data-axis size {dshards}",
@@ -244,6 +327,27 @@ def conv_spectral_sharded(
     # the spectra), so it recovers N even for a pre-padded bank.
     n = len(sk.kernel_hs)
 
+    # Per-device execution plan (the single-device auto-chunking applied to
+    # the local shard): chunk when one device's products + maps exceed its
+    # budget share.
+    from cuda_fft_convolution_tpu.runtime.planner import plan_bank
+
+    local_n = k_re.shape[0] // kshards
+    local_b = b // dshards
+    if tiled:
+        shape = d_re.shape
+        n_blocks = int(shape[-5] * shape[-4])
+        plan_fh, plan_fw = spectral.block_h, spectral.block_w
+        plan_batch = local_b * n_blocks
+    else:
+        plan_fh, plan_fw = spectral.fft_h, spectral.fft_w
+        plan_batch = local_b
+    plan = plan_bank(
+        local_n, spectral.feature_dim, plan_fh, plan_fw,
+        batch=plan_batch, hbm_budget_bytes=budget,
+    )
+    chunk = plan.chunk_size if plan.chunk_size < local_n else None
+
     dspec = P(*([DATA_AXIS] + [None] * (d_re.ndim - 1)))
     kspec = P(KERNEL_AXIS, None, None, None)
     dsh = NamedSharding(mesh, dspec)
@@ -251,6 +355,87 @@ def conv_spectral_sharded(
     d_re, d_im = _placed(d_re, dsh), _placed(d_im, dsh)
     k_re, k_im = _placed(k_re, ksh), _placed(k_im, ksh)
 
-    exec_fn = _sharded_conv_exec(mesh, d_re.ndim, tiled, geom, use_pallas)
+    exec_fn = _sharded_conv_exec(
+        mesh, d_re.ndim, tiled, geom, use_pallas, chunk
+    )
     maps = exec_fn(d_re, d_im, k_re, k_im)[:, :n]
-    return _api._trim(maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched)
+    return _api._trim(
+        maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
+        same_offset=same_offset, centered=sk.centered,
+    )
+
+
+def _conv_sharded_streaming(
+    spectral: SpectralData,
+    kstack: jnp.ndarray,  # (N, F, Kh, Kw) spatial
+    khs: tuple,
+    kws: tuple,
+    mesh: Mesh,
+    *,
+    mode: str,
+    correlation: bool,
+    use_pallas: bool | None,
+    same_offset: str,
+    budget: int,
+):
+    """conv_spectral_sharded tail for giant raw banks: spatial kernels are
+    sharded over the kernel axis and each device streams its shard through
+    transform + MAC + inverse in planner-sized chunks — resident bank
+    spectra never exist on any device."""
+    if mode != "fftmap":
+        validate(
+            spectral.data_h + max(khs) - 1 <= spectral.fft_h
+            and spectral.data_w + max(kws) - 1 <= spectral.fft_w,
+            f"kernel ({max(khs)},{max(kws)}) too large for linear "
+            f"convolution at FFT dims ({spectral.fft_h},{spectral.fft_w})",
+        )
+    batched = spectral.batched
+    d_re = spectral.re if batched else spectral.re[None]
+    d_im = spectral.im if batched else spectral.im[None]
+    b = d_re.shape[0]
+    dshards = mesh.shape[DATA_AXIS]
+    kshards = mesh.shape[KERNEL_AXIS]
+    validate(
+        b % dshards == 0,
+        f"batch {b} not divisible by data-axis size {dshards}",
+    )
+    n, f = int(kstack.shape[0]), int(kstack.shape[1])
+    # pad the spatial bank axis to the shard count (zero kernels → zero maps)
+    n_pad = -(-n // kshards) * kshards
+    if n_pad != n:
+        kstack = jnp.pad(
+            kstack, ((0, n_pad - n), (0, 0), (0, 0), (0, 0))
+        )
+    local_n = n_pad // kshards
+    local_b = b // dshards
+    # per-device chunk size: same memory model as the single-device
+    # streaming path (api._conv_spectral_streaming_spatial), on the shard
+    h_pad = -(-spectral.fft_h // 8) * 8
+    wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
+    w_pad = -(-spectral.fft_w // 128) * 128
+    fixed = (
+        8 * local_b * f * h_pad * wc_pad
+        + 4 * local_b * local_n * h_pad * w_pad
+        + kstack.size * 4 // kshards
+    )
+    per_k = 2 * (
+        8 * f * h_pad * wc_pad
+        + 8 * local_b * h_pad * wc_pad
+        + 8 * local_b * h_pad * w_pad
+    )
+    chunk = int(max(1, min(local_n, max(budget - fixed, per_k) // per_k)))
+
+    dspec = P(*([DATA_AXIS] + [None] * (d_re.ndim - 1)))
+    dsh = NamedSharding(mesh, dspec)
+    ksh = NamedSharding(mesh, P(KERNEL_AXIS, None, None, None))
+    d_re, d_im = _placed(d_re, dsh), _placed(d_im, dsh)
+    kstack = _placed(kstack, ksh)
+
+    exec_fn = _sharded_stream_exec(
+        mesh, d_re.ndim, spectral.fft_h, spectral.fft_w, use_pallas, chunk,
+        correlation,
+    )
+    maps = exec_fn(d_re, d_im, kstack)[:, :n]
+    return _api._trim(
+        maps, spectral, khs, kws, mode, batched, same_offset=same_offset
+    )

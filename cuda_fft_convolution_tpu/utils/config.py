@@ -43,6 +43,10 @@ class Config:
     # 0.75 starved that config to chunk_size=1 — a 6x slowdown (2.8 s vs
     # ~0.5 s measured).
     hbm_fraction: float = 0.92
+    # Absolute HBM budget override (bytes). None = derive from the device
+    # (memory_stats / device-kind table) × hbm_fraction. Set explicitly for
+    # deterministic planning in tests and heterogeneous fleets.
+    hbm_budget_bytes: int | None = None
     chunk_size: int | None = None  # None = planner decides
     # Transform engine: None = auto (MXU-DFT matmuls on TPU up to the size
     # cap, XLA FFT otherwise). 'matmul_precision' applies to the DFT
@@ -60,6 +64,7 @@ class Config:
             policy=FftSizePolicy(os.environ.get("FFTCONV_POLICY", "fast")),
             use_pallas=_env_bool("FFTCONV_USE_PALLAS"),
             hbm_fraction=float(os.environ.get("FFTCONV_HBM_FRACTION", "0.92")),
+            hbm_budget_bytes=_env_int("FFTCONV_HBM_BUDGET_BYTES"),
             chunk_size=_env_int("FFTCONV_CHUNK"),
             use_matmul_fft=_env_bool("FFTCONV_USE_MATMUL_FFT"),
             matmul_precision=os.environ.get("FFTCONV_MATMUL_PRECISION", "highest"),
