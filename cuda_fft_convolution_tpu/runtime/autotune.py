@@ -126,18 +126,53 @@ def save_user_cache() -> None:
         )
 
 
+def default_candidates(kh: int, kw: int) -> list[tuple]:
+    """Candidate plans for ``autotune_block_geometry``: (vh, vw) analytic
+    geometries plus (vh, vw, block_h, block_w) enlarged-envelope plans in
+    the two measured-winning families (the v4 radix-2 plans: blocks
+    (4·Ke, 511) with 128-native dot dims — see _BUILTIN)."""
+    ke_h, ke_w = _envelope(kh), _envelope(kw)
+    base_h = [max(8, _envelope(kh - 1) // 2), _envelope(kh - 1),
+              2 * _envelope(kh - 1)]
+    # vw candidates with lane-aligned Hermitian width:
+    # (vw + kw - 1) // 2 + 1 ≡ 0 (mod 128)
+    cand_w = []
+    for m in (1, 2):
+        vw = 256 * m - kw + 1
+        if vw >= 128:
+            cand_w.append(vw)
+    cands: list[tuple] = [(vh, vw) for vh in base_h for vw in cand_w]
+    # enlarged-envelope fused plans (effective envelope (Ke+1, 128)):
+    # blocks (4Ke, 511) → valid (4Ke − Ke, 384); radix-2-legal when the
+    # half-period 2Ke ≤ 128 and window start Ke is 8-aligned.
+    if ke_h % 8 == 0 and kw <= 128:
+        for mult in (2, 4):
+            bh = mult * ke_h
+            vh = bh - ke_h
+            if vh >= 8:
+                cands.append((vh, 384, bh, 511))
+    return cands
+
+
 def autotune_block_geometry(
     data_shape: tuple,  # (H, W, F) channels-last
     kh: int,
     kw: int,
     *,
     n_kernels: int = 32,
-    candidates: list[tuple[int, int]] | None = None,
+    candidates: list[tuple] | None = None,
     iters: int = 3,
     register: bool = True,
-) -> tuple[tuple[int, int], dict]:
-    """Measure candidate (valid_h, valid_w) geometries ON THIS DEVICE for
-    the given workload shape and return (best, {geom: seconds}).
+) -> tuple[tuple, dict]:
+    """Measure candidate block plans ON THIS DEVICE for the given workload
+    shape and return (best, {plan: seconds}). Plans are (valid_h, valid_w)
+    or (valid_h, valid_w, block_h, block_w) — the latter pins explicit
+    blocks with an enlarged effective kernel envelope (extra prehistory
+    zeros; results identical).
+
+    The winning plan is registered with FULL fidelity: explicit blocks and
+    whether the fused Pallas block-conv engaged for it, so the later
+    lookup→dispatch reproduces exactly the measured configuration.
 
     Timing uses the probe-fetch barrier (utils.profiling.device_sync
     semantics) so it is honest on tunneled runtimes. Each candidate costs
@@ -151,16 +186,7 @@ def autotune_block_geometry(
 
     h, w, f = data_shape
     if candidates is None:
-        base_h = [max(8, _envelope(kh - 1) // 2), _envelope(kh - 1),
-                  2 * _envelope(kh - 1)]
-        # vw candidates with lane-aligned Hermitian width:
-        # (vw + kw - 1) // 2 + 1 ≡ 0 (mod 128)
-        cand_w = []
-        for m in (1, 2):
-            vw = 256 * m - kw + 1
-            if vw >= 128:
-                cand_w.append(vw)
-        candidates = [(vh, vw) for vh in base_h for vw in cand_w]
+        candidates = default_candidates(kh, kw)
 
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.standard_normal((h, w, f)).astype(np.float32))
@@ -177,12 +203,22 @@ def autotune_block_geometry(
         return jax.jit(wrapped)
 
     timings: dict = {}
-    for vh, vw in candidates:
-        bh, bw = vh + kh - 1, vw + kw - 1
-        if bh > h + kh - 1 or bw > w + kw - 1:
+    fused_flags: dict = {}
+    for cand in candidates:
+        if len(cand) == 4:
+            vh, vw, bh, bw = cand
+        else:
+            vh, vw = cand
+            bh, bw = vh + kh - 1, vw + kw - 1
+        pkh, pkw = bh - vh + 1, bw - vw + 1  # effective envelope
+        if pkh < kh or pkw < kw:
+            continue
+        if bh > h + pkh - 1 or bw > w + pkw - 1:
             continue
         try:
-            sd = _api.fft_data_tiled(data, kh, kw, block_h=bh, block_w=bw)
+            sd = _api.fft_data_tiled(
+                data, pkh, pkw, block_h=bh, block_w=bw
+            )
             sk = _api.fft_kernels(kerns, spectral=sd)
             jax.block_until_ready((sd.re, sk.re))
             conv = probed(
@@ -194,7 +230,8 @@ def autotune_block_geometry(
             for _ in range(iters):
                 p, _ = conv(sd, sk)
                 np.asarray(p)
-            timings[(vh, vw)] = (time.perf_counter() - t0) / iters
+            timings[cand] = (time.perf_counter() - t0) / iters
+            fused_flags[cand] = _fused_gate(f, bh, bw, vh, vw)
             del sd, sk
         except Exception:
             continue
@@ -202,5 +239,33 @@ def autotune_block_geometry(
         raise RuntimeError("no autotune candidate ran successfully")
     best = min(timings, key=timings.get)
     if register:
-        register_tuned_geometry(kh, kw, best[0], best[1], f=f)
+        if len(best) == 4:
+            vh, vw, bh, bw = best
+        else:
+            vh, vw = best
+            bh, bw = vh + kh - 1, vw + kw - 1
+        register_tuned_geometry(
+            kh, kw, vh, vw, f=f, fused=fused_flags[best],
+            block_h=bh, block_w=bw,
+        )
     return best, timings
+
+
+def _fused_gate(f: int, bh: int, bw: int, vh: int, vw: int) -> bool:
+    """Mirror of conv_blocks' auto fused-dispatch condition, evaluated for
+    a measured plan so the registered entry records what actually ran."""
+    import jax
+
+    from cuda_fft_convolution_tpu.ops.block_conv import block_conv_fits_vmem
+    from cuda_fft_convolution_tpu.ops.conv import _use_matmul_fft
+
+    lwc = bw // 2 + 1
+    return (
+        jax.default_backend() == "tpu"
+        and _use_matmul_fft(bh, bw)
+        and vh % 8 == 0
+        and vw % 128 == 0
+        and vh >= 32
+        and lwc >= 128
+        and block_conv_fits_vmem(f, bh, lwc, vh, vw)
+    )
