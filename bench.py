@@ -173,7 +173,7 @@ def main() -> None:
     del sdt, skt
 
     v_fftmap = v_amort = v_pipe = v_bf16 = v_batch = None
-    v_bigk = v_dpm_direct = v_dpm = None
+    v_bigk = v_dpm_direct = v_dpm = v_dpm_direct_stream = None
     if not quick:
         # reference-parity one-shot: raw circular fftmaps, direct engine
         fftmap_shot = _probed(
@@ -214,17 +214,21 @@ def main() -> None:
         v_batch = 8 * 1024 * 1024 * N / 1e9 / t_batch
         del sdb, skb, bdata
 
-        # BASELINE configs[2]: large-kernel regime, 2048² × 512² kernels
-        # (FFT-vs-direct crossover; the tiling planner correctly declines
-        # this shape, so it exercises the direct engine at 2560² FFT size)
+        # BASELINE configs[2]: large-kernel regime, 2048² × a bank of 16
+        # 512² kernels (FFT-vs-direct crossover). The auto engine tiles at
+        # (1023, 1024) blocks (measured 66.8 ms vs direct-CT 85.2 and
+        # direct-XLA-FFT 100.8 on v5e); the direct fallback at the 2560²
+        # FFT size runs the two-stage Cooley–Tukey MXU transform
+        # (ops/dft.py) — beyond round 2's 2304-axis cap.
+        NB = 16
         kbig = jnp.asarray(
-            rng.standard_normal((4, 512, 512, F)).astype(np.float32)
+            rng.standard_normal((NB, 512, 512, F)).astype(np.float32)
         )
         bigk_shot = _probed(
             lambda d, k: fc.fft_conv(d, 512, 512, k, mode="same")
         )
         t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
-        v_bigk = H * W * 4 / 1e9 / t_bigk
+        v_bigk = H * W * NB / 1e9 / t_bigk
         del kbig
 
         # BASELINE configs[4]: DPM/HOG detection — 4K image → HOG features
@@ -255,21 +259,29 @@ def main() -> None:
 
         gc.collect()
         np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
-        # NKD=224: the bank's RESIDENT footprint is its (8,128)-tile-PADDED
-        # layout — (540, 271) f32 planes occupy (544, 384), 1.43× nominal —
-        # so 224 kernels ≈ 11.6 GB padded (8.1 GB nominal) on the 15 GiB
-        # allocatable ceiling. 256 (13.3 GB padded) left no headroom for
-        # the conv chunks and OOM'd right at the edge.
-        NKD = 224
+        # NKD=288: resident spectra store FLAT (lane-packed, fft_kernels
+        # storage='auto') — (540, 271) planes would tile-pad to (544, 384),
+        # 1.43× nominal, capping round 2 at 224 kernels (11.6 GB); flat
+        # packing reads/holds ~nominal bytes (288 kernels ≈ 10.5 GB on the
+        # 15 GiB ceiling) and the traffic-bound MAC reads 1.43× less.
+        NKD = 288
         sdf = fc.fft_data(feats.astype(jnp.float32), KD, KD)
         skf = fc.fft_kernels(dpm_bank[:NKD], spectral=sdf)
         # true queue drain (block_until_ready returns early on axon): the
         # conv must not enqueue on top of still-executing bank transforms
-        np.asarray(_probed(lambda a: a[0, 0, :2, :2])(skf.re)[0])
+        np.asarray(_probed(lambda a: a[0, 0, :16])(skf.re)[0])
         bank_gb = 2 * skf.re.size * 4 / 1e9
         conv_gd = _probed(lambda s, k: fc.conv_spectral(s, k, mode="fftmap"))
         t_gd = _time_fn(conv_gd, sdf, skf, iters=2)
         v_dpm_direct = feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gd
+        # steady-state serving counterpart (dispatches pipelined, sync
+        # every 2nd call — the streams variant's latency-hiding goal,
+        # src/cudaConvFFTDataStreams.cu:292-327). The per-call working set
+        # is one chunk of maps (~0.34 GB), so 2 in-flight calls fit.
+        t_gds = _time_fn(conv_gd, sdf, skf, iters=4, sync_every=2)
+        v_dpm_direct_stream = (
+            feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gds
+        )
         del sdf, skf
 
         # tiled amortized serving path (the production detector loop)
@@ -324,6 +336,10 @@ def main() -> None:
             "dpm_hog_bf16_1024f_GPixF_s": None if v_dpm is None else round(v_dpm, 3),
             "dpm_direct_giantbank_GPixF_s": (
                 None if v_dpm_direct is None else round(v_dpm_direct, 3)
+            ),
+            "dpm_direct_streaming_GPixF_s": (
+                None if v_dpm_direct_stream is None
+                else round(v_dpm_direct_stream, 3)
             ),
         },
     }

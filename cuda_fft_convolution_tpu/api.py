@@ -206,6 +206,41 @@ def _fft_kernels_centered_worker(
     return rfft2_padded_planes(rolled, fft_h, fft_w)
 
 
+@jax.jit
+def _flip_stack_ragged(kstack: jnp.ndarray, shifts: jnp.ndarray):
+    """Correlation flip for a RAGGED zero-padded stack: flipping the padded
+    (maxKh, maxKw) extent moves kernel i's content to the bottom-right
+    corner (offset (maxKh−kh_i, maxKw−kw_i)); rolling it back to the origin
+    makes the result exactly flip-within-own-extent — the demo's hand flip
+    (demoCudaConvolutionFFT.m:67-69) per kernel. ``shifts[i] = (kh_i −
+    maxKh, kw_i − maxKw)``. (A uniform stack needs no roll: shift 0.)"""
+    flipped = kstack[..., ::-1, ::-1]
+    return jax.vmap(
+        lambda x, s: jnp.roll(x, (s[0], s[1]), axis=(-2, -1))
+    )(flipped, shifts)
+
+
+def _apply_correlation_flip(kstack, khs, kws, correlation):
+    """Resolve the correlation flip on a stacked bank, returning
+    (kstack, correlation_remaining). Uniform banks keep the cheap in-worker
+    padded flip; ragged banks flip per-kernel here (see
+    _flip_stack_ragged)."""
+    if not correlation or (len(set(khs)) == 1 and len(set(kws)) == 1):
+        return kstack, correlation
+    max_kh, max_kw = kstack.shape[-2], kstack.shape[-1]
+    shifts = jnp.asarray(
+        [(kh - max_kh, kw - max_kw) for kh, kw in zip(khs, kws)]
+    )
+    return _flip_stack_ragged(kstack, shifts), False
+
+
+@jax.jit
+def _flatten_bank_chunk(x):
+    """(N, F, H, Wc) → (N, F, H·Wc): the flat lane-packed bank layout."""
+    n, f, h, wc = x.shape
+    return x.reshape(n, f, h * wc)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _write_bank_chunk(acc_re, acc_im, chunk_re, chunk_im, start):
     """Write a bank-spectra chunk into the donated plane accumulators
@@ -218,16 +253,17 @@ def _write_bank_chunk(acc_re, acc_im, chunk_re, chunk_im, start):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas")
+    jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas", "flat")
 )
 def _conv_from_spectra(
     d_re: jnp.ndarray,  # (B, F, H, Wc) f32
     d_im: jnp.ndarray,
-    k_re: jnp.ndarray,  # (N, F, H, Wc) f32
+    k_re: jnp.ndarray,  # (N, F, H, Wc) f32; flat: (N, F, H*Wc)
     k_im: jnp.ndarray,
     fft_h: int,
     fft_w: int,
     use_pallas: bool | None,
+    flat: bool = False,
 ) -> jnp.ndarray:
     """Spectral MAC + single inverse FFT per (batch, kernel) → (B, N, fft_h, fft_w).
 
@@ -237,14 +273,38 @@ def _conv_from_spectra(
     step 1 note); normalization 1/(fft_h·fft_w) (:270) folded into the
     inverse transform. Pure f32 planes in, f32 maps out.
     """
-    p_re, p_im = spectral_mac_auto_planes(
-        d_re, d_im, k_re, k_im, use_pallas=use_pallas
-    )
+    if flat:
+        p_re, p_im = _flat_mac_then_reshape(d_re, d_im, k_re, k_im, fft_h, fft_w)
+    else:
+        p_re, p_im = spectral_mac_auto_planes(
+            d_re, d_im, k_re, k_im, use_pallas=use_pallas
+        )
     return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
 
 
+def _flat_mac_then_reshape(d_re, d_im, k_re, k_im, fft_h, fft_w):
+    """MAC against a FLAT bank (lane-packed spectra): flatten the data
+    planes, run the flat einsum, reshape the product back to planar for
+    the inverse transform (one relayout of the much-smaller product)."""
+    from cuda_fft_convolution_tpu.ops.spectral_mac import (
+        spectral_mac_flat_planes,
+    )
+
+    b, f = d_re.shape[0], d_re.shape[1]
+    wc = fft_w // 2 + 1
+    dfl_re = d_re.reshape(b, f, fft_h * wc)
+    dfl_im = d_im.reshape(b, f, fft_h * wc)
+    p_re, p_im = spectral_mac_flat_planes(dfl_re, dfl_im, k_re, k_im)
+    n = k_re.shape[0]
+    return (
+        p_re.reshape(b, n, fft_h, wc),
+        p_im.reshape(b, n, fft_h, wc),
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("fft_h", "fft_w", "use_pallas", "chunk_size")
+    jax.jit,
+    static_argnames=("fft_h", "fft_w", "use_pallas", "chunk_size", "flat"),
 )
 def _conv_from_spectra_chunked(
     d_re: jnp.ndarray,
@@ -255,6 +315,7 @@ def _conv_from_spectra_chunked(
     fft_w: int,
     use_pallas: bool | None,
     chunk_size: int,
+    flat: bool = False,
 ) -> jnp.ndarray:
     """Bank-chunked pipeline ≈ the streams variant's round-robin
     (src/cudaConvFFTDataStreams.cu:338-469): process the bank in chunks of
@@ -274,9 +335,14 @@ def _conv_from_spectra_chunked(
     def one_chunk(start):
         kc_re = jax.lax.dynamic_slice_in_dim(k_re, start, chunk_size, axis=0)
         kc_im = jax.lax.dynamic_slice_in_dim(k_im, start, chunk_size, axis=0)
-        p_re, p_im = spectral_mac_auto_planes(
-            d_re, d_im, kc_re, kc_im, use_pallas=use_pallas
-        )
+        if flat:
+            p_re, p_im = _flat_mac_then_reshape(
+                d_re, d_im, kc_re, kc_im, fft_h, fft_w
+            )
+        else:
+            p_re, p_im = spectral_mac_auto_planes(
+                d_re, d_im, kc_re, kc_im, use_pallas=use_pallas
+            )
         return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
 
     out = jax.lax.map(one_chunk, starts)  # (num_chunks, B, C, fft_h, fft_w)
@@ -541,6 +607,7 @@ def fft_kernels(
     correlation: bool = False,
     device=None,
     kernel_layout: str = "corner",
+    storage: str = "auto",
 ) -> SpectralKernels:
     """Precompute a kernel bank's spectra at a fixed FFT size.
 
@@ -548,6 +615,15 @@ def fft_kernels(
     src/cudaConvFFTData.cu:191-282) — amortizes the bank FFT across an image
     stream. Pass either explicit (fft_h, fft_w) or the ``SpectralData`` the
     bank will be used against.
+
+    ``storage``: 'planar' keeps (N, F, fft_h, Wc) planes; 'flat' packs the
+    spectral pixels into one lane axis (N, F, fft_h·Wc) — TPU HBM tiles the
+    trailing (8, 128) dims, so a (540, 271) plane physically occupies
+    (544, 384), 1.43× nominal, and a giant resident bank reads 1.43× more
+    bytes in the traffic-bound MAC; flat packing is ≤0.1% overhead.
+    'auto' picks flat when the tile-padding waste exceeds 25% on a
+    reasonably large bank. Flat banks serve the direct engine on a single
+    device (sharding and the tiled engine take planar).
 
     ``kernel_layout``: 'corner' anchors kernels top-left (padData — the
     reference's built path); 'centered' wraps each kernel's center to the
@@ -559,7 +635,15 @@ def fft_kernels(
         kernel_layout in ("corner", "centered"),
         "kernel_layout must be 'corner' or 'centered'",
     )
+    validate(
+        storage in ("auto", "planar", "flat"),
+        "storage must be 'auto', 'planar', or 'flat'",
+    )
     centered = kernel_layout == "centered"
+    validate(
+        not (centered and storage == "flat"),
+        "storage='flat' serves corner-anchored banks only",
+    )
     validate(
         not (centered and correlation),
         "kernel_layout='centered' requires pre-flipped kernels "
@@ -577,6 +661,11 @@ def fft_kernels(
         "pass fft_h/fft_w or spectral=SpectralData",
     )
     kstack, khs, kws = _kernels_to_stack(kernels, feature_dim)
+    # Ragged banks flip per-kernel here (the padded-stack flip displaces
+    # smaller kernels); uniform banks keep the in-worker flip.
+    kstack, correlation = _apply_correlation_flip(
+        kstack, khs, kws, correlation
+    )
     if device is not None:
         # gpuId parity (src/cudaConvolutionFFT.cu:84-89): explicit placement.
         kstack = jax.device_put(kstack, device)
@@ -586,6 +675,14 @@ def fft_kernels(
         "(reference check src/cudaConvolutionFFT.cu:242-243)",
     )
     n, f = kstack.shape[0], kstack.shape[1]
+    wc = fft_w // 2 + 1
+    h_pad = -(-fft_h // 8) * 8
+    wc_pad = -(-wc // 128) * 128
+    pad_ratio = (h_pad * wc_pad) / (fft_h * wc)
+    flat = storage == "flat" or (
+        storage == "auto" and pad_ratio > 1.25 and n * f >= 64
+        and not centered
+    )
     if centered:
         re, im = _fft_kernels_centered_worker(
             kstack, fft_h, fft_w, khs, kws
@@ -596,10 +693,12 @@ def fft_kernels(
         )
     # RESIDENT footprint is the (8,128)-tile-PADDED HBM layout, not the
     # nominal element count — a (540, 271) plane occupies (544, 384),
-    # 1.43× nominal (measured OOMs with the nominal model).
-    h_pad = -(-fft_h // 8) * 8
-    wc_pad = -(-(fft_w // 2 + 1) // 128) * 128
-    spectra_bytes = n * f * h_pad * wc_pad * 8  # re + im planes, padded
+    # 1.43× nominal (measured OOMs with the nominal model). Flat storage
+    # packs to ~nominal.
+    if flat:
+        spectra_bytes = n * f * (-(-(fft_h * wc) // 128) * 128) * 8
+    else:
+        spectra_bytes = n * f * h_pad * wc_pad * 8  # re + im planes, padded
     total = _device_memory_budget()
     if spectra_bytes > total // 4 and n > 1:
         # Chunk the forward transform so its temporaries stay bounded (big
@@ -614,12 +713,16 @@ def fft_kernels(
         avail = total - spectra_bytes - 2 * kstack.size * 4
         per_kernel = 8 * f * h_pad * wc_pad
         step = int(max(1, min(n, avail // (4 * per_kernel))))
-        re = jnp.zeros((n, f, fft_h, fft_w // 2 + 1), jnp.float32)
-        im = jnp.zeros((n, f, fft_h, fft_w // 2 + 1), jnp.float32)
+        acc_shape = (n, f, fft_h * wc) if flat else (n, f, fft_h, wc)
+        re = jnp.zeros(acc_shape, jnp.float32)
+        im = jnp.zeros(acc_shape, jnp.float32)
         for s in range(0, n, step):
             c_re, c_im = _fft_kernels_worker(
                 kstack[s : s + min(step, n - s)], fft_h, fft_w, correlation
             )
+            if flat:
+                c_re = _flatten_bank_chunk(c_re)
+                c_im = _flatten_bank_chunk(c_im)
             re, im = _write_bank_chunk(re, im, c_re, c_im, s)
             # Drain the device queue per chunk: on runtimes where
             # block_until_ready returns early (axon), unsynced chunk
@@ -628,8 +731,12 @@ def fft_kernels(
             _drain_device_queue(re)
     else:
         re, im = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
+        if flat:
+            re = _flatten_bank_chunk(re)
+            im = _flatten_bank_chunk(im)
     return SpectralKernels(
-        re=re, im=im, fft_h=fft_h, fft_w=fft_w, kernel_hs=khs, kernel_ws=kws
+        re=re, im=im, fft_h=fft_h, fft_w=fft_w, kernel_hs=khs,
+        kernel_ws=kws, flat=flat,
     )
 
 
@@ -795,9 +902,12 @@ def conv_spectral(
             and kernel_layout == "corner"
             and resident_bytes > _device_memory_budget() // 2
         ):
+            skc, corr = _apply_correlation_flip(
+                kstack, khs, kws, correlation
+            )
             return _conv_spectral_streaming_spatial(
-                spectral, kstack, khs, kws, mode=mode,
-                correlation=correlation, use_pallas=use_pallas,
+                spectral, skc, khs, kws, mode=mode,
+                correlation=corr, use_pallas=use_pallas,
                 same_offset=same_offset,
             )
         sk = fft_kernels(
@@ -831,20 +941,36 @@ def conv_spectral(
     # of no intra-bank batching at all).
     from cuda_fft_convolution_tpu.runtime.planner import plan_bank
 
+    budget = _device_memory_budget()
+    if sk.flat:
+        # The planner models resident bank spectra in the (8,128)-padded
+        # planar layout; a flat bank occupies ~nominal bytes. Credit the
+        # difference back so a flat bank isn't starved into tiny chunks by
+        # phantom padding (the planner ABI stays layout-agnostic).
+        wc = spectral.fft_w // 2 + 1
+        padded = (
+            sk.num_kernels * spectral.feature_dim
+            * (-(-spectral.fft_h // 8) * 8) * (-(-wc // 128) * 128) * 8
+        )
+        flat_bytes = (
+            sk.num_kernels * spectral.feature_dim
+            * (-(-(spectral.fft_h * wc) // 128) * 128) * 8
+        )
+        budget += max(padded - flat_bytes, 0)
     plan = plan_bank(
         sk.num_kernels, spectral.feature_dim, spectral.fft_h, spectral.fft_w,
-        batch=spectral.batch_size, hbm_budget_bytes=_device_memory_budget(),
+        batch=spectral.batch_size, hbm_budget_bytes=budget,
     )
     try:
         if plan.chunk_size < sk.num_kernels:
             maps = _conv_from_spectra_chunked(
                 d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
-                use_pallas, plan.chunk_size,
+                use_pallas, plan.chunk_size, sk.flat,
             )
         else:
             maps = _conv_from_spectra(
                 d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w,
-                use_pallas,
+                use_pallas, sk.flat,
             )
     except Exception as exc:  # noqa: BLE001 — annotate allocator failures
         if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
@@ -932,6 +1058,11 @@ def _conv_spectral_tiled(
     )
     if isinstance(kernels, SpectralKernels):
         sk = kernels
+        validate(
+            not sk.flat,
+            "flat-layout banks serve the direct engine; precompute with "
+            "storage='planar' for tiled spectra",
+        )
         validate(
             sk.fft_h == spectral.block_h and sk.fft_w == spectral.block_w,
             f"SpectralKernels FFT dims ({sk.fft_h},{sk.fft_w}) != block dims "
@@ -1066,6 +1197,11 @@ def conv_spectral_pipelined(
     chunk_size = min(chunk_size, sk.num_kernels)
     if tiled:
         validate(
+            not sk.flat,
+            "flat-layout banks serve the direct engine; precompute with "
+            "storage='planar' for tiled spectra",
+        )
+        validate(
             mode != "fftmap",
             "mode='fftmap' requires the direct engine; the tiled engine "
             "computes linear convolution only",
@@ -1093,7 +1229,7 @@ def conv_spectral_pipelined(
     d_im = spectral.im if batched else spectral.im[None]
     maps = _conv_from_spectra_chunked(
         d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w, use_pallas,
-        chunk_size,
+        chunk_size, sk.flat,
     )
     return _trim(
         maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,

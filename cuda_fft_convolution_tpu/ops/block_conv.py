@@ -50,52 +50,89 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_fft_convolution_tpu.ops.dft import _inv_full_mats, _inv_packed_mats
 
+# Sentinel precision: split-bf16 3-pass dots. Mosaic dots support only
+# HIGHEST (6-pass bf16, fp32-exact) and DEFAULT (1-pass bf16, ~2e-3 rel
+# err); XLA's HIGH (3-pass) tier is unavailable in-kernel. This implements
+# it manually: x = hi + lo with hi = bf16(x), then
+#     A @ B ≈ hi_A@hi_B + hi_A@lo_B + lo_A@hi_B        (lo@lo dropped)
+# — 3 DEFAULT passes ≈ half the HIGHEST MXU time, error ~1e-7 rel
+# (measured on v5e; the dropped lo·lo term is ~2^-32 relative).
+BF16X3 = "bf16x3"
 
-def _make_kernel_v3(mbh: int, f: int, vh: int, wc: int, precision,
-                    karatsuba):
+
+def _split_hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_dot(precision):
+    """Row-major (K-contraction on lhs axis 1) dot for the fused kernels,
+    honoring the BF16X3 split-precision sentinel."""
+    if precision == BF16X3:
+        base = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+        def dot(a, b):
+            a_hi, a_lo = _split_hi_lo(a)
+            b_hi, b_lo = _split_hi_lo(b)
+            return base(a_hi, b_hi) + base(a_hi, b_lo) + base(a_lo, b_hi)
+
+        return dot
+    return functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _make_kernel_v3(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
+                    precision, karatsuba):
     """v3 (row-stacked W stage): per-block H-dots land in a VMEM scratch at
     row offset i·Vh (plain 8-aligned stores — sidesteps the Mosaic
     tpu.concatenate limitation that blocked restacking v2's column-stacked
-    slices), then ONE W-stage dot (MBH·Vh, Wc) @ (Wc, Vw) synthesizes the
-    whole output tile. Both hot dots now have ≥128 rows — v2's dots all had
-    Vh (=64 at the headline geometry) rows, i.e. ≤50% MXU row utilization."""
+    slices), then ONE W-stage dot (MBH·Vh, Wc) @ (Wc, Vw) per W-column
+    synthesizes the output tile. Both hot dots have ≥128 rows — v2's dots
+    all had Vh rows, ≤50% MXU row utilization. The (MBH, MBW) block group
+    amortizes the kernel-spectrum fetch over MBH·MBW blocks."""
 
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, out_ref, xr_ref, xi_ref):
         kr, ki = kr_ref[0], ki_ref[0]  # (F, Lh, Wc)
         gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        for i in range(mbh):  # static unroll over the block group
-            dr, di = dr_ref[0, i, 0], di_ref[0, i, 0]  # (F, Lh, Wc)
-            s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (Lh, Wc)
-            s_i = jnp.sum(kr * di + ki * dr, axis=0)
-            if karatsuba:
-                t1 = dot(gr, s_r)
-                t2 = dot(gi, s_i)
-                t3 = dot(gr + gi, s_r + s_i)
-                xr_ref[i * vh:(i + 1) * vh, :] = t1 - t2
-                xi_ref[i * vh:(i + 1) * vh, :] = t3 - t1 - t2
-            else:
-                xr_ref[i * vh:(i + 1) * vh, :] = (
-                    dot(gr, s_r) - dot(gi, s_i)
-                )
-                xi_ref[i * vh:(i + 1) * vh, :] = (
-                    dot(gr, s_i) + dot(gi, s_r)
-                )
-        out_ref[0, 0, :, :] = (
-            dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
-        )
+        dot = _make_dot(precision)
+        for j in range(mbw):  # static unroll over W-columns of the group
+            for i in range(mbh):  # static unroll over H-rows of the group
+                dr, di = dr_ref[0, i, j], di_ref[0, i, j]  # (F, Lh, Wc)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (Lh, Wc)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                if karatsuba:
+                    t1 = dot(gr, s_r)
+                    t2 = dot(gi, s_i)
+                    t3 = dot(gr + gi, s_r + s_i)
+                    xr_ref[i * vh:(i + 1) * vh, :] = t1 - t2
+                    xi_ref[i * vh:(i + 1) * vh, :] = t3 - t1 - t2
+                else:
+                    xr_ref[i * vh:(i + 1) * vh, :] = (
+                        dot(gr, s_r) - dot(gi, s_i)
+                    )
+                    xi_ref[i * vh:(i + 1) * vh, :] = (
+                        dot(gr, s_i) + dot(gi, s_r)
+                    )
+            out_ref[0, 0, :, j * vw:(j + 1) * vw] = (
+                dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
+            )
 
     return _kernel
 
 
-def _make_kernel_v4(mbh: int, f: int, vh: int, wc: int, lh: int, w0: int,
-                    precision, karatsuba):
+def _make_kernel_v4(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
+                    lh: int, w0: int, precision, karatsuba):
     """v4 (radix-2 H stage): the windowed H-inverse of an even-length block
     (Lh = 2M) splits into two M-point sub-transforms over the even/odd
     spectrum rows plus a VPU twiddle combine —
@@ -117,12 +154,7 @@ def _make_kernel_v4(mbh: int, f: int, vh: int, wc: int, lh: int, w0: int,
                 mi_ref, out_ref, xr_ref, xi_ref):
         kr, ki = kr_ref[0], ki_ref[0]  # (F, 2M, Wc), rows even-then-odd
         ur, ui = ur_ref[...], ui_ref[...]  # (M, M) sub-transform matrices
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        dot = _make_dot(precision)
         # twiddle t[u] = exp(+iπ u / M), broadcast over lanes (integer iota:
         # Mosaic's tpu.iota only produces int vectors)
         u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
@@ -140,23 +172,24 @@ def _make_kernel_v4(mbh: int, f: int, vh: int, wc: int, lh: int, w0: int,
             return (dot(ur, sr) - dot(ui, si),
                     dot(ur, si) + dot(ui, sr))
 
-        for i in range(mbh):  # static unroll over the block group
-            dr, di = dr_ref[0, i, 0], di_ref[0, i, 0]  # (F, 2M, Wc)
-            s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (2M, Wc)
-            s_i = jnp.sum(kr * di + ki * dr, axis=0)
-            er, ei = csub(s_r[:m], s_i[:m])  # Ê from even spectrum rows
-            orr, oi = csub(s_r[m:], s_i[m:])  # Ô from odd spectrum rows
-            tr = twr * orr - twi * oi  # T = t ⊙ Ô  (VPU)
-            ti = twr * oi + twi * orr
-            # window rows [w0, M): u = v  → Ê + T, rows [w0:M]
-            xr_ref[i * vh:i * vh + c1, :] = (er + tr)[w0:, :]
-            xi_ref[i * vh:i * vh + c1, :] = (ei + ti)[w0:, :]
-            # window rows [M, w0+vh): u = v − M → Ê − T, rows [0:w0+vh−M]
-            xr_ref[i * vh + c1:(i + 1) * vh, :] = (er - tr)[: vh - c1, :]
-            xi_ref[i * vh + c1:(i + 1) * vh, :] = (ei - ti)[: vh - c1, :]
-        out_ref[0, 0, :, :] = (
-            dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
-        )
+        for j in range(mbw):  # static unroll over W-columns of the group
+            for i in range(mbh):  # static unroll over H-rows
+                dr, di = dr_ref[0, i, j], di_ref[0, i, j]  # (F, 2M, Wc)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (2M, Wc)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                er, ei = csub(s_r[:m], s_i[:m])  # Ê from even spectrum rows
+                orr, oi = csub(s_r[m:], s_i[m:])  # Ô from odd spectrum rows
+                tr = twr * orr - twi * oi  # T = t ⊙ Ô  (VPU)
+                ti = twr * oi + twi * orr
+                # window rows [w0, M): u = v  → Ê + T, rows [w0:M]
+                xr_ref[i * vh:i * vh + c1, :] = (er + tr)[w0:, :]
+                xi_ref[i * vh:i * vh + c1, :] = (ei + ti)[w0:, :]
+                # window rows [M, w0+vh): u = v − M → Ê − T, rows [0:w0+vh−M]
+                xr_ref[i * vh + c1:(i + 1) * vh, :] = (er - tr)[: vh - c1, :]
+                xi_ref[i * vh + c1:(i + 1) * vh, :] = (ei - ti)[: vh - c1, :]
+            out_ref[0, 0, :, j * vw:(j + 1) * vw] = (
+                dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
+            )
 
     return _kernel
 
@@ -197,12 +230,7 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
         kr, ki = kr_ref[0], ki_ref[0]  # (F, Lh, Wc)
         gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
         mr, mi = mr_ref[...], mi_ref[...]  # (Wc, Vw)
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        dot = _make_dot(precision)
         # 1. MAC over channels (VPU), blocks column-stacked → (Lh, MBH·Wc)
         srs, sis = [], []
         for i in range(mbh):  # static unroll over the block group
@@ -238,15 +266,15 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
 
 def block_conv_vmem_bytes(
     f: int, lh: int, wc: int, vh: int, vw: int, mbh: int = 4,
-    wstack: bool = True,
+    wstack: bool = True, mbw: int = 1,
 ) -> int:
     """Estimated per-cell VMEM working set (double-buffered I/O blocks +
     matrices + scratch/intermediates). The scratch variants (v3/v4) hold
     only a (MBH·Vh, Wc) re/im scratch plus per-iteration temporaries; the
     v2 kernel column-stacks (Lh, MBH·Wc) intermediates."""
-    d_block = 4 * 2 * mbh * f * lh * wc
+    d_block = 4 * 2 * mbh * mbw * f * lh * wc
     k_block = 4 * 2 * f * lh * wc
-    out_block = 4 * mbh * vh * vw
+    out_block = 4 * mbh * vh * mbw * vw
     mats = 4 * 2 * (vh * lh + wc * vw)
     if wstack:
         # re/im scratch + one block's MAC planes + sub-transform temps
@@ -257,30 +285,44 @@ def block_conv_vmem_bytes(
 
 
 def block_conv_fits_vmem(f: int, lh: int, wc: int, vh: int, vw: int) -> bool:
-    """Whether the fused kernel can run (MBH=1 worst case) within VMEM."""
+    """Whether the fused kernel can run (MBH=MBW=1 worst case) within VMEM."""
     return block_conv_vmem_bytes(f, lh, wc, vh, vw, mbh=1) < (12 << 20)
 
 
-def _choose_mbh(
-    nbh: int, f: int, lh: int, wc: int, vh: int, vw: int,
+def _choose_group(
+    nbh: int, nbw: int, f: int, lh: int, wc: int, vh: int, vw: int,
     wstack: bool = True,
-) -> int:
-    """Vertical blocks per cell: amortizes the kernel-spectrum fetch and
-    feeds the stacked W-stage dot (rows = MBH·Vh), bounded by VMEM."""
-    mbh = 1
-    for cand in (2, 4, 8, 16):
-        if cand <= nbh and block_conv_vmem_bytes(
-            f, lh, wc, vh, vw, cand, wstack
-        ) < (12 << 20):
-            mbh = cand
-    return mbh
+) -> tuple[int, int]:
+    """(MBH, MBW) blocks per cell: the group amortizes the kernel-spectrum
+    fetch over MBH·MBW blocks and feeds the stacked W-stage dot (rows =
+    MBH·Vh), bounded by VMEM. Maximize the group area; prefer H-growth
+    (bigger W-dot rows) over W-growth at equal area."""
+    best = (1, 1)
+    best_key = (1, 1, 1)
+    for mbw in (1, 2, 3, 4, 6, 8):
+        if mbw > nbw:
+            continue
+        for mbh in (1, 2, 4, 8, 16):
+            if mbh > nbh:
+                continue
+            if block_conv_vmem_bytes(
+                f, lh, wc, vh, vw, mbh, wstack, mbw
+            ) >= (12 << 20):
+                continue
+            # prefer larger area; at equal area prefer SQUARER groups —
+            # (2,2) measured 59.1 ms vs (4,1) 65.3 at the headline v4 plan
+            # (perf/bench_r3_fused.py) — then larger mbh.
+            key = (mbh * mbw, min(mbh, mbw), mbh)
+            if key > best_key:
+                best, best_key = (mbh, mbw), key
+    return best
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
-                     "interpret", "precision", "karatsuba", "mbh", "wstack",
-                     "radix_h"),
+                     "interpret", "precision", "karatsuba", "mbh", "mbw",
+                     "wstack", "radix_h"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32
@@ -298,6 +340,7 @@ def block_conv_pallas(
     precision=None,
     karatsuba: bool | None = None,
     mbh: int | None = None,
+    mbw: int | None = None,
     wstack: bool = True,
     radix_h: bool = False,
 ) -> jnp.ndarray:
@@ -305,17 +348,21 @@ def block_conv_pallas(
     assembled in place by clipped block writes, normalization folded in.
     Spectra arrive as split (re, im) f32 planes — the kernel's native form.
 
-    ``precision=None`` follows the global matmul_precision config (note
-    Mosaic dots support HIGHEST/DEFAULT only — HIGH raises);
+    ``precision=None`` follows the global matmul_precision config; Mosaic
+    dots support HIGHEST/DEFAULT only — the extra ``BF16X3`` sentinel runs
+    every dot as a manual split-bf16 3-pass (≈ XLA's HIGH tier: half the
+    HIGHEST MXU time, ~1e-7 rel err — gate via Config.fused_precision);
     ``karatsuba`` uses 3 H-stage dots instead of 4 (exact — same bilinear
     form; default: ON for the scratch variants where it measured faster at
     every geometry — v3 (64,384) 64.7→61.8 ms — and OFF for v2 whose extra
     column-stacked temporaries overflowed VMEM at the measured-best MBH);
-    ``mbh`` overrides the VMEM-model group size
-    (forcing it past the model overflows VMEM — Mosaic aborts);
+    ``mbh``/``mbw`` override the VMEM-model (MBH, MBW) block-group size
+    (forcing past the model overflows VMEM — Mosaic aborts); the group
+    amortizes the kernel-spectrum fetch over MBH·MBW blocks (the streams
+    variant's amortization target, src/cudaConvFFTDataStreams.cu:338-469);
     ``wstack=True`` selects the v3 kernel (row-stacked single W-stage dot
     via VMEM scratch — full MXU row utilization), False the v2 kernel
-    (column-stacked H stage, per-block W dots);
+    (column-stacked H stage, per-block W dots, MBW unsupported);
     ``radix_h=True`` (requires ``radix_h_legal(block_h, vh)`` and wstack)
     selects the v4 kernel: radix-2 split of the H-stage inverse into two
     (M, M) @ (M, Wc) sub-transform dots + a VPU twiddle combine."""
@@ -325,17 +372,31 @@ def block_conv_pallas(
     assert lh == block_h and wc == block_w // 2 + 1
     if precision is None:
         from cuda_fft_convolution_tpu.ops.conv import _matmul_precision
+        from cuda_fft_convolution_tpu.utils.config import get_config
 
-        precision = _matmul_precision()
+        fp = get_config().fused_precision
+        precision = BF16X3 if fp == BF16X3 else _matmul_precision()
     if karatsuba is None:
         karatsuba = wstack or radix_h
+    if mbh is None and mbw is None:
+        mbh, mbw = _choose_group(
+            nbh, nbw, f, lh, wc, vh, vw, wstack or radix_h
+        )
     if mbh is None:
-        mbh = _choose_mbh(nbh, f, lh, wc, vh, vw, wstack or radix_h)
+        mbh = 1
+    if mbw is None:
+        mbw = 1
+    if not (wstack or radix_h):
+        mbw = 1  # v2 kernel has no W-column loop
     mbh = min(mbh, nbh)
+    mbw = min(mbw, nbw)
     gbh = -(-nbh // mbh)  # block groups along H
-    if gbh * mbh != nbh:
-        # pad block axis; padded blocks write rows beyond out_h → clipped
-        pad = ((0, 0), (0, gbh * mbh - nbh), (0, 0), (0, 0), (0, 0), (0, 0))
+    gbw = -(-nbw // mbw)  # block groups along W
+    if gbh * mbh != nbh or gbw * mbw != nbw:
+        # pad block axes; padded blocks write rows/cols beyond the output
+        # extent → clipped
+        pad = ((0, 0), (0, gbh * mbh - nbh), (0, gbw * mbw - nbw),
+               (0, 0), (0, 0), (0, 0))
         dr = jnp.pad(dr, pad)
         di = jnp.pad(di, pad)
 
@@ -368,35 +429,38 @@ def block_conv_pallas(
 
     # n innermost → the data block group stays VMEM-resident across the
     # whole bank; K is re-fetched once per (group, kernel) — the group
-    # amortizes it over MBH blocks. (D block index units are multiples of
-    # the block shape, so index gh covers block rows [gh·MBH, (gh+1)·MBH).)
-    grid = (b, gbh, nbw, n)
+    # amortizes it over MBH·MBW blocks. (D block index units are multiples
+    # of the block shape, so index gh/gw cover block rows/cols
+    # [g·MB, (g+1)·MB).)
+    grid = (b, gbh, gbw, n)
     spec_k = pl.BlockSpec(
         (1, f, lh, wc),
-        lambda bi, gh, bw, ni: (ni, 0, 0, 0),
+        lambda bi, gh, gw, ni: (ni, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     spec_const2 = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda bi, gh, bw, ni: (0, 0), memory_space=pltpu.VMEM
+        shape, lambda bi, gh, gw, ni: (0, 0), memory_space=pltpu.VMEM
     )
-    # Output tile (MBH·Vh, Vw) lands at block-aligned offsets; edge tiles
-    # extend past (out_h, out_w) and Pallas clips the writes.
+    # Output tile (MBH·Vh, MBW·Vw) lands at block-aligned offsets; edge
+    # tiles extend past (out_h, out_w) and Pallas clips the writes.
     out_spec = pl.BlockSpec(
-        (1, 1, mbh * vh, vw),
-        lambda bi, gh, bw, ni: (bi, ni, gh, bw),
+        (1, 1, mbh * vh, mbw * vw),
+        lambda bi, gh, gw, ni: (bi, ni, gh, gw),
         memory_space=pltpu.VMEM,
     )
 
     if radix_h:
         kern = _make_kernel_v4(
-            mbh, f, vh, wc, lh, lh - vh, precision, karatsuba
+            mbh, mbw, f, vh, vw, wc, lh, lh - vh, precision, karatsuba
         )
         scratch = [
             pltpu.VMEM((mbh * vh, wc), jnp.float32),
             pltpu.VMEM((mbh * vh, wc), jnp.float32),
         ]
     elif wstack:
-        kern = _make_kernel_v3(mbh, f, vh, wc, precision, karatsuba)
+        kern = _make_kernel_v3(
+            mbh, mbw, f, vh, vw, wc, precision, karatsuba
+        )
         scratch = [
             pltpu.VMEM((mbh * vh, wc), jnp.float32),
             pltpu.VMEM((mbh * vh, wc), jnp.float32),
@@ -419,13 +483,13 @@ def block_conv_pallas(
         scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec(
-                (1, mbh, 1, f, lh, wc),
-                lambda bi, gh, bw, ni: (bi, gh, bw, 0, 0, 0),
+                (1, mbh, mbw, f, lh, wc),
+                lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, mbh, 1, f, lh, wc),
-                lambda bi, gh, bw, ni: (bi, gh, bw, 0, 0, 0),
+                (1, mbh, mbw, f, lh, wc),
+                lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             spec_k,
@@ -440,10 +504,18 @@ def block_conv_pallas(
         cost_estimate=pl.CostEstimate(
             flops=b * nbh * nbw * n * (flops_mac + flops_h + flops_w),
             bytes_accessed=8 * f * lh * wc * (b * nbh * nbw)
-            + 8 * f * lh * wc * (b * gbh * nbw * n)
+            + 8 * f * lh * wc * (b * gbh * gbw * n)
             + 4 * b * n * out_h * out_w,
             transcendentals=0,
         ),
         interpret=interpret,
     )(dr, di, kr, ki, gr, gi, mr, mi)
     return out
+
+
+# block_conv_pallas reads the global config (fused_precision /
+# matmul_precision) at trace time when precision=None; register so
+# set_config invalidates its cached executables.
+from cuda_fft_convolution_tpu.utils.config import register_jit_consumer  # noqa: E402
+
+register_jit_consumer(block_conv_pallas)

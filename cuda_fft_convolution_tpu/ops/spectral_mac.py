@@ -67,6 +67,23 @@ def spectral_mac_planes(
     return e(dr, kr) - e(di, ki), e(di, kr) + e(dr, ki)
 
 
+def spectral_mac_flat_planes(
+    dr: jnp.ndarray, di: jnp.ndarray,  # (B, F, S) f32 — flat spectral axis
+    kr: jnp.ndarray, ki: jnp.ndarray,  # (N, F, S) f32
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MAC on FLAT (lane-packed) spectra (types.SpectralKernels ``flat``):
+    identical math to ``spectral_mac_planes`` — the complex product and
+    F-reduction are elementwise over spectral pixels, so the packing is
+    free here, while the resident bank reads at nominal bytes instead of
+    the (8, 128)-tile-padded planar layout (1.43× for 540×271 planes)."""
+    def e(a, b):
+        return jnp.einsum("bfs,nfs->bns", a, b, precision=precision)
+
+    return e(dr, kr) - e(di, ki), e(di, kr) + e(dr, ki)
+
+
 def spectral_mac_einsum(data_fft: jnp.ndarray, kernel_fft: jnp.ndarray) -> jnp.ndarray:
     """Complex-facing wrapper of ``spectral_mac_planes``."""
     o_r, o_i = spectral_mac_planes(

@@ -263,6 +263,11 @@ def conv_spectral_sharded(
         sk = kernels
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
+        validate(
+            not sk.flat,
+            "flat-layout banks are a single-device direct-engine "
+            "optimization; precompute with storage='planar' for sharding",
+        )
     else:
         if not tiled:
             # Giant raw banks: size the RESIDENT per-device spectra before
@@ -276,6 +281,9 @@ def conv_spectral_sharded(
             wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
             per_dev_resident = 8 * (-(-n // kshards)) * f * h_pad * wc_pad
             if n > kshards and per_dev_resident > budget // 2:
+                kstack, correlation = _api._apply_correlation_flip(
+                    kstack, khs, kws, correlation
+                )
                 return _conv_sharded_streaming(
                     spectral, kstack, khs, kws, mesh,
                     mode=mode, correlation=correlation,

@@ -225,6 +225,14 @@ class SpectralKernels:
     centered: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Storage layout: False = planar (N, F, fft_h, Wc) — TPU HBM tiles the
+    # trailing (8, 128) dims, so planes whose Wc is far from a 128 multiple
+    # pad heavily (a (540, 271) plane occupies (544, 384): 1.43×). True =
+    # FLAT (N, F, fft_h·Wc): one long lane axis, padding ≤0.1% — giant
+    # resident banks (the F=31 DPM config: 11.6 → 8.2 GB) read at nominal
+    # bytes in the traffic-bound MAC. The MAC is elementwise over spectral
+    # pixels, so the layout is free there; the inverse reshapes per chunk.
+    flat: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def fft(self) -> jnp.ndarray:

@@ -57,6 +57,12 @@ class Config:
     # inverse-DFT matmuls in one VMEM pass. None = auto (off pending
     # per-backend measurement), True/False force.
     use_fused_block_conv: bool | None = None
+    # Dot precision INSIDE the fused kernel: 'bf16x3' (manual split-bf16
+    # 3-pass ≈ XLA HIGH — half the HIGHEST MXU time; measured on v5e:
+    # headline 65.0 → 49.5 ms at max rel err 6.7e-6 vs the f64 oracle,
+    # inside the ≤1e-5 bar) or 'highest' (6-pass bf16, fp32-exact,
+    # 2.7e-7) for maximum-accuracy deployments.
+    fused_precision: str = "bf16x3"
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -69,6 +75,9 @@ class Config:
             use_matmul_fft=_env_bool("FFTCONV_USE_MATMUL_FFT"),
             matmul_precision=os.environ.get("FFTCONV_MATMUL_PRECISION", "highest"),
             use_fused_block_conv=_env_bool("FFTCONV_FUSED_BLOCK_CONV"),
+            fused_precision=os.environ.get(
+                "FFTCONV_FUSED_PRECISION", "bf16x3"
+            ),
         )
 
 
@@ -97,7 +106,7 @@ def set_config(**kwargs) -> Config:
     _CONFIG = dataclasses.replace(_CONFIG, **updates)
     if {
         "use_matmul_fft", "matmul_precision", "use_pallas",
-        "use_fused_block_conv",
+        "use_fused_block_conv", "fused_precision",
     } & set(updates):
         for fn in _JIT_CONSUMERS:
             try:

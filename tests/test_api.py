@@ -393,3 +393,96 @@ def test_radix_h_gate_large_half_period():
     assert radix_h_legal(256, 192)        # M=128: the measured-winning plan
     assert not radix_h_legal(512, 384)    # M=256: measured loser
     assert not radix_h_legal(1024, 768)   # M=512
+
+
+def test_flat_bank_storage_matches_planar(rng):
+    """storage='flat' (lane-packed resident spectra — the giant-bank HBM
+    layout) must be numerically identical to planar through conv_spectral,
+    including the chunked path and pipelined calls."""
+    data = rng.standard_normal((40, 36, 3)).astype(np.float32)
+    kerns = rng.standard_normal((6, 7, 5, 3)).astype(np.float32)
+    sd = fc.fft_data(data, 7, 5)
+    sk_p = fc.fft_kernels(kerns, spectral=sd, storage="planar")
+    sk_f = fc.fft_kernels(kerns, spectral=sd, storage="flat")
+    assert sk_f.flat and not sk_p.flat
+    assert sk_f.re.ndim == 3
+    want = np.array(fc.conv_spectral(sd, sk_p, mode="same"))
+    got = np.array(fc.conv_spectral(sd, sk_f, mode="same"))
+    np.testing.assert_array_equal(got, want)
+    # chunked (tight budget) and pipelined paths
+    try:
+        fc.set_config(hbm_budget_bytes=1 << 20)
+        got_c = np.array(fc.conv_spectral(sd, sk_f, mode="same"))
+    finally:
+        fc.set_config(hbm_budget_bytes=None)
+    # chunked vs unchunked reorders fp32 accumulation (~5e-6 abs, same as
+    # the planar chunked path)
+    np.testing.assert_allclose(got_c, want, atol=1e-4)
+    got_p = np.array(
+        fc.conv_spectral_pipelined(sd, sk_f, chunk_size=2, mode="same")
+    )
+    np.testing.assert_allclose(got_p, want, atol=1e-4)
+
+
+def test_flat_bank_rejected_where_unsupported(rng):
+    data = rng.standard_normal((32, 32, 1)).astype(np.float32)
+    kerns = rng.standard_normal((4, 5, 5, 1)).astype(np.float32)
+    sdt = fc.fft_data_tiled(data, 5, 5, block_h=16, block_w=16)
+    sk_f = fc.fft_kernels(kerns, fft_h=16, fft_w=16, storage="flat")
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral(sdt, sk_f, mode="same")
+    import jax
+
+    if len(jax.devices()) >= 2:
+        sd = fc.fft_data(data, 5, 5)
+        sk2 = fc.fft_kernels(kerns, spectral=sd, storage="flat")
+        with pytest.raises(InvalidInputError):
+            fc.conv_spectral_sharded(sd, sk2, fc.make_mesh(data=1))
+
+
+def test_flat_bank_checkpoint_roundtrip(rng, tmp_path):
+    from cuda_fft_convolution_tpu.utils.checkpoint import (
+        load_spectral,
+        save_spectral,
+    )
+
+    kerns = rng.standard_normal((3, 4, 4, 2)).astype(np.float32)
+    sk = fc.fft_kernels(kerns, fft_h=12, fft_w=12, storage="flat")
+    p = str(tmp_path / "skf.npz")
+    save_spectral(p, sk)
+    back = load_spectral(p)
+    assert back.flat is True
+    np.testing.assert_array_equal(np.array(back.re), np.array(sk.re))
+
+
+def test_ragged_bank_correlation_per_kernel_flip(rng):
+    """correlation=True on a RAGGED bank must flip each kernel within its
+    own extent (the padded-stack flip displaced smaller kernels — round-3
+    regression test). Covers the resident, streaming, and one-shot paths."""
+    data = rng.standard_normal((24, 24, 1)).astype(np.float32)
+    k_small = rng.standard_normal((3, 3, 1)).astype(np.float32)
+    k_big = rng.standard_normal((7, 7, 1)).astype(np.float32)
+    outs = fc.fft_conv(
+        data, kernels=[k_small, k_big], mode="full", correlation=True,
+        bucket_ragged=False,
+    )
+    for k, o in zip([k_small, k_big], outs):
+        ref = fc.fft_conv(
+            data, kernels=[np.ascontiguousarray(k[::-1, ::-1])], mode="full"
+        )[0]
+        np.testing.assert_allclose(np.array(o), np.array(ref), atol=1e-5)
+    # streaming-spatial giant-bank path (forced by a tiny budget)
+    sd = fc.fft_data(data, 7, 7)
+    try:
+        fc.set_config(hbm_budget_bytes=64 << 10)
+        outs_s = fc.conv_spectral(
+            sd, [k_small, k_big, k_big], mode="full", correlation=True
+        )
+    finally:
+        fc.set_config(hbm_budget_bytes=None)
+    ref_s = fc.conv_spectral(
+        sd, [np.ascontiguousarray(k_small[::-1, ::-1])], mode="full"
+    )[0]
+    np.testing.assert_allclose(
+        np.array(outs_s[0]), np.array(ref_s), atol=1e-4
+    )

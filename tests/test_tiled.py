@@ -3,6 +3,7 @@ direct engine and the float64 oracle — tiling is a pure performance
 transform and must be bit-level fp32-equivalent on linear windows."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import cuda_fft_convolution_tpu as fc
@@ -147,10 +148,10 @@ def test_fused_block_conv_matches_unfused(rng):
     sd = fc.fft_data_tiled(data, 6, 6, block_h=32, block_w=32)
     want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
     try:
-        fc.set_config(use_fused_block_conv=True)
+        fc.set_config(use_fused_block_conv=True, fused_precision="highest")
         got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
     finally:
-        fc.set_config(use_fused_block_conv=None)
+        fc.set_config(use_fused_block_conv=None, fused_precision="bf16x3")
     np.testing.assert_allclose(got, want, atol=1e-4)
     ref = fft_conv_full_f64(data, kerns[0])
     assert rel_err(got[0], ref) < 1e-5
@@ -169,10 +170,10 @@ def test_fused_radix_h_matches_unfused(rng):
     assert radix_h_legal(32, 32 - 9 + 1)
     want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
     try:
-        fc.set_config(use_fused_block_conv=True)
+        fc.set_config(use_fused_block_conv=True, fused_precision="highest")
         got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
     finally:
-        fc.set_config(use_fused_block_conv=None)
+        fc.set_config(use_fused_block_conv=None, fused_precision="bf16x3")
     np.testing.assert_allclose(got, want, atol=1e-4)
     ref = fft_conv_full_f64(data, kerns[0])
     assert rel_err(got[0], ref) < 1e-5
@@ -306,20 +307,86 @@ def test_fused_block_conv_mbh_grouping(rng):
     """The fused kernel's MBH block grouping (column-stacked H-stage dots)
     with a non-dividing block count (pad group clipped at out_h) must match
     the unfused pipeline."""
-    from cuda_fft_convolution_tpu.ops.block_conv import _choose_mbh
+    from cuda_fft_convolution_tpu.ops.block_conv import _choose_group
 
     data = rng.standard_normal((100, 90, 2)).astype(np.float32)
     kerns = [rng.standard_normal((6, 6, 2)).astype(np.float32) for _ in range(3)]
     # block (21, 37): vh=16, vw=32, nbh=ceil(105/16)=7 → mbh>1 and 7%mbh!=0
     sd = fc.fft_data_tiled(data, 6, 6, block_h=21, block_w=37)
-    nbh = sd.re.shape[0]
-    assert _choose_mbh(nbh, 2, 21, 19, 16, 32) > 1
+    nbh, nbw = sd.re.shape[0], sd.re.shape[1]
+    assert _choose_group(nbh, nbw, 2, 21, 19, 16, 32)[0] > 1
     want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
     try:
-        fc.set_config(use_fused_block_conv=True)
+        fc.set_config(use_fused_block_conv=True, fused_precision="highest")
         got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
     finally:
-        fc.set_config(use_fused_block_conv=None)
+        fc.set_config(use_fused_block_conv=None, fused_precision="bf16x3")
     np.testing.assert_allclose(got, want, atol=1e-4)
     ref = fft_conv_full_f64(data, kerns[1])
     assert rel_err(got[1], ref) < 1e-5
+
+
+def test_fused_block_conv_mbw_grouping(rng):
+    """(MBH, MBW) block groups — including a non-dividing W block count
+    (pad group clipped at out_w) — must match the unfused pipeline."""
+    from cuda_fft_convolution_tpu.ops.block_conv import block_conv_pallas
+    from cuda_fft_convolution_tpu.ops.tiled import fft_data_blocks
+
+    data = rng.standard_normal((1, 2, 80, 150)).astype(np.float32)
+    kerns = rng.standard_normal((3, 2, 6, 6)).astype(np.float32)
+    bh, bw = 21, 37  # vh=16, vw=32; nbw=ceil(155/32)=5 → mbw=2 pads to 6
+    d_re, d_im = fft_data_blocks(jnp.asarray(data), bh, bw, 6, 6)
+    from cuda_fft_convolution_tpu.ops.conv import rfft2_padded_planes
+
+    k_re, k_im = rfft2_padded_planes(jnp.asarray(kerns), bh, bw)
+    oh, ow = 80 + 5, 150 + 5
+    want = np.array(
+        block_conv_pallas(
+            d_re, d_im, k_re, k_im, bh, bw, 6, 6, oh, ow,
+            interpret=True, mbh=1, mbw=1,
+        )
+    )
+    for mbh, mbw in [(2, 2), (1, 3), (4, 2)]:
+        got = np.array(
+            block_conv_pallas(
+                d_re, d_im, k_re, k_im, bh, bw, 6, 6, oh, ow,
+                interpret=True, mbh=mbh, mbw=mbw,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"{mbh}x{mbw}")
+    ref = fft_conv_full_f64(
+        np.transpose(data[0], (1, 2, 0)), np.transpose(kerns[1], (1, 2, 0))
+    )
+    assert rel_err(want[0, 1], ref) < 1e-5
+
+
+def test_fused_block_conv_bf16x3_precision(rng):
+    """The split-bf16 3-pass dot decomposition must reproduce the HIGHEST
+    result closely (on CPU interpret the dots are fp32 either way, so this
+    checks the hi/lo split arithmetic; the real-bf16 accuracy gate runs on
+    TPU via the fuzz suite)."""
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        BF16X3,
+        block_conv_pallas,
+    )
+    from cuda_fft_convolution_tpu.ops.conv import rfft2_padded_planes
+    from cuda_fft_convolution_tpu.ops.tiled import fft_data_blocks
+
+    data = rng.standard_normal((1, 1, 60, 90)).astype(np.float32)
+    kerns = rng.standard_normal((2, 1, 5, 5)).astype(np.float32)
+    bh, bw = 20, 36
+    d_re, d_im = fft_data_blocks(jnp.asarray(data), bh, bw, 5, 5)
+    k_re, k_im = rfft2_padded_planes(jnp.asarray(kerns), bh, bw)
+    oh, ow = 64, 94
+    hi = np.array(
+        block_conv_pallas(
+            d_re, d_im, k_re, k_im, bh, bw, 5, 5, oh, ow, interpret=True
+        )
+    )
+    lo = np.array(
+        block_conv_pallas(
+            d_re, d_im, k_re, k_im, bh, bw, 5, 5, oh, ow, interpret=True,
+            precision=BF16X3,
+        )
+    )
+    assert rel_err(lo, hi) < 1e-4
