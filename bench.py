@@ -174,6 +174,7 @@ def main() -> None:
 
     v_fftmap = v_amort = v_pipe = v_bf16 = v_batch = None
     v_bigk = v_dpm_direct = v_dpm = v_dpm_direct_stream = None
+    v_dpm_stream = None
     if not quick:
         # reference-parity one-shot: raw circular fftmaps, direct engine
         fftmap_shot = _probed(
@@ -291,6 +292,10 @@ def main() -> None:
         conv_dpm = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
         t_dpm = _time_fn(conv_dpm, sdd, skd, iters=3)
         v_dpm = dpm_gpixf / t_dpm
+        # detector serving steady state: pipelined dispatch, sync every 3rd
+        # frame (in-flight working set = 3 × 1.07 GB of maps — fits)
+        t_dpms = _time_fn(conv_dpm, sdd, skd, iters=6, sync_every=3)
+        v_dpm_stream = dpm_gpixf / t_dpms
         del sdd, skd, feats, dpm_bank
 
     # --- algorithm-independent HBM floor: any implementation must at least
@@ -334,6 +339,9 @@ def main() -> None:
             "batch8_1024_GPixF_s": None if v_batch is None else round(v_batch, 3),
             "bigkernel_512_GPixF_s": None if v_bigk is None else round(v_bigk, 3),
             "dpm_hog_bf16_1024f_GPixF_s": None if v_dpm is None else round(v_dpm, 3),
+            "dpm_hog_streaming_GPixF_s": (
+                None if v_dpm_stream is None else round(v_dpm_stream, 3)
+            ),
             "dpm_direct_giantbank_GPixF_s": (
                 None if v_dpm_direct is None else round(v_dpm_direct, 3)
             ),
