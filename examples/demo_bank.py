@@ -74,4 +74,29 @@ for i in range(frames):
 import jax; jax.block_until_ready(scores)
 t_loop = (time.perf_counter() - t0) / frames
 print(f"amortized serving: {t_loop*1e3:.1f} ms/frame (bank spectra cached)")
+# boundary handling and window conventions (carried reference capabilities:
+# padDataClampToBorder / padKernel, src/convolutionFFTkernel.cu):
+#   padding='clamp'            — edge pixels replicate through the pad band
+#   kernel_layout='centered'   — kernel centers wrapped to the origin:
+#                                un-shifted maps, 'same' needs no offset
+#   same_offset='matlab'       — conv2-parity Kh//2 'same' offset
+clamped = fc.fft_conv(image, KH, KW, bank, mode="same", padding="clamp")
+centered = fc.fft_conv(
+    image, kernels=bank, mode="same", kernel_layout="centered"
+)
+matlab_same = fc.fft_conv(
+    image, kernels=bank, mode="same", same_offset="matlab",
+    algorithm="direct",
+)
+# centered anchoring == corner anchoring at the MATLAB offset
+_c, _m = np.asarray(centered), np.asarray(matlab_same)
+assert np.max(np.abs(_c - _m)) / np.max(np.abs(_m)) < 1e-5
+# clamp differs from zero-pad only near the border
+_z = np.asarray(fc.fft_conv(image, KH, KW, bank, mode="same"))
+_cl = np.asarray(clamped)
+interior = np.s_[:, KH:-KH, KW:-KW]
+assert np.max(np.abs(_cl[interior] - _z[interior])) / np.max(np.abs(_z)) < 1e-5
+assert np.max(np.abs(_cl - _z)) / np.max(np.abs(_z)) > 1e-3
+print("boundary options OK (clamp / centered / matlab-same)")
+
 print("demo_bank OK")

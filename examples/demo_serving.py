@@ -71,4 +71,26 @@ assert maps_b.shape == (8, N, H, W)
 _mb, _m = np.asarray(maps_b[0]), np.asarray(maps)
 assert np.max(np.abs(_mb - _m)) / np.max(np.abs(_m)) < 1e-5
 
+# 6. giant resident banks: FLAT (lane-packed) spectra — on TPU HBM a
+# (540, 271) plane tile-pads to (544, 384) (1.43x); storage='flat' reads
+# nominal bytes in the traffic-bound MAC and fits ~30% more kernels
+# resident (measured: 288 vs 224 of the F=31 DPM bank on a 16 GB v5e).
+sd_d = fc.fft_data(frames[0], K, K)
+sk_flat = fc.fft_kernels(bank, spectral=sd_d, storage="flat")
+maps_flat = fc.conv_spectral(sd_d, sk_flat, mode="same")
+maps_plan = fc.conv_spectral(
+    sd_d, fc.fft_kernels(bank, spectral=sd_d, storage="planar"), mode="same"
+)
+assert np.array_equal(np.asarray(maps_flat), np.asarray(maps_plan))
+
+# 7. precision tiers: fused-kernel dots default to 'bf16x3' (split-bf16
+# 3-pass ~ XLA HIGH; 6.7e-6 rel err, half the MXU time of 'highest' —
+# measured 65.0 -> 49.5 ms on the 2048^2 x 100 headline). Exactness-
+# critical deployments pin 'highest':
+fc.set_config(fused_precision="highest")
+maps_exact = serve(sd, sk)
+fc.set_config(fused_precision="bf16x3")
+_me, _m2 = np.asarray(maps_exact), np.asarray(maps)
+assert np.max(np.abs(_me - _m2)) / np.max(np.abs(_m2)) < 1e-4
+
 print("serving demo OK")
