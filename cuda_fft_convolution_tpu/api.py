@@ -675,13 +675,19 @@ def fft_kernels(
         "(reference check src/cudaConvolutionFFT.cu:242-243)",
     )
     n, f = kstack.shape[0], kstack.shape[1]
+    tiled_target = isinstance(spectral, TiledSpectralData)
+    validate(
+        not (tiled_target and storage == "flat"),
+        "storage='flat' serves the direct engine; tiled block spectra "
+        "take planar banks",
+    )
     wc = fft_w // 2 + 1
     h_pad = -(-fft_h // 8) * 8
     wc_pad = -(-wc // 128) * 128
     pad_ratio = (h_pad * wc_pad) / (fft_h * wc)
     flat = storage == "flat" or (
         storage == "auto" and pad_ratio > 1.25 and n * f >= 64
-        and not centered
+        and not centered and not tiled_target
     )
     if centered:
         re, im = _fft_kernels_centered_worker(

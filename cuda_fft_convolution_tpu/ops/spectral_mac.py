@@ -58,13 +58,22 @@ def spectral_mac_planes(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, F, H, Wc) × (N, F, H, Wc) → (B, N, H, Wc) split planes.
 
+    KARATSUBA form (3 contractions instead of 4): the product tensors are
+    (B, N, H, Wc)-sized — the dominant HBM traffic of the unfused path —
+    so materializing 3 instead of 4 saves a full product's write+read
+    (~4.3 GB on the F=31 DPM config). The elementwise pre-adds (dr+di,
+    kr+ki) fuse into the dot's operand load; exact same bilinear form.
+
     HIGHEST precision: if XLA lowers the F-contraction through a dot, the
     default TPU precision would run bf16 passes — the spectral accumulation
     must stay full fp32 (BASELINE.json: ≤1e-5 rel err)."""
     def e(a, b):
         return jnp.einsum("bfhw,nfhw->bnhw", a, b, precision=precision)
 
-    return e(dr, kr) - e(di, ki), e(di, kr) + e(dr, ki)
+    t1 = e(dr, kr)
+    t2 = e(di, ki)
+    t3 = e(dr + di, kr + ki)
+    return t1 - t2, t3 - t1 - t2
 
 
 def spectral_mac_flat_planes(
@@ -77,11 +86,15 @@ def spectral_mac_flat_planes(
     identical math to ``spectral_mac_planes`` — the complex product and
     F-reduction are elementwise over spectral pixels, so the packing is
     free here, while the resident bank reads at nominal bytes instead of
-    the (8, 128)-tile-padded planar layout (1.43× for 540×271 planes)."""
+    the (8, 128)-tile-padded planar layout (1.43× for 540×271 planes).
+    Karatsuba 3-contraction form like ``spectral_mac_planes``."""
     def e(a, b):
         return jnp.einsum("bfs,nfs->bns", a, b, precision=precision)
 
-    return e(dr, kr) - e(di, ki), e(di, kr) + e(dr, ki)
+    t1 = e(dr, kr)
+    t2 = e(di, ki)
+    t3 = e(dr + di, kr + ki)
+    return t1 - t2, t3 - t1 - t2
 
 
 def spectral_mac_einsum(data_fft: jnp.ndarray, kernel_fft: jnp.ndarray) -> jnp.ndarray:

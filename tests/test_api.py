@@ -486,3 +486,18 @@ def test_ragged_bank_correlation_per_kernel_flip(rng):
     np.testing.assert_allclose(
         np.array(outs_s[0]), np.array(ref_s), atol=1e-4
     )
+
+
+def test_tiled_bank_never_auto_flat(rng):
+    """fft_kernels(spectral=TiledSpectralData) must stay planar even at
+    pad-ratio/band-size thresholds that would pick flat for the direct
+    engine (round-3 bench regression: auto-flat broke the tiled path)."""
+    data = rng.standard_normal((512, 512, 31)).astype(np.float32)
+    kerns = rng.standard_normal((64, 12, 12, 31)).astype(np.float32)
+    sdd = fc.fft_data_tiled(data, 12, 12, trim_mode="same")
+    sk = fc.fft_kernels(kerns, spectral=sdd)
+    assert not sk.flat
+    out = fc.conv_spectral(sdd, sk, mode="same")  # must not raise
+    assert out.shape == (64, 512, 512)
+    with pytest.raises(InvalidInputError):
+        fc.fft_kernels(kerns, spectral=sdd, storage="flat")

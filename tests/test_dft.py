@@ -164,3 +164,26 @@ def test_ct_transforms_match_fft(rng, h, w, fh, fw):
     pad = np.zeros((2, fh, fw), np.float32)
     pad[:, :h, :w] = x
     assert np.max(np.abs(np.array(y) - pad)) / np.max(np.abs(x)) < 1e-5
+
+
+def test_ct_through_public_api(rng):
+    """fft_conv with an FFT axis beyond the dense cap (forced matmul
+    engine) runs the CT transform end-to-end and matches the f64 oracle —
+    the BASELINE config-3 regime on the direct engine."""
+    data = rng.standard_normal((2300, 40, 1)).astype(np.float32)
+    kern = rng.standard_normal((230, 20, 1)).astype(np.float32)
+    try:
+        fc.set_config(use_matmul_fft=True)
+        sd = fc.fft_data(data, 230, 20, policy="fast")
+        assert sd.fft_h > 2304  # really lands in CT territory
+        out = np.array(fc.conv_spectral(sd, [kern], mode="valid")[0])
+    finally:
+        fc.set_config(use_matmul_fft=None)
+    oh, ow = 2300 + 230 - 1, 40 + 20 - 1
+    ref = np.real(
+        np.fft.ifft2(
+            np.fft.fft2(data[:, :, 0].astype(np.float64), (oh, ow))
+            * np.fft.fft2(kern[:, :, 0].astype(np.float64), (oh, ow))
+        )
+    )[229:2300, 19:40]
+    assert rel_err(out, ref) < 1e-5
