@@ -277,8 +277,12 @@ def main() -> None:
         v_dpm_direct = feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gd
         # steady-state serving counterpart (dispatches pipelined, sync
         # every 2nd call — the streams variant's latency-hiding goal,
-        # src/cudaConvFFTDataStreams.cu:292-327). The per-call working set
-        # is one chunk of maps (~0.34 GB), so 2 in-flight calls fit.
+        # src/cudaConvFFTDataStreams.cu:292-327). Two in-flight working
+        # sets (~1 GB each next to the 10.5 GB bank) fit only if the
+        # per-call run's buffers have actually been released — drain the
+        # queue and collect first.
+        gc.collect()
+        np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
         t_gds = _time_fn(conv_gd, sdf, skf, iters=4, sync_every=2)
         v_dpm_direct_stream = (
             feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gds

@@ -110,16 +110,20 @@ def spectral_mac_planes(
     *,
     precision=jax.lax.Precision.HIGHEST,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Split-plane form of ``spectral_mac``: Karatsuba 3-contraction form
-    (the product tensors dominate unfused-path HBM traffic; see
-    ops/spectral_mac.spectral_mac_planes). No complex dtype."""
+    """Split-plane form of ``spectral_mac``: 4 real einsums XLA fuses into
+    one pass (or into the neighbouring DFT matmuls); the Karatsuba knob is
+    shared with ops/spectral_mac. No complex dtype."""
+    from cuda_fft_convolution_tpu.ops.spectral_mac import _MAC_KARATSUBA
+
     def e(a, b):
         return jnp.einsum("...fhw,fhw->...hw", a, b, precision=precision)
 
-    t1 = e(kr, dr)
-    t2 = e(ki, di)
-    t3 = e(kr + ki, dr + di)
-    return t1 - t2, t3 - t1 - t2
+    if _MAC_KARATSUBA:
+        t1 = e(kr, dr)
+        t2 = e(ki, di)
+        t3 = e(kr + ki, dr + di)
+        return t1 - t2, t3 - t1 - t2
+    return e(kr, dr) - e(ki, di), e(kr, di) + e(ki, dr)
 
 
 def irfft2_norm_planes(

@@ -45,6 +45,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Karatsuba (3-contraction) MAC: saves one (B, N, H, Wc) product tensor of
+# HBM traffic IF XLA fuses the elementwise pre-adds into the dot operands.
+# Measured on v5e it REGRESSED the big-kernel unfused path 3.4x (XLA's
+# fusion/scheduling of the 3-dot form lost far more than the saved
+# product), so the 4-contraction form is the default; the env knob keeps
+# the variant measurable per deployment.
+import os as _os
+
+_MAC_KARATSUBA = _os.environ.get("FFTCONV_MAC_KARATSUBA", "0") not in (
+    "0", "false", "False", ""
+)
+
 _LANE = 512  # lane width of one tile row (multiple of the 128-lane VPU)
 _SUBLANE = 8  # fp32 sublane quantum
 _VMEM_BUDGET = 4 * 1024 * 1024  # per-block-set working bytes target
@@ -58,11 +70,12 @@ def spectral_mac_planes(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, F, H, Wc) × (N, F, H, Wc) → (B, N, H, Wc) split planes.
 
-    KARATSUBA form (3 contractions instead of 4): the product tensors are
-    (B, N, H, Wc)-sized — the dominant HBM traffic of the unfused path —
-    so materializing 3 instead of 4 saves a full product's write+read
-    (~4.3 GB on the F=31 DPM config). The elementwise pre-adds (dr+di,
-    kr+ki) fuse into the dot's operand load; exact same bilinear form.
+    4 real contractions by default (XLA fuses them into one pass or into
+    the adjacent DFT matmuls); FFTCONV_MAC_KARATSUBA=1 selects the
+    3-contraction Karatsuba form, which saves one product tensor of HBM
+    traffic on paper but measured 3.4× SLOWER on the v5e big-kernel
+    unfused path (XLA's fusion of the 3-dot form loses more than the
+    saved product) — see the module-level knob.
 
     HIGHEST precision: if XLA lowers the F-contraction through a dot, the
     default TPU precision would run bf16 passes — the spectral accumulation
@@ -70,10 +83,12 @@ def spectral_mac_planes(
     def e(a, b):
         return jnp.einsum("bfhw,nfhw->bnhw", a, b, precision=precision)
 
-    t1 = e(dr, kr)
-    t2 = e(di, ki)
-    t3 = e(dr + di, kr + ki)
-    return t1 - t2, t3 - t1 - t2
+    if _MAC_KARATSUBA:
+        t1 = e(dr, kr)
+        t2 = e(di, ki)
+        t3 = e(dr + di, kr + ki)
+        return t1 - t2, t3 - t1 - t2
+    return e(dr, kr) - e(di, ki), e(di, kr) + e(dr, ki)
 
 
 def spectral_mac_flat_planes(
@@ -87,14 +102,17 @@ def spectral_mac_flat_planes(
     F-reduction are elementwise over spectral pixels, so the packing is
     free here, while the resident bank reads at nominal bytes instead of
     the (8, 128)-tile-padded planar layout (1.43× for 540×271 planes).
-    Karatsuba 3-contraction form like ``spectral_mac_planes``."""
+    Same 4-contraction default / Karatsuba knob as
+    ``spectral_mac_planes``."""
     def e(a, b):
         return jnp.einsum("bfs,nfs->bns", a, b, precision=precision)
 
-    t1 = e(dr, kr)
-    t2 = e(di, ki)
-    t3 = e(dr + di, kr + ki)
-    return t1 - t2, t3 - t1 - t2
+    if _MAC_KARATSUBA:
+        t1 = e(dr, kr)
+        t2 = e(di, ki)
+        t3 = e(dr + di, kr + ki)
+        return t1 - t2, t3 - t1 - t2
+    return e(dr, kr) - e(di, ki), e(di, kr) + e(dr, ki)
 
 
 def spectral_mac_einsum(data_fft: jnp.ndarray, kernel_fft: jnp.ndarray) -> jnp.ndarray:
