@@ -48,6 +48,12 @@ _BUILTIN: dict = {
     # (128² kernels: the analytic (255, 895) v3 plan WINS (76.6 ms) over
     # v4 at M=256 (121 ms — sub-transform cost grows as 2M²); no entry.)
     (32, 32, 1): (96, 384, True, 128, 511),
+    # DPM/HOG envelope: 12² kernels, F=31, 512² features (perf/tune_dpm.py,
+    # r3, N=256 bank): the analytic valid (16, 128) (blocks (27, 139)) WON
+    # at 43.6 ms vs Wc-dense/taller alternatives (58.6–105.2) — pinned so
+    # future analytic-formula changes can't regress the measured choice.
+    # Unfused (the F=31 VMEM economics reject the fused kernel; PERF.md).
+    (16, 16, 8): (16, 128, False, 27, 139),
 }
 _MEASURED: dict = {}
 

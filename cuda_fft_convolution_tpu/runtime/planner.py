@@ -99,7 +99,10 @@ def plan_bank(
     # MAC at the F=31, N=224, 11.6 GB-padded-bank config measured RUNNING
     # unchunked within 2.4 GB of real slack (perf/diag_dpm.py
     # mac256_einsum) — the full-bank allowance forced a chunked plan that
-    # was 6-12x slower than the unchunked pass it prohibited.
+    # was 6-12x slower than the unchunked pass it prohibited. The /16
+    # slack is validated on a SECOND F>1 geometry (perf/validate_planner.py:
+    # F=8, N=177 at fft 1080² planned to 14.08 of a 14.13 GiB budget —
+    # ran unchunked at the edge without OOM).
     # Prefer unchunked whenever it fits (a chunked lax.map pays a
     # bank-slice copy per chunk; chunk_size=1 measured 30x slower on the
     # 9.3 GB-bank config). csrc/planner.cpp keeps in sync.
