@@ -376,6 +376,13 @@ def block_conv_pallas(
 
         fp = get_config().fused_precision
         precision = BF16X3 if fp == BF16X3 else _matmul_precision()
+    if interpret and precision == BF16X3:
+        # BF16X3 is a Mosaic-only fast path: interpret mode lowers the
+        # kernel through plain XLA, whose algebraic simplifier REFOLDS the
+        # split-bf16 3-pass dots back into single-pass bf16 (measured
+        # 2.9e-3 rel err vs the compiled kernel's 8.9e-6). Interpret mode
+        # (the non-TPU fallback and test harness) runs HIGHEST instead.
+        precision = jax.lax.Precision.HIGHEST
     if karatsuba is None:
         karatsuba = wstack or radix_h
     if mbh is None and mbw is None:

@@ -408,7 +408,9 @@ def test_flat_bank_storage_matches_planar(rng):
     assert sk_f.re.ndim == 3
     want = np.array(fc.conv_spectral(sd, sk_p, mode="same"))
     got = np.array(fc.conv_spectral(sd, sk_f, mode="same"))
-    np.testing.assert_array_equal(got, want)
+    # identical math; on real TPU the flat vs planar einsums may schedule
+    # accumulation differently (not bit-equal) — fp32-noise tolerance
+    assert rel_err(got, want) < 1e-5
     # chunked (tight budget) and pipelined paths
     try:
         fc.set_config(hbm_budget_bytes=1 << 20)
