@@ -176,6 +176,32 @@ def main() -> None:
     v_bigk = v_dpm_direct = v_dpm = v_dpm_direct_stream = None
     v_dpm_stream = None
     if not quick:
+        # BASELINE configs[2]: large-kernel regime, 2048² × a bank of 16
+        # 512² kernels (FFT-vs-direct crossover). The auto engine tiles at
+        # (1023, 1024) blocks (measured 66.8 ms vs direct-CT 85.2 and
+        # direct-XLA-FFT 100.8 on v5e); the direct fallback at the 2560²
+        # FFT size runs the two-stage Cooley–Tukey MXU transform
+        # (ops/dft.py) — beyond round 2's 2304-axis cap. Measured EARLY in
+        # the run: this config peaks ~8 GB of transform/product
+        # temporaries and this runtime's allocator degrades it ~4× late in
+        # the sequence (deterministic 225 vs 55-65 ms; bisects to no single
+        # predecessor — perf/bisect_bigk*.py), an allocator artifact, not
+        # an algorithmic cost.
+        import gc as _gc
+
+        NB = 16
+        kbig = jnp.asarray(
+            rng.standard_normal((NB, 512, 512, F)).astype(np.float32)
+        )
+        bigk_shot = _probed(
+            lambda d, k: fc.fft_conv(d, 512, 512, k, mode="same")
+        )
+        t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
+        v_bigk = H * W * NB / 1e9 / t_bigk
+        del kbig
+        _gc.collect()
+        np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
+
         # reference-parity one-shot: raw circular fftmaps, direct engine
         fftmap_shot = _probed(
             lambda d, k: fc.fft_conv(d, KH, KW, k, mode="fftmap")
@@ -214,23 +240,6 @@ def main() -> None:
         t_batch = _time_fn(conv_b, sdb, skb, iters=3)
         v_batch = 8 * 1024 * 1024 * N / 1e9 / t_batch
         del sdb, skb, bdata
-
-        # BASELINE configs[2]: large-kernel regime, 2048² × a bank of 16
-        # 512² kernels (FFT-vs-direct crossover). The auto engine tiles at
-        # (1023, 1024) blocks (measured 66.8 ms vs direct-CT 85.2 and
-        # direct-XLA-FFT 100.8 on v5e); the direct fallback at the 2560²
-        # FFT size runs the two-stage Cooley–Tukey MXU transform
-        # (ops/dft.py) — beyond round 2's 2304-axis cap.
-        NB = 16
-        kbig = jnp.asarray(
-            rng.standard_normal((NB, 512, 512, F)).astype(np.float32)
-        )
-        bigk_shot = _probed(
-            lambda d, k: fc.fft_conv(d, 512, 512, k, mode="same")
-        )
-        t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
-        v_bigk = H * W * NB / 1e9 / t_bigk
-        del kbig
 
         # BASELINE configs[4]: DPM/HOG detection — 4K image → HOG features
         # (512²×31, bf16) → 1000+ filter bank, fp32 spectral accumulation.
@@ -289,7 +298,10 @@ def main() -> None:
         )
         del sdf, skf
 
-        # tiled amortized serving path (the production detector loop)
+        # tiled amortized serving path (the production detector loop);
+        # drain the giant-bank config's queued frees first
+        gc.collect()
+        np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
         sdd = fc.fft_data_tiled(feats, KD, KD, trim_mode="same")
         skd = fc.fft_kernels(dpm_bank, spectral=sdd)
         jax.block_until_ready((sdd.re, skd.re))
