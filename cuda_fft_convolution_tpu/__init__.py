@@ -49,7 +49,12 @@ from cuda_fft_convolution_tpu.utils.fft_size import (
     next_multiple_of_16,
     next_pow2,
 )
-from cuda_fft_convolution_tpu.runtime import FftConvPlan, make_plan
+from cuda_fft_convolution_tpu.runtime import (
+    ConvFuture,
+    ConvStream,
+    FftConvPlan,
+    make_plan,
+)
 from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
 from cuda_fft_convolution_tpu.utils.config import get_config, set_config
 from cuda_fft_convolution_tpu.utils.selftest import selftest
@@ -74,6 +79,8 @@ __all__ = [
     "make_mesh",
     "shard_kernel_bank",
     "fetch",
+    "ConvFuture",
+    "ConvStream",
     "FftConvPlan",
     "make_plan",
     "load_spectral",

@@ -22,6 +22,7 @@ from cuda_fft_convolution_tpu.runtime.planner import (
     plan_bank,
 )
 from cuda_fft_convolution_tpu.runtime.plan import FftConvPlan, make_plan
+from cuda_fft_convolution_tpu.runtime.stream import ConvFuture, ConvStream
 from cuda_fft_convolution_tpu.runtime.autotune import (
     autotune_block_geometry,
     lookup_tuned_geometry,
@@ -39,4 +40,6 @@ __all__ = [
     "plan_bank",
     "FftConvPlan",
     "make_plan",
+    "ConvFuture",
+    "ConvStream",
 ]

@@ -1,0 +1,194 @@
+"""Bounded-depth asynchronous serving stream — the streams-variant runtime.
+
+TPU-native equivalent of the reference's stream pool
+(src/cudaConvFFTDataStreams.cu:279-349: a pool of cudaStreams round-robined
+over the work loop, with the pool size bounding how much work is in flight
+at once). On TPU the XLA runtime already dispatches asynchronously by
+construction, so streams-as-concurrency are free; what the pool actually
+buys a serving system — *bounded* in-flight work plus latency hiding across
+calls — is reproduced here explicitly:
+
+  - ``submit(frame)`` dispatches the planned pipeline without waiting and
+    returns a :class:`ConvFuture`;
+  - at most ``depth`` submissions are unresolved at a time: submitting
+    deeper first waits on the OLDEST one (the pool's round-robin reuse of a
+    busy stream) so device memory for queued outputs stays bounded at
+    ``depth`` working sets;
+  - completion is detected honestly: each dispatch is followed by a 4-float
+    probe program on the same FIFO device queue, and syncing fetches that
+    probe — ``jax.block_until_ready`` returns early on tunneled runtimes
+    (see utils/profiling.benchmark), a probe fetch does not.
+
+Why this matters on a remote-attached TPU: every host↔device sync costs a
+tunnel round trip (~29 ms measured on the attached v5e — docs/PERF.md), so
+per-call synchronous serving is RTT-bound. Keeping ``depth`` calls in
+flight amortizes that RTT exactly like the reference overlaps compute with
+copies across its stream pool (src/cudaConvFFTDataStreams.cu:292-327).
+Measured on v5e (bench.py streaming rows): headline 51.2 → ~31 ms/call,
+DPM giant-bank direct 77 → ~64 ms/call.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_fft_convolution_tpu.runtime.plan import FftConvPlan, make_plan
+from cuda_fft_convolution_tpu.utils.errors import validate
+
+_PROBE_N = 4
+
+
+@jax.jit
+def _probe_of(x):
+    """Tiny program enqueued after ``x``'s producer: the device queue is
+    FIFO, so fetching these 4 floats is a completion barrier for ``x``."""
+    return jnp.ravel(x)[:_PROBE_N]
+
+
+class ConvFuture:
+    """Handle for one in-flight convolution dispatch.
+
+    ``result()`` blocks until the device work is complete (probe fetch) and
+    returns the output maps as a device array. Idempotent; cheap after the
+    first call.
+    """
+
+    __slots__ = ("_probe", "_value", "_done")
+
+    def __init__(self, probe, value):
+        self._probe = probe
+        self._value = value
+        self._done = False
+
+    def done(self) -> bool:
+        """Whether ``result()`` has already been resolved (bookkeeping —
+        this does not poll the device)."""
+        return self._done
+
+    def result(self):
+        if not self._done:
+            np.asarray(self._probe)  # honest sync (FIFO barrier)
+            self._done = True
+            self._probe = None
+        return self._value
+
+
+class ConvStream:
+    """Serving loop driver: repeated frames against one resident bank.
+
+    Built over an AOT :class:`FftConvPlan` (zero retracing at submit time)
+    with the kernel-bank spectra computed once and held on device — the
+    reference's persistent ``cudaFFTData`` + repeated ``cudaConvFFTData``
+    serving shape (src/cudaFFTData.cu:97-150), with the streams variant's
+    bounded pipelining on top.
+
+    Use :meth:`ConvStream.create` unless you already hold a plan::
+
+        stream = fc.ConvStream.create(frame_shape, bank, algorithm="tiled",
+                                      mode="same", depth=3)
+        futures = [stream.submit(f) for f in frames]   # pipelined dispatch
+        maps = [f.result() for f in futures]           # sync as consumed
+
+    ``depth`` bounds in-flight submissions (device memory: ``depth`` output
+    working sets). ``submit`` past the bound blocks on the oldest future
+    first. The stream is also a context manager; exiting flushes.
+    """
+
+    def __init__(self, plan: FftConvPlan, kernels, *, depth: int = 3):
+        validate(depth >= 1, f"depth must be >= 1, got {depth}")
+        self._plan = plan
+        self._depth = depth
+        self._inflight: collections.deque[ConvFuture] = collections.deque()
+        self.update_kernels(kernels)
+
+    @classmethod
+    def create(
+        cls,
+        data_shape: tuple,
+        kernels,
+        *,
+        depth: int = 3,
+        **plan_kwargs,
+    ) -> "ConvStream":
+        """Build the plan for ``data_shape`` × ``kernels.shape`` and wrap it.
+        ``plan_kwargs`` go to :func:`make_plan` (``algorithm``, ``mode``,
+        ``policy``, ``correlation``, ``use_pallas``)."""
+        kernels = jnp.asarray(kernels, jnp.float32)
+        plan = make_plan(tuple(data_shape), tuple(kernels.shape), **plan_kwargs)
+        return cls(plan, kernels, depth=depth)
+
+    @property
+    def plan(self) -> FftConvPlan:
+        return self._plan
+
+    @property
+    def depth(self) -> int:
+        return self._depth
+
+    @property
+    def inflight(self) -> int:
+        """Number of unresolved submissions currently queued."""
+        self._drain_resolved()
+        return len(self._inflight)
+
+    def _drain_resolved(self) -> None:
+        # Futures resolved out-of-band (user called result() directly) no
+        # longer occupy a slot; drop them from the front of the queue.
+        while self._inflight and self._inflight[0].done():
+            self._inflight.popleft()
+
+    def update_kernels(self, kernels) -> None:
+        """(Re)compute and pin the resident bank spectra — the model-update
+        path of a serving loop. Accepts a spatial bank of the planned shape
+        or a precomputed ``(re, im)`` spectra pair from ``plan.kernel_fft``."""
+        if isinstance(kernels, tuple) and len(kernels) == 2:
+            self._kfft = kernels
+            return
+        kernels = jnp.asarray(kernels, jnp.float32)
+        validate(
+            tuple(kernels.shape) == self._plan.kernel_shape,
+            f"kernel shape {tuple(kernels.shape)} != planned "
+            f"{self._plan.kernel_shape}",
+        )
+        self._kfft = self._plan.kernel_fft(kernels)
+
+    def submit(self, frame) -> ConvFuture:
+        """Dispatch one frame; returns immediately unless ``depth`` calls
+        are already in flight (then waits on the oldest first)."""
+        validate(
+            tuple(frame.shape) == self._plan.data_shape,
+            f"frame shape {tuple(frame.shape)} != planned "
+            f"{self._plan.data_shape}",
+        )
+        # Bound BEFORE dispatching: never more than `depth` unresolved
+        # working sets on device.
+        self._drain_resolved()
+        while len(self._inflight) >= self._depth:
+            self._inflight.popleft().result()
+        dfft = self._plan.data_fft(frame)
+        out = self._plan.execute_spectral(dfft, self._kfft)
+        fut = ConvFuture(_probe_of(out), out)
+        self._inflight.append(fut)
+        return fut
+
+    def map(self, frames: Sequence) -> list:
+        """Convenience: pipeline a whole sequence, return resolved maps in
+        order. Peak in-flight work stays at ``depth``."""
+        futures = [self.submit(f) for f in frames]
+        return [f.result() for f in futures]
+
+    def flush(self) -> None:
+        """Block until every outstanding submission has completed."""
+        while self._inflight:
+            self._inflight.popleft().result()
+
+    def __enter__(self) -> "ConvStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.flush()

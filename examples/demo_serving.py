@@ -93,4 +93,18 @@ fc.set_config(fused_precision="bf16x3")
 _me, _m2 = np.asarray(maps_exact), np.asarray(maps)
 assert np.max(np.abs(_me - _m2)) / np.max(np.abs(_m2)) < 1e-4
 
+# 8. the bounded-depth serving stream: the patterns above packaged as a
+# runtime object — AOT plan + resident bank spectra + pipelined dispatch
+# with at most `depth` calls in flight (the reference's stream pool,
+# src/cudaConvFFTDataStreams.cu:279-349, as an async-future API).
+with fc.ConvStream.create(frames[0].shape, bank, algorithm="tiled",
+                          mode="same", depth=3) as stream:
+    futures = [stream.submit(f) for f in frames]   # returns immediately
+    assert stream.inflight <= 3                    # bounded device memory
+    results = [fut.result() for fut in futures]    # sync as consumed
+_ms, _m = np.asarray(results[0]), np.asarray(maps)
+assert np.max(np.abs(_ms - _m)) / np.max(np.abs(_m)) < 1e-5
+# model update without recompiling: swap the resident bank spectra
+stream.update_kernels(bank[::-1])
+
 print("serving demo OK")

@@ -1,0 +1,107 @@
+"""Serving-stream tests: bounded-depth pipelined dispatch (runtime/stream.py).
+
+TPU-native analogue of the reference's stream pool round-robin
+(src/cudaConvFFTDataStreams.cu:279-349): correctness must equal the
+synchronous plan path, and the depth bound must hold at every point of a
+submission burst.
+"""
+
+import numpy as np
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from tests.oracles import fft_conv_full_f64, rel_err
+
+
+def test_stream_matches_plan(rng):
+    """submit/result over a stream ≡ plan.execute frame by frame."""
+    kerns = rng.standard_normal((3, 5, 5, 2)).astype(np.float32)
+    frames = [rng.standard_normal((24, 20, 2)).astype(np.float32) for _ in range(4)]
+    stream = fc.ConvStream.create((24, 20, 2), kerns, depth=2)
+    plan = stream.plan
+    futs = [stream.submit(f) for f in frames]
+    for f, fut in zip(frames, futs):
+        want = np.array(plan.execute(f, kerns))
+        np.testing.assert_allclose(np.array(fut.result()), want, atol=1e-6)
+    stream.flush()
+
+
+def test_stream_oracle_full_mode(rng):
+    """Tiled-plan stream against the f64 oracle ('full' maps)."""
+    kerns = rng.standard_normal((2, 6, 6, 1)).astype(np.float32)
+    frame = rng.standard_normal((40, 40, 1)).astype(np.float32)
+    with fc.ConvStream.create(
+        (40, 40, 1), kerns, algorithm="tiled", mode="full", depth=1
+    ) as stream:
+        got = np.array(stream.submit(frame).result())
+    assert got.shape == (2, 45, 45)
+    for i in range(2):
+        assert rel_err(got[i], fft_conv_full_f64(frame, kerns[i])) < 1e-5
+
+
+def test_stream_depth_bound(rng):
+    """Never more than `depth` unresolved futures; over-submitting resolves
+    the OLDEST first (the pool's round-robin stream reuse)."""
+    kerns = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+    stream = fc.ConvStream.create((16, 16, 1), kerns, depth=2)
+    futs = []
+    for _ in range(5):
+        futs.append(stream.submit(np.zeros((16, 16, 1), np.float32)))
+        assert stream.inflight <= 2
+    # 5 submitted at depth 2: the first three were force-resolved in order
+    assert [f.done() for f in futs] == [True, True, True, False, False]
+    stream.flush()
+    assert stream.inflight == 0
+    assert all(f.done() for f in futs)
+
+
+def test_stream_map_order_and_flush(rng):
+    kerns = rng.standard_normal((1, 3, 3, 1)).astype(np.float32)
+    frames = [np.full((12, 12, 1), i, np.float32) for i in range(1, 5)]
+    with fc.ConvStream.create((12, 12, 1), kerns, depth=3) as stream:
+        maps = stream.map(frames)
+        assert stream.inflight == 0
+    ksum = float(kerns.sum())
+    for i, m in enumerate(maps, start=1):
+        # interior of the conv map of a constant frame is ksum * i
+        assert abs(float(np.array(m)[0, 4, 4]) - ksum * i) < 1e-4 * abs(ksum * i) + 1e-5
+
+
+def test_stream_update_kernels(rng):
+    """Model-update path: new bank spectra, same compiled plan; also accepts
+    a precomputed (re, im) spectra pair."""
+    k1 = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+    k2 = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+    frame = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    stream = fc.ConvStream.create((16, 16, 1), k1, depth=1)
+    out1 = np.array(stream.submit(frame).result())
+    stream.update_kernels(k2)
+    out2 = np.array(stream.submit(frame).result())
+    want2 = np.array(stream.plan.execute(frame, k2))
+    np.testing.assert_allclose(out2, want2, atol=1e-6)
+    assert not np.allclose(out1, out2)
+    # spectra-pair form
+    stream.update_kernels(stream.plan.kernel_fft(k1))
+    out1b = np.array(stream.submit(frame).result())
+    np.testing.assert_allclose(out1b, out1, atol=1e-6)
+
+
+def test_stream_validation(rng):
+    kerns = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+    with pytest.raises(ValueError):
+        fc.ConvStream.create((16, 16, 1), kerns, depth=0)
+    stream = fc.ConvStream.create((16, 16, 1), kerns, depth=1)
+    with pytest.raises(ValueError):
+        stream.submit(np.zeros((8, 16, 1), np.float32))
+    with pytest.raises(ValueError):
+        stream.update_kernels(np.zeros((2, 5, 5, 1), np.float32))
+
+
+def test_stream_result_idempotent(rng):
+    kerns = rng.standard_normal((1, 3, 3, 1)).astype(np.float32)
+    stream = fc.ConvStream.create((12, 12, 1), kerns, depth=1)
+    fut = stream.submit(np.ones((12, 12, 1), np.float32))
+    a = np.array(fut.result())
+    b = np.array(fut.result())
+    np.testing.assert_array_equal(a, b)
+    assert fut.done()
