@@ -279,7 +279,18 @@ def _conv_from_spectra(
         p_re, p_im = spectral_mac_auto_planes(
             d_re, d_im, k_re, k_im, use_pallas=use_pallas
         )
+    p_re, p_im = _products_like(d_re, p_re, p_im)
     return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+
+
+def _products_like(d_re, p_re, p_im):
+    """bf16 serving tier: when the spectra are stored bf16 the product
+    spectra store bf16 too (the MAC accumulated f32; the convert fuses into
+    its epilogue) — the product round trip and the inverse dots halve their
+    bytes. f32 spectra keep f32 products."""
+    if d_re.dtype == jnp.bfloat16:
+        return p_re.astype(jnp.bfloat16), p_im.astype(jnp.bfloat16)
+    return p_re, p_im
 
 
 def _flat_mac_then_reshape(d_re, d_im, k_re, k_im, fft_h, fft_w):
@@ -343,6 +354,7 @@ def _conv_from_spectra_chunked(
             p_re, p_im = spectral_mac_auto_planes(
                 d_re, d_im, kc_re, kc_im, use_pallas=use_pallas
             )
+        p_re, p_im = _products_like(d_re, p_re, p_im)
         return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
 
     out = jax.lax.map(one_chunk, starts)  # (num_chunks, B, C, fft_h, fft_w)
@@ -410,6 +422,16 @@ def _drain_device_queue(arr) -> None:
     _np.asarray(jax.jit(lambda a: jnp.ravel(a)[:1])(arr))
 
 
+def _resolve_store_dtype(store_dtype: str):
+    """'float32' | 'bfloat16' → jnp dtype for stored spectra (the bf16
+    serving tier — see fft_data's docstring)."""
+    validate(
+        store_dtype in ("float32", "bfloat16"),
+        "store_dtype must be 'float32' or 'bfloat16'",
+    )
+    return jnp.float32 if store_dtype == "float32" else jnp.bfloat16
+
+
 def _resolve_policy(policy):
     return get_config().policy if policy is None else FftSizePolicy(policy)
 
@@ -465,6 +487,7 @@ def fft_data(
     policy: FftSizePolicy | str | None = None,
     device=None,
     padding: str = "zero",
+    store_dtype: str = "float32",
 ) -> SpectralData:
     """Precompute the reusable data spectrum — ≈ ``cudaFFTData(data, Kh, Kw)``
     (src/cudaFFTData.cu:18-150).
@@ -480,9 +503,17 @@ def fft_data(
     the (max_kernel − 1) pad band (padDataClampToBorder,
     src/convolutionFFTkernel.cu:46-76) — boundary-friendly filtering where
     edge outputs see replicated pixels instead of an implicit black border.
+
+    ``store_dtype='bfloat16'`` stores the spectra bf16 — the serving tier
+    for BASELINE configs[4]'s "bf16 inputs, fp32 spectral accumulation":
+    downstream MAC/inverse dots consume the bf16 operands single-pass with
+    f32 accumulation (half the HBM traffic, full-rate MXU; rel err ~1e-3
+    vs the fp32 tier's ≤1e-5 — tests/test_bf16_tier.py pins it). Pair with
+    ``fft_kernels(..., store_dtype='bfloat16')``.
     """
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
     validate(padding in ("zero", "clamp"), "padding must be 'zero' or 'clamp'")
+    store_t = _resolve_store_dtype(store_dtype)
     policy = _resolve_policy(policy)
     if device is not None:
         # ≈ the reference's optional 0-based GPU id argument
@@ -496,6 +527,7 @@ def fft_data(
         (max_kernel_h - 1, max_kernel_w - 1) if padding == "clamp" else (0, 0)
     )
     re, im = _fft_data_worker(data_cf, fft_h, fft_w, *clamp)
+    re, im = re.astype(store_t), im.astype(store_t)
     if not batched:
         re, im = re[0], im[0]
     return SpectralData(
@@ -515,6 +547,7 @@ def fft_data_tiled(
     trim_kernel_h: int | None = None,
     trim_kernel_w: int | None = None,
     same_offset: str = "scipy",
+    store_dtype: str = "float32",
 ) -> TiledSpectralData:
     """Precompute overlap-save BLOCK spectra of the data (ops/tiled.py).
 
@@ -528,8 +561,13 @@ def fft_data_tiled(
     max): the engine then writes the windowed maps directly — no trim copy
     (a measured ~14 ms / 1.7 GB of HBM traffic on the 2048²×100 headline).
     'full'-window requests against such spectra still work whenever the
-    requested rows/cols lie inside the baked window; wider requests raise."""
+    requested rows/cols lie inside the baked window; wider requests raise.
+
+    ``store_dtype='bfloat16'``: the bf16 serving tier (see ``fft_data``) —
+    block spectra stored bf16, all downstream dots single-pass bf16 with
+    f32 accumulation."""
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
+    store_t = _resolve_store_dtype(store_dtype)
     validate(
         trim_mode in ("full", "same", "valid"),
         "trim_mode must be 'full', 'same', or 'valid'",
@@ -588,6 +626,7 @@ def fft_data_tiled(
         data_cf, block_h, block_w, max_kernel_h, max_kernel_w,
         origin_h, origin_w, win_h, win_w,
     )
+    re, im = re.astype(store_t), im.astype(store_t)
     if not batched:
         re, im = re[0], im[0]
     return TiledSpectralData(
@@ -608,6 +647,7 @@ def fft_kernels(
     device=None,
     kernel_layout: str = "corner",
     storage: str = "auto",
+    store_dtype: str = "float32",
 ) -> SpectralKernels:
     """Precompute a kernel bank's spectra at a fixed FFT size.
 
@@ -630,7 +670,13 @@ def fft_kernels(
     origin (padKernel, src/convolutionFFTkernel.cu:13-40) so conv maps come
     out un-shifted — mode='same' then needs no trim offset. Centered banks
     support mode 'fftmap'/'same' on the direct engine only, and require
-    pre-flipped kernels for correlation (correlation=True is rejected)."""
+    pre-flipped kernels for correlation (correlation=True is rejected).
+
+    ``store_dtype='bfloat16'``: the bf16 serving tier (see ``fft_data``) —
+    bank spectra stored bf16 (HALF the resident footprint: ~2× more kernels
+    fit), MAC dots single-pass bf16 with f32 accumulation. Pair with
+    bf16-stored data spectra."""
+    store_t = _resolve_store_dtype(store_dtype)
     validate(
         kernel_layout in ("corner", "centered"),
         "kernel_layout must be 'corner' or 'centered'",
@@ -694,17 +740,19 @@ def fft_kernels(
             kstack, fft_h, fft_w, khs, kws
         )
         return SpectralKernels(
-            re=re, im=im, fft_h=fft_h, fft_w=fft_w,
+            re=re.astype(store_t), im=im.astype(store_t),
+            fft_h=fft_h, fft_w=fft_w,
             kernel_hs=khs, kernel_ws=kws, centered=True,
         )
     # RESIDENT footprint is the (8,128)-tile-PADDED HBM layout, not the
     # nominal element count — a (540, 271) plane occupies (544, 384),
     # 1.43× nominal (measured OOMs with the nominal model). Flat storage
     # packs to ~nominal.
+    store_bytes = 2 * jnp.dtype(store_t).itemsize  # re + im, per pixel
     if flat:
-        spectra_bytes = n * f * (-(-(fft_h * wc) // 128) * 128) * 8
+        spectra_bytes = n * f * (-(-(fft_h * wc) // 128) * 128) * store_bytes
     else:
-        spectra_bytes = n * f * h_pad * wc_pad * 8  # re + im planes, padded
+        spectra_bytes = n * f * h_pad * wc_pad * store_bytes  # padded planes
     total = _device_memory_budget()
     if spectra_bytes > total // 4 and n > 1:
         # Chunk the forward transform so its temporaries stay bounded (big
@@ -717,15 +765,16 @@ def fft_kernels(
         # floor — when residents leave less than total//8 free, a floored
         # chunk would oversubscribe HBM (step>=1 below is the only minimum).
         avail = total - spectra_bytes - 2 * kstack.size * 4
-        per_kernel = 8 * f * h_pad * wc_pad
+        per_kernel = 8 * f * h_pad * wc_pad  # transform temporaries are f32
         step = int(max(1, min(n, avail // (4 * per_kernel))))
         acc_shape = (n, f, fft_h * wc) if flat else (n, f, fft_h, wc)
-        re = jnp.zeros(acc_shape, jnp.float32)
-        im = jnp.zeros(acc_shape, jnp.float32)
+        re = jnp.zeros(acc_shape, store_t)
+        im = jnp.zeros(acc_shape, store_t)
         for s in range(0, n, step):
             c_re, c_im = _fft_kernels_worker(
                 kstack[s : s + min(step, n - s)], fft_h, fft_w, correlation
             )
+            c_re, c_im = c_re.astype(store_t), c_im.astype(store_t)
             if flat:
                 c_re = _flatten_bank_chunk(c_re)
                 c_im = _flatten_bank_chunk(c_im)
@@ -737,6 +786,7 @@ def fft_kernels(
             _drain_device_queue(re)
     else:
         re, im = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
+        re, im = re.astype(store_t), im.astype(store_t)
         if flat:
             re = _flatten_bank_chunk(re)
             im = _flatten_bank_chunk(im)
@@ -882,6 +932,12 @@ def conv_spectral(
         )
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
+        validate(
+            sk.re.dtype == spectral.re.dtype,
+            f"spectra store-dtype mismatch: kernels {sk.re.dtype}, data "
+            f"{spectral.re.dtype} — precompute both sides with the same "
+            "store_dtype ('bfloat16' tier pairs with a bf16 bank)",
+        )
     else:
         # Giant banks: when the bank's RESIDENT spectra would take over
         # half the device budget in their (8,128)-tile-padded HBM layout,
@@ -919,6 +975,10 @@ def conv_spectral(
         sk = fft_kernels(
             kernels, spectral=spectral, correlation=correlation,
             kernel_layout=kernel_layout,
+            store_dtype=(
+                "bfloat16"
+                if spectral.re.dtype == jnp.bfloat16 else "float32"
+            ),
         )
     if mode != "fftmap":
         # Linear-conv windows are only valid when the FFT dims cover
@@ -1076,8 +1136,20 @@ def _conv_spectral_tiled(
         )
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
+        validate(
+            sk.re.dtype == spectral.re.dtype,
+            f"spectra store-dtype mismatch: kernels {sk.re.dtype}, data "
+            f"{spectral.re.dtype} — precompute both sides with the same "
+            "store_dtype ('bfloat16' tier pairs with a bf16 bank)",
+        )
     else:
-        sk = fft_kernels(kernels, spectral=spectral, correlation=correlation)
+        sk = fft_kernels(
+            kernels, spectral=spectral, correlation=correlation,
+            store_dtype=(
+                "bfloat16"
+                if spectral.re.dtype == jnp.bfloat16 else "float32"
+            ),
+        )
     validate(
         max(sk.kernel_hs) <= spectral.max_kh
         and max(sk.kernel_ws) <= spectral.max_kw,

@@ -142,6 +142,9 @@ def irfft2_norm_planes(
         return irfft2_mm_planes(
             sr, si, fft_h, fft_w, precision=_matmul_precision()
         )
+    # XLA FFT path needs complex64 — upcast bf16-tier product planes.
+    sr = sr.astype(jnp.float32)
+    si = si.astype(jnp.float32)
     return jnp.fft.irfft2(jax.lax.complex(sr, si), s=(fft_h, fft_w))
 
 

@@ -199,17 +199,29 @@ def irfft2_mm_planes(
     the inverse matrices are row-sliced, so flops and output bytes shrink
     proportionally. An FFT cannot do partial outputs; the overlap-save
     engine uses this to synthesize just each block's valid region."""
+    # bf16 serving tier: bf16 spectra → bf16 dot operands (native
+    # single-pass MXU) with f32 ACCUMULATION (preferred_element_type in
+    # _mm/_mml) — "bf16 inputs, fp32 spectral accumulation"
+    # (BASELINE configs[4]). The synthesis matrices round to bf16 too;
+    # measured tier accuracy is pinned by tests/test_bf16_tier.py.
+    bf16 = sr.dtype == jnp.bfloat16
+    if bf16 and (_ct_dispatch(fft_h) or _ct_dispatch(fft_w)) and window is None:
+        sr, si = sr.astype(jnp.float32), si.astype(jnp.float32)
+        bf16 = False
     if window is None and (_ct_dispatch(fft_h) or _ct_dispatch(fft_w)):
         return irfft2_ct_planes(sr, si, fft_h, fft_w, precision=precision)
     r0, nr, c0, nc = (
         window if window is not None else (0, fft_h, 0, fft_w)
     )
+    mat_t = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        precision = jax.lax.Precision.DEFAULT
     gr, gi = _inv_full_mats(fft_h)
-    gr = jnp.asarray(gr[r0 : r0 + nr])  # (nr, fft_h)
-    gi = jnp.asarray(gi[r0 : r0 + nr])
+    gr = jnp.asarray(gr[r0 : r0 + nr], mat_t)  # (nr, fft_h)
+    gi = jnp.asarray(gi[r0 : r0 + nr], mat_t)
     mr, mi = _inv_packed_mats(fft_w)
-    mr = jnp.asarray(mr[:, c0 : c0 + nc])  # (Wc, nc)
-    mi = jnp.asarray(mi[:, c0 : c0 + nc])
+    mr = jnp.asarray(mr[:, c0 : c0 + nc], mat_t)  # (Wc, nc)
+    mi = jnp.asarray(mi[:, c0 : c0 + nc], mat_t)
     # H axis inverse (complex): (gr + i gi) @ (sr + i si); Karatsuba when
     # the extra temporary is cheap, 4-mult when it would push peak HBM.
     out_elems = int(np.prod(sr.shape[:-2])) * nr * sr.shape[-1]
@@ -222,6 +234,9 @@ def irfft2_mm_planes(
     else:
         xr = _mml(gr, sr, precision) - _mml(gi, si, precision)
         xi = _mml(gr, si, precision) + _mml(gi, sr, precision)
+    if bf16:
+        # keep the W-stage dot single-pass too; the H-stage accumulated f32
+        xr, xi = xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)
     # W axis inverse (real output): Re part only
     return _mm(xr, mr, precision) + _mm(xi, mi, precision)
 

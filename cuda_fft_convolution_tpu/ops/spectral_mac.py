@@ -79,9 +79,24 @@ def spectral_mac_planes(
 
     HIGHEST precision: if XLA lowers the F-contraction through a dot, the
     default TPU precision would run bf16 passes — the spectral accumulation
-    must stay full fp32 (BASELINE.json: ≤1e-5 rel err)."""
+    must stay full fp32 (BASELINE.json: ≤1e-5 rel err).
+
+    bf16 serving tier: when the spectra are STORED bf16 (fft_data /
+    fft_kernels ``store_dtype='bfloat16'`` — BASELINE configs[4]'s "bf16
+    inputs"), the contractions run single-pass on the native bf16 operands
+    with f32 ACCUMULATION (``preferred_element_type``) and the outputs stay
+    f32 — half the input HBM traffic, full-rate MXU."""
+    bf16 = dr.dtype == jnp.bfloat16 or kr.dtype == jnp.bfloat16
+    if bf16:
+        dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
+        kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)
+        precision = jax.lax.Precision.DEFAULT
+
     def e(a, b):
-        return jnp.einsum("bfhw,nfhw->bnhw", a, b, precision=precision)
+        return jnp.einsum(
+            "bfhw,nfhw->bnhw", a, b, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
 
     if _MAC_KARATSUBA:
         t1 = e(dr, kr)
@@ -102,10 +117,19 @@ def spectral_mac_flat_planes(
     F-reduction are elementwise over spectral pixels, so the packing is
     free here, while the resident bank reads at nominal bytes instead of
     the (8, 128)-tile-padded planar layout (1.43× for 540×271 planes).
-    Same 4-contraction default / Karatsuba knob as
+    Same 4-contraction default / Karatsuba knob and bf16 serving tier as
     ``spectral_mac_planes``."""
+    bf16 = dr.dtype == jnp.bfloat16 or kr.dtype == jnp.bfloat16
+    if bf16:
+        dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
+        kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)
+        precision = jax.lax.Precision.DEFAULT
+
     def e(a, b):
-        return jnp.einsum("bfs,nfs->bns", a, b, precision=precision)
+        return jnp.einsum(
+            "bfs,nfs->bns", a, b, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
 
     if _MAC_KARATSUBA:
         t1 = e(dr, kr)
@@ -263,6 +287,9 @@ def spectral_mac_auto_planes(
     differentiable via a custom VJP (backward = the einsum contractions)."""
     if use_pallas is None:
         use_pallas = False
+    if dr.dtype == jnp.bfloat16 or kr.dtype == jnp.bfloat16:
+        use_pallas = False  # the Pallas MAC is fp32-only; the bf16 serving
+        # tier runs the einsum (native single-pass dots, f32 accumulation)
     if not use_pallas:
         return spectral_mac_planes(dr, di, kr, ki)
     return _mac_pallas_ad(dr, di, kr, ki)

@@ -244,6 +244,7 @@ def conv_blocks(
 
         fused = (
             jax.default_backend() == "tpu"
+            and d_re.dtype == jnp.float32  # bf16 tier runs unfused
             and _use_matmul_fft(block_h, block_w)
             and vh % 8 == 0
             and vw % 128 == 0
@@ -279,6 +280,12 @@ def conv_blocks(
     p_re, p_im = spectral_mac_auto_planes(
         dflat_re, dflat_im, k_re, k_im, use_pallas=use_pallas
     )
+    if d_re.dtype == jnp.bfloat16:
+        # bf16 serving tier: the product SPECTRA store bf16 too (the MAC
+        # accumulated f32; XLA fuses the convert into its epilogue) — the
+        # product round trip and the inverse-DFT dots halve their bytes,
+        # and the inverse accumulates f32 (ops/dft.py bf16 handling).
+        p_re, p_im = p_re.astype(jnp.bfloat16), p_im.astype(jnp.bfloat16)
     if _use_matmul_fft(block_h, block_w):
         # MXU-DFT inverse synthesizes ONLY each block's valid (non-wrapped)
         # window — flops and intermediate bytes shrink by the overlap

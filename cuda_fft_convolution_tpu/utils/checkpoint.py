@@ -43,9 +43,12 @@ def save_spectral(path: str, obj) -> None:
         for f in dataclasses.fields(obj)
         if f.name not in ("re", "im")
     }
+    # bf16-tier spectra persist as f32 planes (npz has no bfloat16) with the
+    # store dtype recorded, so a load restores the tier exactly.
     np.savez(
         path,
         kind=kind,
+        store_dtype=str(obj.re.dtype),
         fft_re=np.asarray(obj.re, np.float32),
         fft_im=np.asarray(obj.im, np.float32),
         **{
@@ -65,12 +68,17 @@ def load_spectral(path: str):
         kind = str(z["kind"])
         validate(kind in _KINDS, f"unknown spectral kind {kind!r}")
         cls = _KINDS[kind]
+        store_t = (
+            jnp.bfloat16
+            if "store_dtype" in z and str(z["store_dtype"]) == "bfloat16"
+            else jnp.float32
+        )
         kwargs = {
-            "re": jnp.asarray(z["fft_re"], jnp.float32),
-            "im": jnp.asarray(z["fft_im"], jnp.float32),
+            "re": jnp.asarray(z["fft_re"], store_t),
+            "im": jnp.asarray(z["fft_im"], store_t),
         }
         for f in dataclasses.fields(cls):
-            if f.name in ("re", "im"):
+            if f.name in ("re", "im", "store_dtype"):
                 continue
             if f.name not in z:
                 # field added after this file was saved → dataclass default

@@ -1,0 +1,125 @@
+"""bf16 serving tier: spectra stored bfloat16, fp32 spectral accumulation.
+
+BASELINE configs[4] ("bf16 inputs, fp32 spectral accumulation") is the
+reference workload this tier serves: DPM/HOG banks where the resident
+spectra dominate HBM and every MAC is traffic-bound.  Storing the spectra
+bf16 halves the resident footprint and the MAC read bytes; every
+contraction still ACCUMULATES f32 (``preferred_element_type`` on the
+einsums, f32 accumulators in the matmul-DFT inverse).  The tier's accuracy
+is ~bf16 mantissa (~4e-3 rel), far from the fp32 tier's ≤1e-5 — these
+tests pin it at 2e-2 against the float64 oracles.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.utils.errors import InvalidInputError
+from tests.oracles import fft_map_f64, rel_err
+
+BF16_TOL = 2e-2
+
+
+def _mk(rng, shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+def test_direct_engine_bf16_tier_accuracy(rng):
+    """fft_data/fft_kernels store_dtype='bfloat16' → conv_spectral fftmap
+    stays within bf16 mantissa of the f64 oracle (both engines)."""
+    data = _mk(rng, (48, 40, 3))
+    kerns = [_mk(rng, (7, 9, 3)) for _ in range(4)]
+    for engine in (True, False):  # matmul-DFT / XLA-FFT inverse
+        try:
+            fc.set_config(use_matmul_fft=engine)
+            sd = fc.fft_data(data, 7, 9, store_dtype="bfloat16")
+            assert sd.re.dtype == jnp.bfloat16
+            sk = fc.fft_kernels(kerns, spectral=sd, store_dtype="bfloat16")
+            assert sk.re.dtype == jnp.bfloat16
+            out = np.array(fc.conv_spectral(sd, sk).astype(jnp.float32))
+            fh, fw = sd.fft_h, sd.fft_w
+            for i, k in enumerate(kerns):
+                assert rel_err(out[i], fft_map_f64(data, k, fh, fw)) < BF16_TOL
+        finally:
+            fc.set_config(use_matmul_fft=None)
+
+
+def test_tiled_engine_bf16_tier_accuracy(rng):
+    """fft_data_tiled store_dtype='bfloat16' → 'same' maps within tier
+    tolerance (block spectra + per-block MAC + windowed inverse all bf16
+    operands, f32 accumulation)."""
+    data = _mk(rng, (96, 80, 2))
+    kerns = [_mk(rng, (5, 5, 2)) for _ in range(3)]
+    sd = fc.fft_data_tiled(data, 5, 5, trim_mode="same",
+                           store_dtype="bfloat16")
+    assert sd.re.dtype == jnp.bfloat16
+    out = np.array(fc.conv_spectral(sd, kerns, mode="same")
+                   .astype(jnp.float32))
+    # fp32-tier result stands in for the oracle (itself ≤1e-5 vs f64)
+    want = np.array(fc.fft_conv(data, 5, 5, kerns, mode="same"))
+    assert out.shape == want.shape
+    for i in range(len(kerns)):
+        assert rel_err(out[i], want[i]) < BF16_TOL
+
+
+def test_raw_kernels_inherit_tier(rng):
+    """conv_spectral(bf16 data spectra, raw kernels) transforms the bank
+    at the matching store dtype — no mismatch error, tier accuracy."""
+    data = _mk(rng, (32, 32, 2))
+    kerns = [_mk(rng, (5, 5, 2)) for _ in range(2)]
+    sd = fc.fft_data(data, 5, 5, store_dtype="bfloat16")
+    out = np.array(fc.conv_spectral(sd, kerns).astype(jnp.float32))
+    for i, k in enumerate(kerns):
+        assert rel_err(
+            out[i], fft_map_f64(data, k, sd.fft_h, sd.fft_w)
+        ) < BF16_TOL
+
+
+def test_store_dtype_mismatch_rejected(rng):
+    """Pairing f32 data spectra with a bf16 bank (or vice versa) is a
+    validation error, not silent upcasting."""
+    data = _mk(rng, (32, 32, 2))
+    kerns = [_mk(rng, (5, 5, 2)) for _ in range(2)]
+    sd32 = fc.fft_data(data, 5, 5)
+    sk16 = fc.fft_kernels(kerns, spectral=sd32, store_dtype="bfloat16")
+    with pytest.raises(InvalidInputError, match="store-dtype mismatch"):
+        fc.conv_spectral(sd32, sk16)
+    with pytest.raises(InvalidInputError, match="store_dtype"):
+        fc.fft_data(data, 5, 5, store_dtype="float16")
+
+
+def test_flat_bank_bf16(rng):
+    """storage='flat' composes with the tier (lane-packed bf16 bank,
+    flat MAC with f32 accumulation)."""
+    data = _mk(rng, (40, 36, 2))
+    kerns = [_mk(rng, (6, 6, 2)) for _ in range(3)]
+    sd = fc.fft_data(data, 6, 6, store_dtype="bfloat16")
+    sk = fc.fft_kernels(kerns, spectral=sd, storage="flat",
+                        store_dtype="bfloat16")
+    assert sk.re.dtype == jnp.bfloat16 and sk.re.ndim == 3
+    out = np.array(fc.conv_spectral(sd, sk).astype(jnp.float32))
+    for i, k in enumerate(kerns):
+        assert rel_err(
+            out[i], fft_map_f64(data, k, sd.fft_h, sd.fft_w)
+        ) < BF16_TOL
+
+
+def test_checkpoint_roundtrip_preserves_tier(rng, tmp_path):
+    """save/load round-trips bf16 spectra (persisted as f32 planes — npz
+    has no bfloat16 — with the store dtype recorded)."""
+    data = _mk(rng, (32, 24, 2))
+    sd = fc.fft_data(data, 5, 5, store_dtype="bfloat16")
+    p = str(tmp_path / "sd_bf16.npz")
+    fc.save_spectral(p, sd)
+    sd2 = fc.load_spectral(p)
+    assert sd2.re.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(sd.re, np.float32), np.asarray(sd2.re, np.float32)
+    )
+    # and the loaded spectra still convolve
+    kerns = [_mk(rng, (5, 5, 2))]
+    out = np.array(fc.conv_spectral(sd2, kerns).astype(jnp.float32))
+    assert rel_err(
+        out[0], fft_map_f64(data, kerns[0], sd.fft_h, sd.fft_w)
+    ) < BF16_TOL
