@@ -222,7 +222,12 @@ def main() -> None:
         v_pipe = gpix_filters / _time_fn(conv_p, sd, sk, iters=3)
         del sd, sk
 
-        # bf16 inputs, fp32 spectral accumulation (BASELINE configs[4] dtype)
+        # bf16 inputs, fp32 spectral accumulation (BASELINE configs[4]
+        # dtype). fp32 INTERNALS: at F=1 the headline is transform-bound
+        # and the bf16 serving tier forces the unfused tiled path (the
+        # fused kernel is fp32-gated) — measured 70.2 vs 44.3 ms
+        # (perf/diag_bf16d.py), so the tier stays for the traffic-bound
+        # F=31 configs below.
         v_bf16 = gpix_filters / _time_fn(
             one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16),
             iters=3,
@@ -269,18 +274,28 @@ def main() -> None:
 
         gc.collect()
         np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
-        # NKD=288: resident spectra store FLAT (lane-packed, fft_kernels
-        # storage='auto') — (540, 271) planes would tile-pad to (544, 384),
-        # 1.43× nominal, capping round 2 at 224 kernels (11.6 GB); flat
-        # packing reads/holds ~nominal bytes (288 kernels ≈ 10.5 GB on the
-        # 15 GiB ceiling) and the traffic-bound MAC reads 1.43× less.
-        NKD = 288
-        sdf = fc.fft_data(feats.astype(jnp.float32), KD, KD)
-        skf = fc.fft_kernels(dpm_bank[:NKD], spectral=sdf)
+        # NKD=576, bf16 serving tier: resident spectra store FLAT
+        # (lane-packed, fft_kernels storage='auto') AND bfloat16 — flat
+        # packing kills the 1.43× (8,128)-tile padding of (540, 271)
+        # planes (capped round 2 at 224 f32 kernels), and the bf16 tier
+        # halves the remaining bytes: 576 kernels resident in the HBM
+        # that held 288 f32 ones (~10.5 GB), with the traffic-bound MAC
+        # reading half the bytes per kernel (the config's declared "bf16
+        # inputs, fp32 spectral accumulation"). The planner chunks the
+        # call (store_bytes-aware) and the chunked MAC runs the upcast
+        # lowering — measured 82.9 ms/call, 72.4 streamed
+        # (perf/diag_bf16d.py) vs round 2's f32 0.867 GPix·F/s.
+        NKD = 576
+        sdf = fc.fft_data(
+            feats.astype(jnp.float32), KD, KD, store_dtype="bfloat16"
+        )
+        skf = fc.fft_kernels(
+            dpm_bank[:NKD], spectral=sdf, store_dtype="bfloat16"
+        )
         # true queue drain (block_until_ready returns early on axon): the
         # conv must not enqueue on top of still-executing bank transforms
         np.asarray(_probed(lambda a: a[0, 0, :16])(skf.re)[0])
-        bank_gb = 2 * skf.re.size * 4 / 1e9
+        bank_gb = 2 * skf.re.size * skf.re.dtype.itemsize / 1e9
         conv_gd = _probed(lambda s, k: fc.conv_spectral(s, k, mode="fftmap"))
         t_gd = _time_fn(conv_gd, sdf, skf, iters=2)
         v_dpm_direct = feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gd
@@ -302,8 +317,15 @@ def main() -> None:
         # drain the giant-bank config's queued frees first
         gc.collect()
         np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
-        sdd = fc.fft_data_tiled(feats, KD, KD, trim_mode="same")
-        skd = fc.fft_kernels(dpm_bank, spectral=sdd)
+        # bf16 serving tier (the config's declared dtype): block spectra
+        # and bank stored bf16, f32 accumulation — measured 82.2 → 69.3 ms
+        # vs the fp32 tier on this config (perf/diag_bf16.py)
+        sdd = fc.fft_data_tiled(
+            feats, KD, KD, trim_mode="same", store_dtype="bfloat16"
+        )
+        skd = fc.fft_kernels(
+            dpm_bank, spectral=sdd, store_dtype="bfloat16"
+        )
         jax.block_until_ready((sdd.re, skd.re))
         conv_dpm = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
         t_dpm = _time_fn(conv_dpm, sdd, skd, iters=3)

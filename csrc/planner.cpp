@@ -90,18 +90,20 @@ void ffc_compute_fft_size(int64_t data_h, int64_t data_w, int64_t max_kh,
 // budget — the decision src/cudaConvFFTDataStreams.cu bakes in as
 // "2 streams x 1 kernel each".
 //
-// Inputs: bank size n, feature dim f, fft dims, batch b, HBM budget bytes.
+// Inputs: bank size n, feature dim f, fft dims, batch b, HBM budget bytes,
+// spectra store width in bytes (4 = f32 tier, 2 = the bf16 serving tier —
+// data/bank/product spectra all halve; output maps stay f32).
 // Outputs: chunk size (>=1) and estimated peak working-set bytes.
 void ffc_plan_bank(int64_t n, int64_t f, int64_t fft_h, int64_t fft_w,
-                   int64_t b, int64_t hbm_budget_bytes, int64_t* out_chunk,
-                   int64_t* out_peak_bytes) {
+                   int64_t b, int64_t hbm_budget_bytes, int64_t store_bytes,
+                   int64_t* out_chunk, int64_t* out_peak_bytes) {
   const int64_t wc = fft_w / 2 + 1;
   // PADDED bytes: TPU HBM stores f32 arrays in (8, 128) tiles, so the
   // trailing (h, wc) dims round up — a (540, 271) spectrum plane occupies
   // (544, 384), 1.43x its nominal bytes (measured: the nominal model
   // OOM'd a 9.3 GB-nominal / 13.3 GB-padded bank at every chunk size).
   const int64_t h_pad = ffc_align_up(fft_h, 8);
-  const int64_t spec = h_pad * ffc_align_up(wc, 128) * 8;
+  const int64_t spec = h_pad * ffc_align_up(wc, 128) * 2 * store_bytes;
   const int64_t map = h_pad * ffc_align_up(fft_w, 128) * 4;
   // Fixed: data spectra (b*f planes), input data, the RESIDENT bank spectra
   // (n*f planes), and the full output maps (b*n) — all live for the whole
@@ -142,6 +144,6 @@ void ffc_plan_bank(int64_t n, int64_t f, int64_t fft_h, int64_t fft_w,
 }
 
 // ABI version for the ctypes loader's compatibility check.
-int32_t ffc_abi_version() { return 1; }
+int32_t ffc_abi_version() { return 2; }
 
 }  // extern "C"

@@ -293,7 +293,8 @@ def _products_like(d_re, p_re, p_im):
     return p_re, p_im
 
 
-def _flat_mac_then_reshape(d_re, d_im, k_re, k_im, fft_h, fft_w):
+def _flat_mac_then_reshape(d_re, d_im, k_re, k_im, fft_h, fft_w,
+                           bf16_upcast=None):
     """MAC against a FLAT bank (lane-packed spectra): flatten the data
     planes, run the flat einsum, reshape the product back to planar for
     the inverse transform (one relayout of the much-smaller product)."""
@@ -305,7 +306,9 @@ def _flat_mac_then_reshape(d_re, d_im, k_re, k_im, fft_h, fft_w):
     wc = fft_w // 2 + 1
     dfl_re = d_re.reshape(b, f, fft_h * wc)
     dfl_im = d_im.reshape(b, f, fft_h * wc)
-    p_re, p_im = spectral_mac_flat_planes(dfl_re, dfl_im, k_re, k_im)
+    p_re, p_im = spectral_mac_flat_planes(
+        dfl_re, dfl_im, k_re, k_im, bf16_upcast=bf16_upcast
+    )
     n = k_re.shape[0]
     return (
         p_re.reshape(b, n, fft_h, wc),
@@ -346,13 +349,19 @@ def _conv_from_spectra_chunked(
     def one_chunk(start):
         kc_re = jax.lax.dynamic_slice_in_dim(k_re, start, chunk_size, axis=0)
         kc_im = jax.lax.dynamic_slice_in_dim(k_im, start, chunk_size, axis=0)
+        # bf16_upcast=True: inside a chunked lax.map, native bf16 dots make
+        # XLA hoist a whole-bank operand relayout out of the loop (2 full
+        # bank copies — measured compile OOM at N=576); the f32-dot
+        # lowering with converts fused into the reads has no layout
+        # constraint and measured identical chunked throughput.
         if flat:
             p_re, p_im = _flat_mac_then_reshape(
-                d_re, d_im, kc_re, kc_im, fft_h, fft_w
+                d_re, d_im, kc_re, kc_im, fft_h, fft_w, bf16_upcast=True
             )
         else:
             p_re, p_im = spectral_mac_auto_planes(
-                d_re, d_im, kc_re, kc_im, use_pallas=use_pallas
+                d_re, d_im, kc_re, kc_im, use_pallas=use_pallas,
+                bf16_upcast=True,
             )
         p_re, p_im = _products_like(d_re, p_re, p_im)
         return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
@@ -1008,24 +1017,28 @@ def conv_spectral(
     from cuda_fft_convolution_tpu.runtime.planner import plan_bank
 
     budget = _device_memory_budget()
+    store_bytes = int(sk.re.dtype.itemsize)
     if sk.flat:
         # The planner models resident bank spectra in the (8,128)-padded
         # planar layout; a flat bank occupies ~nominal bytes. Credit the
         # difference back so a flat bank isn't starved into tiny chunks by
-        # phantom padding (the planner ABI stays layout-agnostic).
+        # phantom padding (the planner ABI stays layout-agnostic; the
+        # store WIDTH is the planner's own store_bytes input).
         wc = spectral.fft_w // 2 + 1
         padded = (
             sk.num_kernels * spectral.feature_dim
-            * (-(-spectral.fft_h // 8) * 8) * (-(-wc // 128) * 128) * 8
+            * (-(-spectral.fft_h // 8) * 8) * (-(-wc // 128) * 128)
+            * 2 * store_bytes
         )
         flat_bytes = (
             sk.num_kernels * spectral.feature_dim
-            * (-(-(spectral.fft_h * wc) // 128) * 128) * 8
+            * (-(-(spectral.fft_h * wc) // 128) * 128) * 2 * store_bytes
         )
         budget += max(padded - flat_bytes, 0)
     plan = plan_bank(
         sk.num_kernels, spectral.feature_dim, spectral.fft_h, spectral.fft_w,
         batch=spectral.batch_size, hbm_budget_bytes=budget,
+        store_bytes=store_bytes,
     )
     try:
         if plan.chunk_size < sk.num_kernels:
@@ -1251,7 +1264,13 @@ def conv_spectral_pipelined(
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
     else:
-        sk = fft_kernels(kernels, spectral=spectral, correlation=correlation)
+        sk = fft_kernels(
+            kernels, spectral=spectral, correlation=correlation,
+            store_dtype=(
+                "bfloat16"
+                if spectral.re.dtype == jnp.bfloat16 else "float32"
+            ),
+        )
     use_pallas = _resolve_pallas(use_pallas)
     if chunk_size is None:
         chunk_size = get_config().chunk_size
@@ -1269,6 +1288,7 @@ def conv_spectral_pipelined(
             fft_h,
             fft_w,
             batch=spectral.batch_size * n_blocks,
+            store_bytes=int(sk.re.dtype.itemsize),
             hbm_budget_bytes=_device_memory_budget(),
         ).chunk_size
     validate(chunk_size >= 1, "chunk_size must be >= 1")
@@ -1362,6 +1382,7 @@ def fft_conv(
     padding: str = "zero",
     kernel_layout: str = "corner",
     same_offset: str = "scipy",
+    store_dtype: str = "float32",
 ):
     """One-shot bank convolution — ≈ ``cudaConvolutionFFT(data, maxKh, maxKw,
     kernelCell)`` (src/cudaConvolutionFFT.cu:27-310): one forward data FFT
@@ -1382,7 +1403,11 @@ def fft_conv(
     (padKernel, :13-40) for un-shifted maps; ``same_offset='matlab'``
     selects MATLAB conv2's Kh//2 'same' offset (scipy's is (Kh-1)//2 — the
     conventions differ by one pixel for even kernels). The first two force
-    the direct engine."""
+    the direct engine.
+
+    ``store_dtype='bfloat16'``: the bf16 serving tier (see ``fft_data``) —
+    all intermediate spectra run bf16 with f32 accumulation (half the
+    spectral HBM traffic; rel err ~1e-3 vs the fp32 tier's ≤1e-5)."""
     validate(kernels is not None, "kernels is required")
     validate(
         algorithm in ("auto", "direct", "tiled"),
@@ -1421,7 +1446,7 @@ def fft_conv(
                     use_pallas=use_pallas, algorithm=algorithm,
                     device=device, bucket_ragged=False,
                     padding=padding, kernel_layout=kernel_layout,
-                    same_offset=same_offset,
+                    same_offset=same_offset, store_dtype=store_dtype,
                 )
                 if not isinstance(out, list):  # uniform bucket → stacked
                     out = [out[..., i, :, :] for i in range(len(sub))]
@@ -1489,7 +1514,7 @@ def fft_conv(
             if plan is None:
                 spectral = fft_data_tiled(
                     data, max_kernel_h, max_kernel_w, device=device,
-                    **trim_kwargs,
+                    store_dtype=store_dtype, **trim_kwargs,
                 )
             else:
                 # plan may enlarge the effective kernel envelope (aligned
@@ -1498,7 +1523,7 @@ def fft_conv(
                 lh, lw, pkh, pkw = plan
                 spectral = fft_data_tiled(
                     data, pkh, pkw, block_h=lh, block_w=lw, device=device,
-                    **trim_kwargs,
+                    store_dtype=store_dtype, **trim_kwargs,
                 )
             return conv_spectral(
                 spectral, kernels, mode=mode, correlation=correlation,
@@ -1511,7 +1536,7 @@ def fft_conv(
     )
     spectral = fft_data(
         data, max_kernel_h, max_kernel_w, policy=policy, device=device,
-        padding=padding,
+        padding=padding, store_dtype=store_dtype,
     )
     return conv_spectral(
         spectral, kernels, mode=mode, correlation=correlation,

@@ -57,6 +57,21 @@ _MAC_KARATSUBA = _os.environ.get("FFTCONV_MAC_KARATSUBA", "0") not in (
     "0", "false", "False", ""
 )
 
+# bf16-tier MAC lowering: native bf16 dots want relayouted operands inside
+# a chunked lax.map, and XLA HOISTS that relayout to the whole bank — at
+# 576 F=31 kernels that is 2 full 5 GB bank copies (measured compile OOM).
+# The ``bf16_upcast`` lowering instead feeds f32 dots via converts fused
+# into the operand reads: bf16 bytes off HBM, no layout constraint. The
+# F-contraction's flops are negligible (~40 GFLOP at N=576), so the f32
+# passes cost nothing next to the traffic. Measured on v5e (F=31 flat
+# bank): native wins UNCHUNKED (53.1 vs 58.8 ms at N=288); inside the
+# chunk loop they tie (80.0 ms at N=576 chunk 96) and only upcast is safe
+# — so chunked callers pass bf16_upcast=True and unchunked callers leave
+# the default. FFTCONV_BF16_MAC_UPCAST=1 forces it everywhere.
+_BF16_MAC_UPCAST = _os.environ.get(
+    "FFTCONV_BF16_MAC_UPCAST", "0"
+) not in ("0", "false", "False", "")
+
 _LANE = 512  # lane width of one tile row (multiple of the 128-lane VPU)
 _SUBLANE = 8  # fp32 sublane quantum
 _VMEM_BUDGET = 4 * 1024 * 1024  # per-block-set working bytes target
@@ -67,6 +82,7 @@ def spectral_mac_planes(
     kr: jnp.ndarray, ki: jnp.ndarray,  # (N, F, H, Wc) f32
     *,
     precision=jax.lax.Precision.HIGHEST,
+    bf16_upcast: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, F, H, Wc) × (N, F, H, Wc) → (B, N, H, Wc) split planes.
 
@@ -88,9 +104,13 @@ def spectral_mac_planes(
     f32 — half the input HBM traffic, full-rate MXU."""
     bf16 = dr.dtype == jnp.bfloat16 or kr.dtype == jnp.bfloat16
     if bf16:
-        dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
-        kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)
-        precision = jax.lax.Precision.DEFAULT
+        if bf16_upcast or (bf16_upcast is None and _BF16_MAC_UPCAST):
+            dr, di = dr.astype(jnp.float32), di.astype(jnp.float32)
+            kr, ki = kr.astype(jnp.float32), ki.astype(jnp.float32)
+        else:
+            dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
+            kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)
+            precision = jax.lax.Precision.DEFAULT
 
     def e(a, b):
         return jnp.einsum(
@@ -111,6 +131,7 @@ def spectral_mac_flat_planes(
     kr: jnp.ndarray, ki: jnp.ndarray,  # (N, F, S) f32
     *,
     precision=jax.lax.Precision.HIGHEST,
+    bf16_upcast: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """MAC on FLAT (lane-packed) spectra (types.SpectralKernels ``flat``):
     identical math to ``spectral_mac_planes`` — the complex product and
@@ -121,9 +142,13 @@ def spectral_mac_flat_planes(
     ``spectral_mac_planes``."""
     bf16 = dr.dtype == jnp.bfloat16 or kr.dtype == jnp.bfloat16
     if bf16:
-        dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
-        kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)
-        precision = jax.lax.Precision.DEFAULT
+        if bf16_upcast or (bf16_upcast is None and _BF16_MAC_UPCAST):
+            dr, di = dr.astype(jnp.float32), di.astype(jnp.float32)
+            kr, ki = kr.astype(jnp.float32), ki.astype(jnp.float32)
+        else:
+            dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
+            kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)
+            precision = jax.lax.Precision.DEFAULT
 
     def e(a, b):
         return jnp.einsum(
@@ -278,6 +303,7 @@ def spectral_mac_auto_planes(
     kr: jnp.ndarray, ki: jnp.ndarray,
     *,
     use_pallas: bool | None = None,
+    bf16_upcast: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Implementation dispatch on split planes. ``use_pallas=None`` → einsum
     (measured winner on v5e — XLA fuses it into the neighbouring transform
@@ -291,7 +317,7 @@ def spectral_mac_auto_planes(
         use_pallas = False  # the Pallas MAC is fp32-only; the bf16 serving
         # tier runs the einsum (native single-pass dots, f32 accumulation)
     if not use_pallas:
-        return spectral_mac_planes(dr, di, kr, ki)
+        return spectral_mac_planes(dr, di, kr, ki, bf16_upcast=bf16_upcast)
     return _mac_pallas_ad(dr, di, kr, ki)
 
 

@@ -353,6 +353,7 @@ def conv_spectral_sharded(
     plan = plan_bank(
         local_n, spectral.feature_dim, plan_fh, plan_fw,
         batch=plan_batch, hbm_budget_bytes=budget,
+        store_bytes=int(k_re.dtype.itemsize),
     )
     chunk = plan.chunk_size if plan.chunk_size < local_n else None
 

@@ -19,7 +19,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 
 def _csrc_dir() -> str:
@@ -81,7 +81,7 @@ def load():
         ]
         lib.ffc_plan_bank.restype = None
         lib.ffc_plan_bank.argtypes = [
-            c64, c64, c64, c64, c64, c64,
+            c64, c64, c64, c64, c64, c64, c64,
             ctypes.POINTER(c64), ctypes.POINTER(c64),
         ]
         lib.ffc_abi_version.restype = ctypes.c_int32

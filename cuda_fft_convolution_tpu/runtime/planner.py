@@ -66,15 +66,20 @@ def plan_bank(
     fft_w: int,
     batch: int = 1,
     hbm_budget_bytes: int = 8 << 30,
+    store_bytes: int = 4,
 ) -> BankPlan:
     """Choose the pipeline chunk size so one chunk's spectra + products +
-    output maps (double-buffered) fit the HBM budget."""
+    output maps (double-buffered) fit the HBM budget.
+
+    ``store_bytes``: per-element width of the stored spectra (4 = f32 tier,
+    2 = the bf16 serving tier — data/bank/product spectra all halve; output
+    maps stay f32)."""
     lib = native.load()
     if lib is not None:
         chunk, peak = ctypes.c_int64(), ctypes.c_int64()
         lib.ffc_plan_bank(
             n_kernels, feature_dim, fft_h, fft_w, batch, hbm_budget_bytes,
-            ctypes.byref(chunk), ctypes.byref(peak),
+            store_bytes, ctypes.byref(chunk), ctypes.byref(peak),
         )
         return BankPlan(int(chunk.value), int(peak.value))
     # Pure-Python fallback — same arithmetic as csrc/planner.cpp:ffc_plan_bank.
@@ -83,7 +88,7 @@ def plan_bank(
     # (540, 271) plane occupies (544, 384), 1.43x nominal (measured OOMs
     # with the nominal model). csrc/planner.cpp keeps in sync.
     h_pad = -(-fft_h // 8) * 8
-    spec = h_pad * (-(-wc // 128) * 128) * 8
+    spec = h_pad * (-(-wc // 128) * 128) * 2 * store_bytes
     map_bytes = h_pad * (-(-fft_w // 128) * 128) * 4
     # Fixed: data spectra + input + RESIDENT bank spectra + full output maps.
     fixed = (

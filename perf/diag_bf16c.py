@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""bf16 giant-bank finals: native-bf16 MAC (the default lowering),
+direct at 288 vs pipelined at 288/576 — picks the benched dpm_direct
+config. (Upcast variant measured slower at 288: 58.8 vs 53.1 ms.)"""
+import gc, json, os, time
+import numpy as np
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import cuda_fft_convolution_tpu as fc
+
+
+def probed(fn):
+    def w(*a):
+        out = fn(*a)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.ravel(leaf)[:4].astype(jnp.float32), out
+    return jax.jit(w)
+
+
+def tfn(fn, *a, warmup=1, iters=2):
+    for _ in range(warmup):
+        p, _ = fn(*a)
+        np.asarray(p)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, _ = fn(*a)
+        np.asarray(p)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def drain():
+    gc.collect()
+    np.asarray(jax.jit(lambda x: x + 1.0)(jnp.ones((8, 128))))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+rng = np.random.default_rng(0)
+feats = jnp.asarray(rng.standard_normal((512, 512, 31)).astype(np.float32))
+KD = 12
+bank = jnp.asarray(rng.standard_normal((576, KD, KD, 31)).astype(np.float32))
+sd16 = fc.fft_data(feats, KD, KD, store_dtype="bfloat16")
+
+for nkd, kind in ((288, "direct"), (288, "pipelined"), (576, "pipelined")):
+    drain()
+    sk = fc.fft_kernels(bank[:nkd], spectral=sd16, store_dtype="bfloat16")
+    np.asarray(probed(lambda a: a[0, 0, :16])(sk.re)[0])
+    if kind == "direct":
+        conv = probed(lambda s, k: fc.conv_spectral(s, k, mode="fftmap"))
+    else:
+        conv = probed(
+            lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=96)
+        )
+    try:
+        t = tfn(conv, sd16, sk)
+        emit(kind=f"{kind}_native_bf16_{nkd}", ms=round(t, 1),
+             gpixf=round(512 * 512 * nkd / 1e9 / (t / 1e3), 2))
+        # steady-state: sync every 2nd call
+        for _ in range(1):
+            pass
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(4):
+            p, _ = conv(sd16, sk)
+            outs.append(p)
+            if i % 2 == 1:
+                np.asarray(p)
+        np.asarray(outs[-1])
+        ts = (time.perf_counter() - t0) / 4 * 1e3
+        emit(kind=f"{kind}_native_bf16_{nkd}_stream", ms=round(ts, 1),
+             gpixf=round(512 * 512 * nkd / 1e9 / (ts / 1e3), 2))
+    except Exception as e:
+        emit(kind=f"{kind}_native_bf16_{nkd}", error=repr(e)[:2000])
+    del sk, conv
+    drain()
+emit(kind="done")

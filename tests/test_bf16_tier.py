@@ -76,6 +76,23 @@ def test_raw_kernels_inherit_tier(rng):
         ) < BF16_TOL
 
 
+def test_one_shot_bf16_tier(rng):
+    """fft_conv(store_dtype='bfloat16') runs the whole one-shot pipeline
+    at the tier on both engines (direct / tiled)."""
+    data = _mk(rng, (80, 64, 3))
+    kerns = [_mk(rng, (9, 9, 3)) for _ in range(3)]
+    want = np.array(fc.fft_conv(data, 9, 9, kerns, mode="same"))
+    for algorithm in ("direct", "tiled"):
+        got = np.array(
+            fc.fft_conv(data, 9, 9, kerns, mode="same",
+                        algorithm=algorithm, store_dtype="bfloat16")
+            .astype(jnp.float32)
+        )
+        assert got.shape == want.shape
+        for i in range(len(kerns)):
+            assert rel_err(got[i], want[i]) < BF16_TOL, algorithm
+
+
 def test_store_dtype_mismatch_rejected(rng):
     """Pairing f32 data spectra with a bf16 bank (or vice versa) is a
     validation error, not silent upcasting."""
@@ -103,6 +120,35 @@ def test_flat_bank_bf16(rng):
         assert rel_err(
             out[i], fft_map_f64(data, k, sd.fft_h, sd.fft_w)
         ) < BF16_TOL
+
+
+def test_chunked_bf16_path(rng):
+    """The chunked bank pipeline at the tier (conv_spectral_pipelined with
+    a forced small chunk) exercises the upcast MAC lowering inside
+    lax.map — results stay at tier accuracy and match the unchunked run.
+    Raw kernels inherit the tier here too."""
+    data = _mk(rng, (40, 36, 3))
+    kerns = [_mk(rng, (6, 6, 3)) for _ in range(5)]
+    sd = fc.fft_data(data, 6, 6, store_dtype="bfloat16")
+    sk = fc.fft_kernels(kerns, spectral=sd, store_dtype="bfloat16")
+    whole = np.array(fc.conv_spectral(sd, sk).astype(jnp.float32))
+    chunked = np.array(
+        fc.conv_spectral_pipelined(sd, kerns, chunk_size=2)
+        .astype(jnp.float32)
+    )
+    assert chunked.shape == whole.shape
+    for i, k in enumerate(kerns):
+        assert rel_err(
+            chunked[i], fft_map_f64(data, k, sd.fft_h, sd.fft_w)
+        ) < BF16_TOL
+    # flat bank through the chunked path as well
+    skf = fc.fft_kernels(kerns, spectral=sd, storage="flat",
+                         store_dtype="bfloat16")
+    chunked_flat = np.array(
+        fc.conv_spectral_pipelined(sd, skf, chunk_size=2)
+        .astype(jnp.float32)
+    )
+    np.testing.assert_allclose(chunked_flat, chunked, atol=1e-2)
 
 
 def test_checkpoint_roundtrip_preserves_tier(rng, tmp_path):

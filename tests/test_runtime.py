@@ -50,6 +50,18 @@ def test_plan_bank_chunk_bounds():
     assert p2.chunk_size == 10
 
 
+def test_plan_bank_store_bytes():
+    """bf16-tier spectra (store_bytes=2) halve the modeled footprint: never
+    smaller chunks than f32, strictly larger in the chunk-bound regime."""
+    kw = dict(batch=1, hbm_budget_bytes=7 << 30)
+    f32 = plan_bank(128, 31, 540, 540, store_bytes=4, **kw)
+    bf16 = plan_bank(128, 31, 540, 540, store_bytes=2, **kw)
+    assert bf16.chunk_size >= f32.chunk_size
+    assert bf16.peak_bytes < f32.peak_bytes
+    assert f32.chunk_size < 128  # f32 must chunk at this budget...
+    assert bf16.chunk_size > f32.chunk_size  # ...and bf16 chunks larger
+
+
 def test_aot_plan_matches_api(rng):
     """FftConvPlan.execute ≡ fft_conv for the planned geometry, with zero
     retracing at call time."""
