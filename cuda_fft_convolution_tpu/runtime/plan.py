@@ -80,6 +80,7 @@ def make_plan(
     use_pallas: bool | None = None,
     algorithm: str = "direct",
     mode: str = "fftmap",
+    store_dtype: str = "float32",
 ) -> FftConvPlan:
     """AOT-compile a plan for channel-last ``data_shape`` ((H, W, F) or
     (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F).
@@ -87,8 +88,18 @@ def make_plan(
     ``algorithm='tiled'`` compiles the overlap-save engine instead (block
     spectra; requires a linear mode, default 'full'); ``mode`` picks the
     output window baked into the compiled program ('fftmap' only for
-    'direct')."""
+    'direct').
+
+    ``store_dtype='bfloat16'``: the bf16 serving tier (see api.fft_data) —
+    plan spectra stored/exchanged bf16 with f32 accumulation; the plan's
+    spectral ABI (data_fft/kernel_fft outputs, execute_spectral inputs)
+    becomes bf16 plane pairs."""
     validate(algorithm in ("direct", "tiled"), "algorithm: 'direct'|'tiled'")
+    validate(
+        store_dtype in ("float32", "bfloat16"),
+        "store_dtype must be 'float32' or 'bfloat16'",
+    )
+    store_t = jnp.float32 if store_dtype == "float32" else jnp.bfloat16
     if len(data_shape) == 3:
         h, w, f = data_shape
         b = 1
@@ -120,13 +131,15 @@ def make_plan(
 
         def _data_fft_t(data):
             sd = _api.fft_data_tiled(
-                data, pkh, pkw, block_h=block_h, block_w=block_w
+                data, pkh, pkw, block_h=block_h, block_w=block_w,
+                store_dtype=store_dtype,
             )
             return sd.re, sd.im
 
         def _kernel_fft_t(kernels):
             sk = _api.fft_kernels(
-                kernels, fft_h=block_h, fft_w=block_w, correlation=correlation
+                kernels, fft_h=block_h, fft_w=block_w,
+                correlation=correlation, store_dtype=store_dtype,
             )
             return sk.re, sk.im
 
@@ -148,7 +161,7 @@ def make_plan(
         kern_aval = jax.ShapeDtypeStruct(kernel_shape, jnp.float32)
         dfft_avals = jax.eval_shape(_data_fft_t, data_aval)
         kfft_aval = jax.ShapeDtypeStruct(
-            (n, f, block_h, block_w // 2 + 1), jnp.float32
+            (n, f, block_h, block_w // 2 + 1), store_t
         )
         return FftConvPlan(
             data_shape=tuple(data_shape),
@@ -172,25 +185,31 @@ def make_plan(
             if batched
             else jnp.transpose(data, (2, 0, 1))[None]
         )
-        return rfft2_padded_planes(x, fft_h, fft_w)
+        re, im = rfft2_padded_planes(x, fft_h, fft_w)
+        return re.astype(store_t), im.astype(store_t)
 
     def _kernel_fft(kernels):
         ks = jnp.transpose(kernels, (0, 3, 1, 2))
         if correlation:
             ks = ks[..., ::-1, ::-1]
-        return rfft2_padded_planes(ks, fft_h, fft_w)
+        re, im = rfft2_padded_planes(ks, fft_h, fft_w)
+        return re.astype(store_t), im.astype(store_t)
 
     def _conv(d_re, d_im, k_re, k_im):
+        # AOT plans are single whole-bank dots (unchunked) — the native
+        # bf16 MAC lowering applies at the tier; products store bf16 so
+        # the inverse dots halve their bytes (api._products_like).
         p_re, p_im = spectral_mac_auto_planes(
             d_re, d_im, k_re, k_im, use_pallas=use_pallas
         )
+        p_re, p_im = p_re.astype(store_t), p_im.astype(store_t)
         return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
 
     f32 = jnp.float32
     data_aval = jax.ShapeDtypeStruct(data_shape, f32)
     kern_aval = jax.ShapeDtypeStruct(kernel_shape, f32)
-    dfft_aval = jax.ShapeDtypeStruct((b, f, fft_h, wc), f32)
-    kfft_aval = jax.ShapeDtypeStruct((n, f, fft_h, wc), f32)
+    dfft_aval = jax.ShapeDtypeStruct((b, f, fft_h, wc), store_t)
+    kfft_aval = jax.ShapeDtypeStruct((n, f, fft_h, wc), store_t)
 
     return FftConvPlan(
         data_shape=tuple(data_shape),

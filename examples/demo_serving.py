@@ -107,4 +107,15 @@ assert np.max(np.abs(_ms - _m)) / np.max(np.abs(_m)) < 1e-5
 # model update without recompiling: swap the resident bank spectra
 stream.update_kernels(bank[::-1])
 
+# 9. the bf16 serving tier: spectra stored bfloat16, every contraction
+# accumulating fp32 — half the resident bank footprint (2x more kernels
+# fit) and half the bytes on the traffic-bound F=31 MACs (measured
+# 78.7 -> 52.1 ms on the 288-kernel DPM giant bank; ~5e-3 rel err vs the
+# fp32 tier's <=1e-5). Both sides opt in together:
+sd16 = fc.fft_data(frames[0], K, K, store_dtype="bfloat16")
+sk16 = fc.fft_kernels(bank, spectral=sd16, store_dtype="bfloat16")
+maps16 = fc.conv_spectral(sd16, sk16, mode="same")
+_m16 = np.asarray(maps16.astype(jnp.float32))
+assert np.max(np.abs(_m16 - _m)) / np.max(np.abs(_m)) < 2e-2
+
 print("serving demo OK")

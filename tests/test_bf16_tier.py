@@ -151,6 +151,63 @@ def test_chunked_bf16_path(rng):
     np.testing.assert_allclose(chunked_flat, chunked, atol=1e-2)
 
 
+def test_sharded_bf16_tier(rng):
+    """conv_spectral_sharded at the tier: bf16 spectra shard over the mesh
+    (the sharded planner's store_bytes-aware chunk sizing included) and
+    match the single-device tier result."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = fc.make_mesh(data=1)
+    data = _mk(rng, (32, 24, 3))
+    kerns = [_mk(rng, (5, 5, 3)) for _ in range(8)]
+    sd = fc.fft_data(data, 5, 5, store_dtype="bfloat16")
+    sk = fc.fft_kernels(kerns, spectral=sd, store_dtype="bfloat16")
+    want = np.array(fc.conv_spectral(sd, sk).astype(jnp.float32))
+    got = np.array(
+        fc.conv_spectral_sharded(sd, sk, mesh).astype(jnp.float32)
+    )
+    # sharded vs single-device agree to tier noise (bf16 rounding orders
+    # differ between the per-shard and whole-bank einsum lowerings)
+    assert rel_err(got, want) < BF16_TOL
+    for i, k in enumerate(kerns):
+        assert rel_err(
+            got[i], fft_map_f64(data, k, sd.fft_h, sd.fft_w)
+        ) < BF16_TOL
+
+
+def test_aot_plan_bf16_tier(rng):
+    """make_plan(store_dtype='bfloat16'): AOT plans at the tier — bf16
+    spectral ABI, f32 maps out, tier accuracy, on both engines; ConvStream
+    serves over the bf16 plan."""
+    from cuda_fft_convolution_tpu.runtime import make_plan
+    from cuda_fft_convolution_tpu import ConvStream
+
+    data = _mk(rng, (32, 24, 2))
+    kerns = np.stack([_mk(rng, (5, 7, 2)) for _ in range(3)])
+    want = np.array(fc.fft_conv(data, kernels=kerns, mode="full"))
+    plan = make_plan(data.shape, kerns.shape, store_dtype="bfloat16")
+    dfft = plan.data_fft(data)
+    assert dfft[0].dtype == jnp.bfloat16
+    fh, fw = plan.fft_h, plan.fft_w
+    got = np.array(plan.execute(data, kerns).astype(jnp.float32))
+    for i in range(3):
+        assert rel_err(got[i], fft_map_f64(data, kerns[i], fh, fw)) < BF16_TOL
+    plant = make_plan(data.shape, kerns.shape, algorithm="tiled",
+                      mode="full", store_dtype="bfloat16")
+    gott = np.array(plant.execute(data, kerns).astype(jnp.float32))
+    assert gott.shape == want.shape
+    for i in range(3):
+        assert rel_err(gott[i], want[i]) < BF16_TOL
+    # serving stream over the bf16 plan
+    with ConvStream(plan, kerns, depth=2) as stream:
+        futs = [stream.submit(data) for _ in range(3)]
+        outs = [np.array(f.result().astype(jnp.float32)) for f in futs]
+    for o in outs:
+        assert rel_err(o[0], fft_map_f64(data, kerns[0], fh, fw)) < BF16_TOL
+
+
 def test_checkpoint_roundtrip_preserves_tier(rng, tmp_path):
     """save/load round-trips bf16 spectra (persisted as f32 planes — npz
     has no bfloat16 — with the store dtype recorded)."""
