@@ -166,9 +166,11 @@ def main() -> None:
     conv_t = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
     t_tiled = _time_fn(conv_t, sdt, skt)
     v_tiled = gpix_filters / t_tiled
-    # steady-state serving: dispatches pipelined, sync every 3rd call —
-    # amortizes the tunnel RTT the per-call numbers include
-    t_stream = _time_fn(conv_t, sdt, skt, iters=6, sync_every=3)
+    # steady-state serving: dispatches pipelined, sync every 9th call —
+    # amortizes the tunnel RTT the per-call numbers include (depth sweep
+    # perf/diag_stream_depth2.py: sync9 19.1 ms/frame vs sync3 25.8; the
+    # device-side ~17-18 ms is the asymptote)
+    t_stream = _time_fn(conv_t, sdt, skt, iters=18, sync_every=9)
     v_stream = gpix_filters / t_stream
     del sdt, skt
 
@@ -200,12 +202,14 @@ def main() -> None:
         t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
         v_bigk = H * W * NB / 1e9 / t_bigk
         # serving counterpart: data spectra amortized, dispatch pipelined
-        # (sync every 2nd call) — the one-shot number is ~55% tunnel RTT
+        # (sync every 8th call) — the one-shot number is ~55% tunnel RTT
+        # (depth sweep perf/diag_stream_depth2.py: sync8 27.6 ms/call =
+        # 2.43 vs sync2 39.1 = 1.72)
         sdbk = fc.fft_data_tiled(data, 512, 512, trim_mode="same")
         skbk = fc.fft_kernels(kbig, spectral=sdbk)
         jax.block_until_ready((sdbk.re, skbk.re))
         conv_bk = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
-        t_bigks = _time_fn(conv_bk, sdbk, skbk, iters=4, sync_every=2)
+        t_bigks = _time_fn(conv_bk, sdbk, skbk, iters=16, sync_every=8)
         v_bigk_stream = H * W * NB / 1e9 / t_bigks
         del kbig, sdbk, skbk
         _gc.collect()
@@ -309,14 +313,15 @@ def main() -> None:
         t_gd = _time_fn(conv_gd, sdf, skf, iters=2)
         v_dpm_direct = feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gd
         # steady-state serving counterpart (dispatches pipelined, sync
-        # every 2nd call — the streams variant's latency-hiding goal,
-        # src/cudaConvFFTDataStreams.cu:292-327). Two in-flight working
-        # sets (~1 GB each next to the 10.5 GB bank) fit only if the
-        # per-call run's buffers have actually been released — drain the
-        # queue and collect first.
+        # every 6th call — the streams variant's latency-hiding goal,
+        # src/cudaConvFFTDataStreams.cu:292-327). The bf16 bank (5.2 GB,
+        # half the f32 tier) leaves room for the deeper pipeline's
+        # in-flight map sets (perf/diag_stream_depth.py: sync6 = 2.55 vs
+        # sync2 = 2.15); the per-call run's buffers must have actually
+        # been released — drain the queue and collect first.
         gc.collect()
         np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
-        t_gds = _time_fn(conv_gd, sdf, skf, iters=4, sync_every=2)
+        t_gds = _time_fn(conv_gd, sdf, skf, iters=12, sync_every=6)
         v_dpm_direct_stream = (
             feats.shape[0] * feats.shape[1] * NKD / 1e9 / t_gds
         )
@@ -339,9 +344,12 @@ def main() -> None:
         conv_dpm = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
         t_dpm = _time_fn(conv_dpm, sdd, skd, iters=3)
         v_dpm = dpm_gpixf / t_dpm
-        # detector serving steady state: pipelined dispatch, sync every 3rd
-        # frame (in-flight working set = 3 × 1.07 GB of maps — fits)
-        t_dpms = _time_fn(conv_dpm, sdd, skd, iters=6, sync_every=3)
+        # detector serving steady state: pipelined dispatch, sync every 9th
+        # frame — the bf16 bank's halved residency affords the deeper
+        # pipeline (perf/diag_stream_depth.py: sync9 38.4 ms/frame = 6.98
+        # vs sync3 45.7 = 5.87; device-side is ~34 ms, so depth 9 leaves
+        # ~3.7 ms of residual RTT per frame)
+        t_dpms = _time_fn(conv_dpm, sdd, skd, iters=18, sync_every=9)
         v_dpm_stream = dpm_gpixf / t_dpms
         del sdd, skd, feats, dpm_bank
 

@@ -97,6 +97,12 @@ class ConvStream:
     ``depth`` bounds in-flight submissions (device memory: ``depth`` output
     working sets). ``submit`` past the bound blocks on the oldest future
     first. The stream is also a context manager; exiting flushes.
+
+    Depth tuning: each extra slot hides another RTT/depth of host latency
+    at the cost of one output working set of HBM. On the tunneled v5e
+    (~30 ms RTT) the measured DPM detector loop went 45.7 → 38.4 ms/frame
+    from depth 3 → 9 (perf/diag_stream_depth.py); size depth to
+    (budget − resident spectra) / per-call output bytes.
     """
 
     def __init__(self, plan: FftConvPlan, kernels, *, depth: int = 3):

@@ -208,6 +208,25 @@ def test_aot_plan_bf16_tier(rng):
         assert rel_err(o[0], fft_map_f64(data, kerns[0], fh, fw)) < BF16_TOL
 
 
+def test_tier_composes_with_round3_options(rng):
+    """bf16 tier × padding='clamp' / kernel_layout='centered' /
+    correlation: each matches its fp32-tier counterpart to tier noise."""
+    data = _mk(rng, (40, 32, 2))
+    kerns = [_mk(rng, (5, 5, 2)) for _ in range(2)]
+    for kw in (
+        dict(padding="clamp"),
+        dict(kernel_layout="centered"),
+        dict(correlation=True),
+    ):
+        want = np.array(fc.fft_conv(data, 5, 5, kerns, **kw))
+        got = np.array(
+            fc.fft_conv(data, 5, 5, kerns, store_dtype="bfloat16", **kw)
+            .astype(jnp.float32)
+        )
+        assert got.shape == want.shape, kw
+        assert rel_err(got, want) < BF16_TOL, kw
+
+
 def test_checkpoint_roundtrip_preserves_tier(rng, tmp_path):
     """save/load round-trips bf16 spectra (persisted as f32 planes — npz
     has no bfloat16 — with the store dtype recorded)."""
