@@ -174,7 +174,7 @@ def main() -> None:
     v_stream = gpix_filters / t_stream
     del sdt, skt
 
-    v_fftmap = v_amort = v_pipe = v_bf16 = v_batch = None
+    v_fftmap = v_amort = v_pipe = v_bf16 = v_bf16_stream = v_batch = None
     v_bigk = v_bigk_stream = v_dpm_direct = v_dpm = None
     v_dpm_direct_stream = None
     v_dpm_stream = None
@@ -236,15 +236,34 @@ def main() -> None:
         del sd, sk
 
         # bf16 inputs, fp32 spectral accumulation (BASELINE configs[4]
-        # dtype). fp32 INTERNALS: at F=1 the headline is transform-bound
-        # and the bf16 serving tier forces the unfused tiled path (the
-        # fused kernel is fp32-gated) — measured 70.2 vs 44.3 ms
-        # (perf/diag_bf16d.py), so the tier stays for the traffic-bound
-        # F=31 configs below.
-        v_bf16 = gpix_filters / _time_fn(
-            one_shot, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16),
-            iters=3,
+        # dtype): the bf16 serving tier end-to-end — spectra stored bf16,
+        # the fused Pallas kernel runs single-pass BF16IO dots with f32
+        # accumulation (one third of bf16x3's passes, half the spectra
+        # bytes). Measured 35.8 ms one-shot vs 44.3 fp32-fused
+        # (perf/diag_bf16_fused.py); tier rel err ~5e-3.
+        bf16_shot = _probed(
+            lambda d, k: fc.fft_conv(
+                d, KH, KW, k, mode="same", store_dtype="bfloat16"
+            )
         )
+        v_bf16 = gpix_filters / _time_fn(
+            bf16_shot, data.astype(jnp.bfloat16),
+            kernels.astype(jnp.bfloat16), iters=3,
+        )
+        # tier serving steady state: amortized bf16 spectra + deep
+        # pipeline — the fused call's ~9 ms device time almost fully
+        # exposed (46.7 GPix·F/s measured)
+        sdt16 = fc.fft_data_tiled(
+            data, KH, KW, trim_mode="same", store_dtype="bfloat16"
+        )
+        skt16 = fc.fft_kernels(
+            kernels, spectral=sdt16, store_dtype="bfloat16"
+        )
+        jax.block_until_ready((sdt16.re, skt16.re))
+        conv_16 = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+        t_bf16s = _time_fn(conv_16, sdt16, skt16, iters=18, sync_every=9)
+        v_bf16_stream = gpix_filters / t_bf16s
+        del sdt16, skt16
 
         # batch of 8 images (BASELINE configs[3]; 1024² so the (8, 100, H, W)
         # output fits 16 GB HBM)
@@ -391,6 +410,9 @@ def main() -> None:
             "amortized_direct_GPixF_s": None if v_amort is None else round(v_amort, 3),
             "pipelined_GPixF_s": None if v_pipe is None else round(v_pipe, 3),
             "bf16_GPixF_s": None if v_bf16 is None else round(v_bf16, 3),
+            "bf16_streaming_GPixF_s": (
+                None if v_bf16_stream is None else round(v_bf16_stream, 3)
+            ),
             "batch8_1024_GPixF_s": None if v_batch is None else round(v_batch, 3),
             "bigkernel_512_GPixF_s": None if v_bigk is None else round(v_bigk, 3),
             "bigkernel_streaming_GPixF_s": (

@@ -965,9 +965,21 @@ def conv_spectral(
             "(reference check src/cudaConvolutionFFT.cu:242-243)",
         )
         n, f = int(kstack.shape[0]), int(kstack.shape[1])
+        wc = spectral.fft_w // 2 + 1
         h_pad = -(-spectral.fft_h // 8) * 8
-        wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
-        resident_bytes = 8 * n * f * h_pad * wc_pad
+        wc_pad = -(-wc // 128) * 128
+        # Mirror fft_kernels' ACTUAL storage: the data spectra's store
+        # dtype (bf16 tier halves residency) and flat auto-packing (kills
+        # the tile padding) — the f32-planar model would stream banks that
+        # comfortably fit resident.
+        store_b = int(spectral.re.dtype.itemsize)
+        pad_ratio = (h_pad * wc_pad) / (spectral.fft_h * wc)
+        if pad_ratio > 1.25 and n * f >= 64:  # fft_kernels flat-auto rule
+            resident_bytes = (
+                2 * store_b * n * f * (-(-(spectral.fft_h * wc) // 128) * 128)
+            )
+        else:
+            resident_bytes = 2 * store_b * n * f * h_pad * wc_pad
         if (
             n > 1
             and kernel_layout == "corner"

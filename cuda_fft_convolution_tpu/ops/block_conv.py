@@ -59,6 +59,14 @@ from cuda_fft_convolution_tpu.ops.dft import _inv_full_mats, _inv_packed_mats
 # (measured on v5e; the dropped lo·lo term is ~2^-32 relative).
 BF16X3 = "bf16x3"
 
+# Sentinel precision for the bf16 SERVING TIER (store_dtype='bfloat16'):
+# spectra arrive as bf16 planes, so the dots run native SINGLE-pass bf16
+# (operands are already bf16-rounded — extra passes cannot recover what
+# storage discarded) with f32 MXU accumulation; the inverse matrices load
+# bf16 too. One third of BF16X3's dot passes and half the spectra
+# VMEM/HBM bytes; accuracy = the tier's ~5e-3 (storage-rounding bound).
+BF16IO = "bf16io"
+
 
 def _split_hi_lo(x):
     hi = x.astype(jnp.bfloat16)
@@ -68,7 +76,19 @@ def _split_hi_lo(x):
 
 def _make_dot(precision):
     """Row-major (K-contraction on lhs axis 1) dot for the fused kernels,
-    honoring the BF16X3 split-precision sentinel."""
+    honoring the BF16X3 / BF16IO precision sentinels."""
+    if precision == BF16IO:
+        base = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+        def dot(a, b):
+            return base(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+
+        return dot
     if precision == BF16X3:
         base = functools.partial(
             jax.lax.dot_general,
@@ -103,12 +123,16 @@ def _make_kernel_v3(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
 
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, out_ref, xr_ref, xi_ref):
-        kr, ki = kr_ref[0], ki_ref[0]  # (F, Lh, Wc)
+        # f32 MAC regardless of the stored dtype (bf16-tier refs upcast on
+        # read — the VPU converts are free next to the dots)
+        kr = kr_ref[0].astype(jnp.float32)  # (F, Lh, Wc)
+        ki = ki_ref[0].astype(jnp.float32)
         gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
         dot = _make_dot(precision)
         for j in range(mbw):  # static unroll over W-columns of the group
             for i in range(mbh):  # static unroll over H-rows of the group
-                dr, di = dr_ref[0, i, j], di_ref[0, i, j]  # (F, Lh, Wc)
+                dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, Lh, Wc)
+                di = di_ref[0, i, j].astype(jnp.float32)
                 s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (Lh, Wc)
                 s_i = jnp.sum(kr * di + ki * dr, axis=0)
                 if karatsuba:
@@ -152,7 +176,9 @@ def _make_kernel_v4(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
 
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, mr_ref,
                 mi_ref, out_ref, xr_ref, xi_ref):
-        kr, ki = kr_ref[0], ki_ref[0]  # (F, 2M, Wc), rows even-then-odd
+        # (F, 2M, Wc), rows even-then-odd; f32 MAC at any stored dtype
+        kr = kr_ref[0].astype(jnp.float32)
+        ki = ki_ref[0].astype(jnp.float32)
         ur, ui = ur_ref[...], ui_ref[...]  # (M, M) sub-transform matrices
         dot = _make_dot(precision)
         # twiddle t[u] = exp(+iπ u / M), broadcast over lanes (integer iota:
@@ -174,7 +200,8 @@ def _make_kernel_v4(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
 
         for j in range(mbw):  # static unroll over W-columns of the group
             for i in range(mbh):  # static unroll over H-rows
-                dr, di = dr_ref[0, i, j], di_ref[0, i, j]  # (F, 2M, Wc)
+                dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, 2M, Wc)
+                di = di_ref[0, i, j].astype(jnp.float32)
                 s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (2M, Wc)
                 s_i = jnp.sum(kr * di + ki * dr, axis=0)
                 er, ei = csub(s_r[:m], s_i[:m])  # Ê from even spectrum rows
@@ -227,14 +254,16 @@ def _radix_mats(lh: int) -> tuple:
 def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, out_ref):
-        kr, ki = kr_ref[0], ki_ref[0]  # (F, Lh, Wc)
+        kr = kr_ref[0].astype(jnp.float32)  # (F, Lh, Wc)
+        ki = ki_ref[0].astype(jnp.float32)
         gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
         mr, mi = mr_ref[...], mi_ref[...]  # (Wc, Vw)
         dot = _make_dot(precision)
         # 1. MAC over channels (VPU), blocks column-stacked → (Lh, MBH·Wc)
         srs, sis = [], []
         for i in range(mbh):  # static unroll over the block group
-            dr, di = dr_ref[0, i, 0], di_ref[0, i, 0]  # (F, Lh, Wc)
+            dr = dr_ref[0, i, 0].astype(jnp.float32)  # (F, Lh, Wc)
+            di = di_ref[0, i, 0].astype(jnp.float32)
             srs.append(jnp.sum(kr * dr - ki * di, axis=0))  # (Lh, Wc)
             sis.append(jnp.sum(kr * di + ki * dr, axis=0))
         s_r = jnp.concatenate(srs, axis=1)  # (Lh, MBH·Wc)
@@ -266,16 +295,18 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
 
 def block_conv_vmem_bytes(
     f: int, lh: int, wc: int, vh: int, vw: int, mbh: int = 4,
-    wstack: bool = True, mbw: int = 1,
+    wstack: bool = True, mbw: int = 1, spec_bytes: int = 4,
 ) -> int:
     """Estimated per-cell VMEM working set (double-buffered I/O blocks +
     matrices + scratch/intermediates). The scratch variants (v3/v4) hold
     only a (MBH·Vh, Wc) re/im scratch plus per-iteration temporaries; the
-    v2 kernel column-stacks (Lh, MBH·Wc) intermediates."""
-    d_block = 4 * 2 * mbh * mbw * f * lh * wc
-    k_block = 4 * 2 * f * lh * wc
+    v2 kernel column-stacks (Lh, MBH·Wc) intermediates. ``spec_bytes``:
+    stored-spectra element width (2 for the bf16 serving tier — I/O blocks
+    and matrices halve; the MAC planes/scratch stay f32)."""
+    d_block = spec_bytes * 2 * mbh * mbw * f * lh * wc
+    k_block = spec_bytes * 2 * f * lh * wc
     out_block = 4 * mbh * vh * mbw * vw
-    mats = 4 * 2 * (vh * lh + wc * vw)
+    mats = spec_bytes * 2 * (vh * lh + wc * vw)
     if wstack:
         # re/im scratch + one block's MAC planes + sub-transform temps
         inter = 4 * (2 * mbh * vh * wc + 2 * lh * wc + 4 * vh * wc)
@@ -284,14 +315,18 @@ def block_conv_vmem_bytes(
     return 2 * (d_block + k_block + out_block) + mats + inter
 
 
-def block_conv_fits_vmem(f: int, lh: int, wc: int, vh: int, vw: int) -> bool:
+def block_conv_fits_vmem(
+    f: int, lh: int, wc: int, vh: int, vw: int, spec_bytes: int = 4
+) -> bool:
     """Whether the fused kernel can run (MBH=MBW=1 worst case) within VMEM."""
-    return block_conv_vmem_bytes(f, lh, wc, vh, vw, mbh=1) < (12 << 20)
+    return block_conv_vmem_bytes(
+        f, lh, wc, vh, vw, mbh=1, spec_bytes=spec_bytes
+    ) < (12 << 20)
 
 
 def _choose_group(
     nbh: int, nbw: int, f: int, lh: int, wc: int, vh: int, vw: int,
-    wstack: bool = True,
+    wstack: bool = True, spec_bytes: int = 4,
 ) -> tuple[int, int]:
     """(MBH, MBW) blocks per cell: the group amortizes the kernel-spectrum
     fetch over MBH·MBW blocks and feeds the stacked W-stage dot (rows =
@@ -306,7 +341,7 @@ def _choose_group(
             if mbh > nbh:
                 continue
             if block_conv_vmem_bytes(
-                f, lh, wc, vh, vw, mbh, wstack, mbw
+                f, lh, wc, vh, vw, mbh, wstack, mbw, spec_bytes
             ) >= (12 << 20):
                 continue
             # prefer larger area; at equal area prefer SQUARER groups —
@@ -325,9 +360,9 @@ def _choose_group(
                      "wstack", "radix_h"),
 )
 def block_conv_pallas(
-    dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32
+    dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
     di: jnp.ndarray,
-    kr: jnp.ndarray,  # (N, F, Lh, Wc) f32
+    kr: jnp.ndarray,  # (N, F, Lh, Wc) — same dtype as the data spectra
     ki: jnp.ndarray,
     block_h: int,
     block_w: int,
@@ -346,7 +381,10 @@ def block_conv_pallas(
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
     assembled in place by clipped block writes, normalization folded in.
-    Spectra arrive as split (re, im) f32 planes — the kernel's native form.
+    Spectra arrive as split (re, im) planes — f32, or bf16 for the serving
+    tier (store_dtype='bfloat16'): bf16 spectra run single-pass BF16IO
+    dots with f32 accumulation (half the spectra VMEM/HBM bytes, one third
+    of BF16X3's dot passes; ~5e-3 tier accuracy).
 
     ``precision=None`` follows the global matmul_precision config; Mosaic
     dots support HIGHEST/DEFAULT only — the extra ``BF16X3`` sentinel runs
@@ -370,12 +408,20 @@ def block_conv_pallas(
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     assert lh == block_h and wc == block_w // 2 + 1
+    assert dr.dtype == kr.dtype, "data/kernel spectra dtype mismatch"
+    tier_bf16 = dr.dtype == jnp.bfloat16
     if precision is None:
         from cuda_fft_convolution_tpu.ops.conv import _matmul_precision
         from cuda_fft_convolution_tpu.utils.config import get_config
 
-        fp = get_config().fused_precision
-        precision = BF16X3 if fp == BF16X3 else _matmul_precision()
+        if tier_bf16:
+            # bf16 serving tier: single-pass bf16 dots (operands are
+            # already storage-rounded; more passes cannot help), f32
+            # accumulation — see BF16IO
+            precision = BF16IO
+        else:
+            fp = get_config().fused_precision
+            precision = BF16X3 if fp == BF16X3 else _matmul_precision()
     if interpret and precision == BF16X3:
         # BF16X3 is a Mosaic-only fast path: interpret mode lowers the
         # kernel through plain XLA, whose algebraic simplifier REFOLDS the
@@ -386,6 +432,11 @@ def block_conv_pallas(
     if karatsuba is None:
         karatsuba = wstack or radix_h
     if mbh is None and mbw is None:
+        # Group choice uses the f32 byte model even at the bf16 tier:
+        # crediting the halved spectra bytes picks LARGER groups, measured
+        # SLOWER (stream9 10.6 vs 9.0 ms on the headline bf16io plan —
+        # VMEM pressure beats the extra kernel-fetch amortization). The
+        # tier's halved bytes still widen the fits_vmem legality gate.
         mbh, mbw = _choose_group(
             nbh, nbw, f, lh, wc, vh, vw, wstack or radix_h
         )
@@ -422,17 +473,19 @@ def block_conv_pallas(
         di = jnp.take(di, perm, axis=4)
         kr = jnp.take(kr, perm, axis=2)
         ki = jnp.take(ki, perm, axis=2)
+    mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32
+    if radix_h:
         ur_np, ui_np = _radix_mats(block_h)
-        gr, gi = jnp.asarray(ur_np), jnp.asarray(ui_np)  # (M, M)
+        gr, gi = jnp.asarray(ur_np, mat_t), jnp.asarray(ui_np, mat_t)
         h_mat_shape = (block_h // 2, block_h // 2)
     else:
         gr_np, gi_np = _inv_full_mats(block_h)
-        gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh])  # (Vh, Lh)
-        gi = jnp.asarray(gi_np[kh - 1 : kh - 1 + vh])
+        gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh], mat_t)  # (Vh, Lh)
+        gi = jnp.asarray(gi_np[kh - 1 : kh - 1 + vh], mat_t)
         h_mat_shape = (vh, lh)
     mr_np, mi_np = _inv_packed_mats(block_w)
-    mr = jnp.asarray(mr_np[:, kw - 1 : kw - 1 + vw])  # (Wc, Vw)
-    mi = jnp.asarray(mi_np[:, kw - 1 : kw - 1 + vw])
+    mr = jnp.asarray(mr_np[:, kw - 1 : kw - 1 + vw], mat_t)  # (Wc, Vw)
+    mi = jnp.asarray(mi_np[:, kw - 1 : kw - 1 + vw], mat_t)
 
     # n innermost → the data block group stays VMEM-resident across the
     # whole bank; K is re-fetched once per (group, kernel) — the group
@@ -510,9 +563,11 @@ def block_conv_pallas(
         out_shape=jax.ShapeDtypeStruct((b, n, out_h, out_w), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=b * nbh * nbw * n * (flops_mac + flops_h + flops_w),
-            bytes_accessed=8 * f * lh * wc * (b * nbh * nbw)
-            + 8 * f * lh * wc * (b * gbh * gbw * n)
-            + 4 * b * n * out_h * out_w,
+            bytes_accessed=(
+                2 * dr.dtype.itemsize * f * lh * wc * (b * nbh * nbw)
+                + 2 * dr.dtype.itemsize * f * lh * wc * (b * gbh * gbw * n)
+                + 4 * b * n * out_h * out_w
+            ),
             transcendentals=0,
         ),
         interpret=interpret,

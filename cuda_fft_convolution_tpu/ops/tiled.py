@@ -244,7 +244,8 @@ def conv_blocks(
 
         fused = (
             jax.default_backend() == "tpu"
-            and d_re.dtype == jnp.float32  # bf16 tier runs unfused
+            # f32 AND the bf16 serving tier (BF16IO single-pass dots)
+            and d_re.dtype in (jnp.float32, jnp.bfloat16)
             and _use_matmul_fft(block_h, block_w)
             and vh % 8 == 0
             and vw % 128 == 0
@@ -252,7 +253,9 @@ def conv_blocks(
             # (small Wc / short windows) starve the MXU — the v1 lesson
             and vh >= 32
             and lwc >= 128
-            and block_conv_fits_vmem(f, lh, lwc, vh, vw)
+            and block_conv_fits_vmem(
+                f, lh, lwc, vh, vw, spec_bytes=d_re.dtype.itemsize
+            )
         )
     if fused and jax.default_backend() == "tpu" and (
         vh % 8 != 0 or vw % 128 != 0

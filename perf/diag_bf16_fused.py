@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Measure the BF16IO fused kernel: headline-config bf16 one-shot (the
+tier now engages the fused block-conv with single-pass bf16 dots — was
+unfused 70.2 ms; fp32 fused is 44.3) plus amortized and streamed serving.
+First Mosaic compile of the new kernel variant may take 30-60 min through
+the remote service."""
+import gc, json, os, time
+import numpy as np
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import cuda_fft_convolution_tpu as fc
+
+
+def probed(fn):
+    def w(*a):
+        out = fn(*a)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.ravel(leaf)[:4].astype(jnp.float32), out
+    return jax.jit(w)
+
+
+def tfn(fn, *a, warmup=1, iters=3, sync_every=1):
+    for _ in range(warmup):
+        p, _ = fn(*a)
+        np.asarray(p)
+    t0 = time.perf_counter()
+    last = None
+    for i in range(iters):
+        last, _ = fn(*a)
+        if (i + 1) % sync_every == 0:
+            np.asarray(last)
+    np.asarray(last)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def drain():
+    gc.collect()
+    np.asarray(jax.jit(lambda x: x + 1.0)(jnp.ones((8, 128))))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+rng = np.random.default_rng(0)
+H = W = 2048
+N, KH, KW = 100, 64, 64
+data = jnp.asarray(rng.standard_normal((H, W, 1)).astype(np.float32))
+kernels = jnp.asarray(
+    rng.standard_normal((N, KH, KW, 1)).astype(np.float32)
+)
+gpixf = H * W * N / 1e9
+
+# accuracy probe first (cheap shapes share the kernel variant cache)
+shot16 = probed(
+    lambda d, k: fc.fft_conv(d, KH, KW, k, mode="same",
+                             store_dtype="bfloat16")
+)
+t = tfn(shot16, data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16))
+emit(kind="headline_bf16io_oneshot", ms=round(t, 1),
+     gpixf=round(gpixf / (t / 1e3), 2))
+
+# tier accuracy vs fp32 run on device
+shot32 = probed(lambda d, k: fc.fft_conv(d, KH, KW, k, mode="same"))
+_, o32 = shot32(data, kernels)
+_, o16 = shot16(data.astype(jnp.bfloat16), kernels.astype(jnp.bfloat16))
+rel = jax.jit(
+    lambda a, b: jnp.max(jnp.abs(a.astype(jnp.float32) - b))
+    / jnp.max(jnp.abs(b))
+)(o16, o32)
+emit(kind="headline_bf16io_relerr", rel=float(np.asarray(rel)))
+del o32, o16
+drain()
+
+# amortized + streamed serving at the tier
+sdt = fc.fft_data_tiled(data, KH, KW, trim_mode="same",
+                        store_dtype="bfloat16")
+skt = fc.fft_kernels(kernels, spectral=sdt, store_dtype="bfloat16")
+jax.block_until_ready((sdt.re, skt.re))
+conv = probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+t = tfn(conv, sdt, skt)
+emit(kind="headline_bf16io_amortized", ms=round(t, 1),
+     gpixf=round(gpixf / (t / 1e3), 2))
+t = tfn(conv, sdt, skt, iters=18, sync_every=9)
+emit(kind="headline_bf16io_stream9", ms=round(t, 1),
+     gpixf=round(gpixf / (t / 1e3), 2))
+emit(kind="done")
