@@ -70,3 +70,36 @@ def test_fuzz_fused_variants_random_geometry():
             )[0]
             e = np.max(np.abs(got - want)) / np.max(np.abs(want))
             assert e < TOL, (lh, lw, vh, vw, kh, kw, f, radix, e)
+
+
+def test_fuzz_bf16_tier_vs_fp32():
+    """Random shapes/modes/engines at store_dtype='bfloat16': the tier
+    tracks the fp32 result within bf16 rounding (~5e-3 measured; 2e-2
+    bar) on every path the fp32 fuzz exercises."""
+    rng = np.random.default_rng(31)
+    import jax.numpy as jnp
+
+    for trial in range(8):
+        h = int(rng.integers(24, 140))
+        w = int(rng.integers(24, 140))
+        f = int(rng.integers(1, 4))
+        kh = int(rng.integers(2, min(h, 12)))
+        kw = int(rng.integers(2, min(w, 12)))
+        data = rng.standard_normal((h, w, f)).astype(np.float32)
+        kern = rng.standard_normal((kh, kw, f)).astype(np.float32)
+        mode = ["full", "same", "valid"][trial % 3]
+        algo = (
+            ["auto", "direct", "tiled"][trial % 3]
+            if min(h, w) > 4 * max(kh, kw)
+            else "direct"
+        )
+        want = fc.fft_conv(data, kernels=[kern], mode=mode, algorithm=algo)
+        got = fc.fft_conv(
+            data, kernels=[kern], mode=mode, algorithm=algo,
+            store_dtype="bfloat16",
+        )
+        want = np.asarray(want[0] if isinstance(want, list) else want[0])
+        g = got[0] if isinstance(got, list) else got[0]
+        got = np.asarray(jnp.asarray(g, jnp.float32))
+        assert got.shape == want.shape
+        assert rel_err(got, want) < 2e-2, (h, w, f, kh, kw, mode, algo)
