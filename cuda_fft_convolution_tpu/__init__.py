@@ -57,6 +57,7 @@ from cuda_fft_convolution_tpu.runtime import (
 )
 from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
 from cuda_fft_convolution_tpu.utils.config import get_config, set_config
+from cuda_fft_convolution_tpu.utils.errors import InvalidInputError
 from cuda_fft_convolution_tpu.utils.selftest import selftest
 from cuda_fft_convolution_tpu.utils.transfer import fetch
 
@@ -87,6 +88,7 @@ __all__ = [
     "save_spectral",
     "get_config",
     "set_config",
+    "InvalidInputError",
     "selftest",
     "FftSizePolicy",
     "compute_fft_size",

@@ -293,6 +293,14 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
     return _kernel
 
 
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
 def block_conv_vmem_bytes(
     f: int, lh: int, wc: int, vh: int, vw: int, mbh: int = 4,
     wstack: bool = True, mbw: int = 1, spec_bytes: int = 4,
@@ -302,7 +310,17 @@ def block_conv_vmem_bytes(
     only a (MBH·Vh, Wc) re/im scratch plus per-iteration temporaries; the
     v2 kernel column-stacks (Lh, MBH·Wc) intermediates. ``spec_bytes``:
     stored-spectra element width (2 for the bf16 serving tier — I/O blocks
-    and matrices halve; the MAC planes/scratch stay f32)."""
+    and matrices halve; the MAC planes/scratch stay f32).
+
+    Every buffer is counted at its TILE-PADDED footprint (trailing dims to
+    8 sublanes × 128 lanes): Mosaic allocates scoped VMEM in (8, 128)
+    tiles, so a (63, 144) block physically occupies (64, 256) — 1.8×
+    nominal. The unpadded model admitted F≥8 plans at Wc=144 whose real
+    allocation exceeded the 16 MB scoped-vmem limit ("Scoped allocation
+    with size 16.75M and limit 16.00M", v5e remote compile at blocks
+    (63, 287), group (4, 2), F=8 — perf/sweep_f8_fused.py)."""
+    lh, wc = _pad8(lh), _pad128(wc)
+    vh, vw = _pad8(vh), _pad128(vw)
     d_block = spec_bytes * 2 * mbh * mbw * f * lh * wc
     k_block = spec_bytes * 2 * f * lh * wc
     out_block = 4 * mbh * vh * mbw * vw
@@ -315,13 +333,24 @@ def block_conv_vmem_bytes(
     return 2 * (d_block + k_block + out_block) + mats + inter
 
 
+def _vmem_limit(spec_bytes: int) -> int:
+    """Scoped-VMEM budget the padded model is checked against. f32: the
+    16 MB hardware scoped limit (the padded model slightly OVER-estimates —
+    measured 16.75M real vs 19.5M modeled at the one crashing f32 plan, so
+    16 MB keeps a margin). bf16 plans carry hidden f32 conversion copies
+    the model doesn't see: the measured crash/ok boundary sits between
+    10.9 MB (compiles, runs) and 12.6 MB (scoped-vmem abort) of modeled
+    bytes — 12 MB is the empirical bar (perf/sweep_f8_fused.py, v5e)."""
+    return (16 << 20) if spec_bytes >= 4 else (12 << 20)
+
+
 def block_conv_fits_vmem(
     f: int, lh: int, wc: int, vh: int, vw: int, spec_bytes: int = 4
 ) -> bool:
     """Whether the fused kernel can run (MBH=MBW=1 worst case) within VMEM."""
     return block_conv_vmem_bytes(
         f, lh, wc, vh, vw, mbh=1, spec_bytes=spec_bytes
-    ) < (12 << 20)
+    ) < _vmem_limit(spec_bytes)
 
 
 def _choose_group(

@@ -107,6 +107,13 @@ def spectral_mac_planes(
         if bf16_upcast or (bf16_upcast is None and _BF16_MAC_UPCAST):
             dr, di = dr.astype(jnp.float32), di.astype(jnp.float32)
             kr, ki = kr.astype(jnp.float32), ki.astype(jnp.float32)
+            if not _MAC_KARATSUBA:
+                # the upcast operands are EXACTLY bf16-valued, so HIGHEST's
+                # extra split-bf16 passes (hi·lo, lo·hi, …) are identically
+                # zero — single-pass DEFAULT is bit-identical and 6× less
+                # MXU work. (Karatsuba's dr+di pre-adds are NOT bf16-exact:
+                # that branch keeps the caller's precision.)
+                precision = jax.lax.Precision.DEFAULT
         else:
             dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
             kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)
@@ -145,6 +152,10 @@ def spectral_mac_flat_planes(
         if bf16_upcast or (bf16_upcast is None and _BF16_MAC_UPCAST):
             dr, di = dr.astype(jnp.float32), di.astype(jnp.float32)
             kr, ki = kr.astype(jnp.float32), ki.astype(jnp.float32)
+            if not _MAC_KARATSUBA:
+                # bit-identical to HIGHEST on exactly-bf16-valued operands
+                # (see spectral_mac_planes) at 1/6 the MXU passes
+                precision = jax.lax.Precision.DEFAULT
         else:
             dr, di = dr.astype(jnp.bfloat16), di.astype(jnp.bfloat16)
             kr, ki = kr.astype(jnp.bfloat16), ki.astype(jnp.bfloat16)

@@ -234,10 +234,15 @@ def conv_blocks(
     if fused is None:
         # auto: the scratch-variant fused kernels (v3 row-stacked W stage /
         # v4 radix-2 H stage) beat the unfused pipeline at EVERY legal
-        # geometry measured on v5e (perf/bench_fused_v3.py: 61.8–79.6 ms vs
-        # a flat 75–90 ms unfused traffic roofline), so legality — aligned
-        # valid window + VMEM fit on the matmul-transform TPU path — IS the
-        # dispatch condition.
+        # geometry measured on v5e at F ≤ 16 (perf/bench_fused_v3.py F=1:
+        # 61.8–79.6 ms vs a flat 75–90 ms unfused traffic roofline;
+        # perf/sweep_f8_fused.py F=2–16: fused 29–48 ms vs unfused 41–62
+        # across K=32..64 at both tiers), so legality — aligned valid
+        # window + VMEM fit on the matmul-transform TPU path — is the
+        # dispatch condition, plus an F cap: at F=31 the kernel-spectra
+        # refetch bill makes fused LOSE where it even compiles (measured
+        # 54.6 vs 38.9 ms at blocks (63, 287), N=64 — the same economics
+        # PERF.md's closed F=31 argument derives for the DPM bank).
         from cuda_fft_convolution_tpu.ops.block_conv import (
             block_conv_fits_vmem,
         )
@@ -247,6 +252,7 @@ def conv_blocks(
             # f32 AND the bf16 serving tier (BF16IO single-pass dots)
             and d_re.dtype in (jnp.float32, jnp.bfloat16)
             and _use_matmul_fft(block_h, block_w)
+            and f <= 16
             and vh % 8 == 0
             and vw % 128 == 0
             # stay inside measured-winning dot territory: narrow cells

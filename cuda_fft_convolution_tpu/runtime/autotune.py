@@ -269,6 +269,7 @@ def _fused_gate(f: int, bh: int, bw: int, vh: int, vw: int) -> bool:
     return (
         jax.default_backend() == "tpu"
         and _use_matmul_fft(bh, bw)
+        and f <= 16  # F=31 measured losing fused (perf/sweep_f8_fused.py)
         and vh % 8 == 0
         and vw % 128 == 0
         and vh >= 32

@@ -390,3 +390,60 @@ def test_fused_block_conv_bf16x3_precision(rng):
         )
     )
     assert rel_err(lo, hi) < 1e-4
+
+
+def test_fused_vmem_gate_measured_boundary():
+    """The fused-dispatch VMEM model must track the MEASURED Mosaic
+    scoped-vmem outcomes (perf/sweep_f8_fused.py, v5e remote compile).
+    Plans whose compile aborted with 'Scoped allocation ... exceeded
+    scoped vmem limit' must be rejected by the tile-padded model; every
+    plan that compiled and ran must still pass."""
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        _choose_group,
+        block_conv_fits_vmem,
+        block_conv_vmem_bytes,
+    )
+
+    # (lh, lw, vh, vw, F, spec_bytes) → compiled+ran on the v5e sweep
+    ran = [
+        (256, 511, 192, 384, 2, 4), (256, 511, 192, 384, 4, 2),
+        (127, 447, 64, 384, 8, 4), (127, 447, 64, 384, 16, 2),
+        (128, 511, 96, 384, 4, 4),
+        (95, 431, 48, 384, 16, 4), (95, 431, 48, 384, 8, 2),
+        (63, 287, 32, 256, 16, 2), (63, 287, 32, 256, 31, 2),
+    ]
+    for lh, lw, vh, vw, f, sb in ran:
+        wc = lw // 2 + 1
+        assert block_conv_fits_vmem(f, lh, wc, vh, vw, sb), (lh, lw, f, sb)
+
+    # bf16 scoped-vmem abort at MBH=MBW=1 (modeled 12.63 MB ≥ the 12 MB
+    # bf16 bar — hidden f32 conversion copies tighten the real limit)
+    assert not block_conv_fits_vmem(31, 95, 216, 48, 384, 2)
+
+    # f32 aborts happened at the GROUPS the old unpadded model chose:
+    # (63, 287) F=8 group (4, 2) → real 16.75 MB > the 16 MB scoped limit.
+    # The padded model must price those groups out of _choose_group's
+    # 12 MB growth bar...
+    assert block_conv_vmem_bytes(8, 63, 144, 32, 256, 4, True, 2, 4) >= (
+        12 << 20
+    )
+    assert block_conv_vmem_bytes(16, 63, 144, 32, 256, 2, True, 2, 4) >= (
+        12 << 20
+    )
+    for f, sb in ((8, 4), (16, 4)):
+        g = _choose_group(31, 4, f, 63, 144, 32, 256, True)
+        assert block_conv_vmem_bytes(
+            f, 63, 144, 32, 256, g[0], True, g[1], 4
+        ) < (12 << 20), (f, g)
+
+    # ...while the measured-best production groups are preserved (the
+    # padded model equals the old one wherever dims were already
+    # tile-aligned): the headline v4 plan keeps (2, 2) (59.1 ms vs (4, 1)
+    # 65.3 measured) and the 32²-kernel plan keeps a non-trivial group
+    # under the 12 MB growth bar.
+    assert _choose_group(11, 6, 1, 256, 256, 192, 384, True) == (2, 2)
+    g32 = _choose_group(22, 6, 1, 128, 256, 96, 384, True)
+    assert g32[0] * g32[1] >= 4
+    assert block_conv_vmem_bytes(
+        1, 128, 256, 96, 384, g32[0], True, g32[1], 4
+    ) < (12 << 20)
