@@ -57,6 +57,19 @@ def _matmul_precision():
     return _PRECISIONS[get_config().matmul_precision]
 
 
+def _inverse_precision():
+    """Precision for the inverse-synthesis dots (config.inverse_precision,
+    default 'high' — XLA's 3-pass split-bf16, the XLA-side twin of the
+    fused kernel's bf16x3: ~2× the HIGHEST MXU rate on the unfused
+    pipeline's flop-dominant stage at ~5e-6 end-to-end error). Forward
+    transforms keep ``matmul_precision`` (HIGHEST) so the two bf16-split
+    stages never compound: HIGH on *every* stage emulated ~9e-6 against
+    the ≤1e-5 bar."""
+    from cuda_fft_convolution_tpu.utils.config import get_config
+
+    return _PRECISIONS[get_config().inverse_precision]
+
+
 def rfft2_padded_planes(
     x: jnp.ndarray, fft_h: int, fft_w: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -140,7 +153,7 @@ def irfft2_norm_planes(
         from cuda_fft_convolution_tpu.ops.dft import irfft2_mm_planes
 
         return irfft2_mm_planes(
-            sr, si, fft_h, fft_w, precision=_matmul_precision()
+            sr, si, fft_h, fft_w, precision=_inverse_precision()
         )
     # XLA FFT path needs complex64 — upcast bf16-tier product planes.
     sr = sr.astype(jnp.float32)

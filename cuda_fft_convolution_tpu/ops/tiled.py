@@ -221,7 +221,10 @@ def conv_blocks(
     """Spectral MAC per block + inverse FFT + overlap-save reassembly →
     (B, N, out_h, out_w) linear-convolution maps ('full' window). All
     spectra are split (re, im) f32 planes — complex never exists."""
-    from cuda_fft_convolution_tpu.ops.conv import _matmul_precision, _use_matmul_fft
+    from cuda_fft_convolution_tpu.ops.conv import (
+        _inverse_precision,
+        _use_matmul_fft,
+    )
     from cuda_fft_convolution_tpu.utils.config import get_config
 
     b, nbh, nbw, f, lh, lwc = d_re.shape
@@ -303,7 +306,7 @@ def conv_blocks(
 
         valid = irfft2_mm_planes(
             p_re, p_im, block_h, block_w,
-            precision=_matmul_precision(),
+            precision=_inverse_precision(),
             window=(kh - 1, vh, kw - 1, vw),
         )
     else:

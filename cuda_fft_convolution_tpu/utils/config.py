@@ -53,6 +53,16 @@ class Config:
     # matmuls: 'highest' (fp32-exact, default) | 'high' | 'default'.
     use_matmul_fft: bool | None = None
     matmul_precision: str = "highest"
+    # Precision tier for the UNFUSED pipeline's inverse-synthesis dots
+    # (irfft2_norm_planes / the tiled windowed inverse). 'high' is XLA's
+    # 3-pass split-bf16 (56 TF/s measured vs HIGHEST's 31) — the XLA-side
+    # twin of the fused kernel's bf16x3 default: forwards stay at
+    # ``matmul_precision`` (HIGHEST), so end-to-end error stays ~5e-6
+    # against the ≤1e-5 bar (emulated + measured; HIGH on *every* stage
+    # measured ~9e-6 — too thin a margin to default). The inverse is the
+    # flop-dominant stage of the unfused pipeline (e.g. ~22 of ~41 device
+    # ms on the 512²-kernel config), so this is where the tier pays.
+    inverse_precision: str = "high"
     # Fused Pallas block-conv kernel (ops/block_conv.py): MAC + windowed
     # inverse-DFT matmuls in one VMEM pass. None = auto (off pending
     # per-backend measurement), True/False force.
@@ -74,6 +84,9 @@ class Config:
             chunk_size=_env_int("FFTCONV_CHUNK"),
             use_matmul_fft=_env_bool("FFTCONV_USE_MATMUL_FFT"),
             matmul_precision=os.environ.get("FFTCONV_MATMUL_PRECISION", "highest"),
+            inverse_precision=os.environ.get(
+                "FFTCONV_INVERSE_PRECISION", "high"
+            ),
             use_fused_block_conv=_env_bool("FFTCONV_FUSED_BLOCK_CONV"),
             fused_precision=os.environ.get(
                 "FFTCONV_FUSED_PRECISION", "bf16x3"
@@ -105,8 +118,8 @@ def set_config(**kwargs) -> Config:
         updates["policy"] = FftSizePolicy(updates["policy"])
     _CONFIG = dataclasses.replace(_CONFIG, **updates)
     if {
-        "use_matmul_fft", "matmul_precision", "use_pallas",
-        "use_fused_block_conv", "fused_precision",
+        "use_matmul_fft", "matmul_precision", "inverse_precision",
+        "use_pallas", "use_fused_block_conv", "fused_precision",
     } & set(updates):
         for fn in _JIT_CONSUMERS:
             try:
