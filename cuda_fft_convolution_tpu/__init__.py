@@ -53,6 +53,7 @@ from cuda_fft_convolution_tpu.runtime import (
     ConvFuture,
     ConvStream,
     FftConvPlan,
+    ShardedConvStream,
     make_plan,
 )
 from cuda_fft_convolution_tpu.utils.checkpoint import load_spectral, save_spectral
@@ -82,6 +83,7 @@ __all__ = [
     "fetch",
     "ConvFuture",
     "ConvStream",
+    "ShardedConvStream",
     "FftConvPlan",
     "make_plan",
     "load_spectral",

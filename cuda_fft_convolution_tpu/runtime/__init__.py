@@ -22,7 +22,11 @@ from cuda_fft_convolution_tpu.runtime.planner import (
     plan_bank,
 )
 from cuda_fft_convolution_tpu.runtime.plan import FftConvPlan, make_plan
-from cuda_fft_convolution_tpu.runtime.stream import ConvFuture, ConvStream
+from cuda_fft_convolution_tpu.runtime.stream import (
+    ConvFuture,
+    ConvStream,
+    ShardedConvStream,
+)
 from cuda_fft_convolution_tpu.runtime.autotune import (
     autotune_block_geometry,
     lookup_tuned_geometry,
@@ -42,4 +46,5 @@ __all__ = [
     "make_plan",
     "ConvFuture",
     "ConvStream",
+    "ShardedConvStream",
 ]

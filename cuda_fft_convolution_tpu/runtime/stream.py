@@ -198,3 +198,147 @@ class ConvStream:
 
     def __exit__(self, *exc) -> None:
         self.flush()
+
+
+class ShardedConvStream:
+    """Bounded-depth serving over a device MESH — the composed equivalent
+    of the reference's full streams design: a stream pool for latency
+    hiding × a multi-GPU kernel round-robin for scale
+    (src/cudaConvFFTDataStreams.cu:273-349, the per-GPU stream pairs at
+    :292-327 and the kernel round-robin at :341-349). Here the two are
+    orthogonal primitives composed: ``conv_spectral_sharded`` (bank sharded
+    over the mesh's kernel axis, data spectra replicated over ICI via
+    their PartitionSpec) under the same bounded-depth future pipeline as
+    :class:`ConvStream`.
+
+    The bank spectra are computed once, PRE-SHARDED over the mesh
+    (``shard_kernel_bank``) and pinned — submits never re-place them; the
+    sharded executable is built once per geometry (mesh.py's exec cache),
+    so a submit is pure dispatch::
+
+        mesh = fc.make_mesh(data=1, kernels=8)
+        stream = fc.ShardedConvStream(mesh, bank, frame_shape, depth=3)
+        futures = [stream.submit(f) for f in frames]
+        maps = [f.result() for f in futures]    # sharded over (data, kernels)
+
+    ``algorithm='tiled'`` runs the overlap-save engine per device with the
+    'same'/'valid' window baked into the block tiling; 'direct' runs the
+    big-FFT engine (required for mode='fftmap'). Stacked uniform banks
+    only (ragged cells need per-size plans — bucket first).
+    """
+
+    def __init__(
+        self,
+        mesh,
+        kernels,
+        data_shape: tuple,
+        *,
+        depth: int = 3,
+        mode: str = "same",
+        algorithm: str = "tiled",
+        correlation: bool = False,
+        same_offset: str = "scipy",
+        store_dtype: str = "float32",
+    ):
+        from cuda_fft_convolution_tpu import api as _api
+        from cuda_fft_convolution_tpu.parallel import mesh as _mesh
+
+        validate(depth >= 1, f"depth must be >= 1, got {depth}")
+        validate(
+            algorithm in ("tiled", "direct"),
+            "algorithm must be 'tiled' or 'direct'",
+        )
+        validate(
+            mode != "fftmap" or algorithm == "direct",
+            "mode='fftmap' requires algorithm='direct'",
+        )
+        kernels = jnp.asarray(kernels)
+        validate(
+            kernels.ndim == 4,
+            "ShardedConvStream takes a stacked uniform bank (N, Kh, Kw, F)",
+        )
+        self._mesh = mesh
+        self._mode = mode
+        self._algorithm = algorithm
+        self._same_offset = same_offset
+        self._store_dtype = store_dtype
+        self._depth = depth
+        self._data_shape = tuple(data_shape)
+        self._kh, self._kw = int(kernels.shape[1]), int(kernels.shape[2])
+        self._inflight: collections.deque[ConvFuture] = collections.deque()
+
+        # Template staging pass (zero frame): fixes the FFT/block geometry
+        # and the baked output window so every submit reuses the cached
+        # executables.
+        template = jnp.zeros(self._data_shape, jnp.float32)
+        sd = self._stage(template)
+        sk = _api.fft_kernels(
+            kernels, spectral=sd, correlation=correlation,
+            storage="planar",  # sharding takes planar (mesh.py validates)
+            store_dtype=store_dtype,
+        )
+        self._sk = _mesh.shard_kernel_bank(sk, mesh)
+
+    def _stage(self, frame):
+        """Per-frame spectral staging at the planned geometry."""
+        from cuda_fft_convolution_tpu import api as _api
+
+        if self._algorithm == "tiled":
+            trim = self._mode if self._mode in ("same", "valid") else "full"
+            return _api.fft_data_tiled(
+                frame, self._kh, self._kw, trim_mode=trim,
+                same_offset=self._same_offset,
+                store_dtype=self._store_dtype,
+            )
+        return _api.fft_data(
+            frame, self._kh, self._kw, store_dtype=self._store_dtype
+        )
+
+    @property
+    def depth(self) -> int:
+        return self._depth
+
+    @property
+    def inflight(self) -> int:
+        while self._inflight and self._inflight[0].done():
+            self._inflight.popleft()
+        return len(self._inflight)
+
+    def submit(self, frame) -> ConvFuture:
+        """Dispatch one frame across the mesh; bounded at ``depth``
+        unresolved submissions (waits on the oldest first)."""
+        from cuda_fft_convolution_tpu.parallel import mesh as _mesh
+
+        validate(
+            tuple(frame.shape) == self._data_shape,
+            f"frame shape {tuple(frame.shape)} != planned "
+            f"{self._data_shape}",
+        )
+        while self._inflight and self._inflight[0].done():
+            self._inflight.popleft()
+        while len(self._inflight) >= self._depth:
+            self._inflight.popleft().result()
+        sd = self._stage(frame)
+        out = _mesh.conv_spectral_sharded(
+            sd, self._sk, self._mesh, mode=self._mode,
+            same_offset=self._same_offset,
+        )
+        leaf = out[0] if isinstance(out, (list, tuple)) else out
+        fut = ConvFuture(_probe_of(leaf), out)
+        self._inflight.append(fut)
+        return fut
+
+    def map(self, frames: Sequence) -> list:
+        """Pipeline a sequence; peak in-flight work stays at ``depth``."""
+        futures = [self.submit(f) for f in frames]
+        return [f.result() for f in futures]
+
+    def flush(self) -> None:
+        while self._inflight:
+            self._inflight.popleft().result()
+
+    def __enter__(self) -> "ShardedConvStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.flush()

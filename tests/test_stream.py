@@ -97,6 +97,67 @@ def test_stream_validation(rng):
         stream.update_kernels(np.zeros((2, 5, 5, 1), np.float32))
 
 
+def _mesh_or_skip():
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices (8-virtual-CPU mesh)")
+    return fc.make_mesh(data=1, kernels=len(jax.devices()))
+
+
+def test_sharded_stream_matches_single_device(rng):
+    """ShardedConvStream (stream pool × kernel-sharded mesh — the composed
+    streams-variant equivalent) must reproduce the single-device tiled
+    result on every frame, with the depth bound holding mid-burst."""
+    mesh = _mesh_or_skip()
+    kerns = rng.standard_normal((5, 5, 5, 2)).astype(np.float32)  # non-divisible N
+    frames = [
+        rng.standard_normal((32, 28, 2)).astype(np.float32) for _ in range(4)
+    ]
+    with fc.ShardedConvStream(
+        mesh, kerns, (32, 28, 2), depth=2, mode="same", algorithm="tiled"
+    ) as stream:
+        futs = []
+        for f in frames:
+            futs.append(stream.submit(f))
+            assert stream.inflight <= 2
+        got = [np.asarray(fut.result()) for fut in futs]
+    for f, g in zip(frames, got):
+        sd = fc.fft_data_tiled(f, 5, 5, trim_mode="same")
+        want = np.asarray(fc.conv_spectral(sd, kerns, mode="same"))
+        np.testing.assert_allclose(g, want, atol=1e-5)
+        assert g.shape == (5, 32, 28)
+
+
+def test_sharded_stream_direct_fftmap(rng):
+    """Direct engine through the sharded stream: reference-parity circular
+    maps, against the single-device direct result."""
+    mesh = _mesh_or_skip()
+    kerns = rng.standard_normal((4, 3, 3, 1)).astype(np.float32)
+    frame = rng.standard_normal((20, 20, 1)).astype(np.float32)
+    with fc.ShardedConvStream(
+        mesh, kerns, (20, 20, 1), depth=1, mode="fftmap", algorithm="direct"
+    ) as stream:
+        got = np.asarray(stream.submit(frame).result())
+    sd = fc.fft_data(frame, 3, 3)
+    want = np.asarray(fc.conv_spectral(sd, kerns, mode="fftmap"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_stream_validation(rng):
+    mesh = _mesh_or_skip()
+    kerns = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+    with pytest.raises(ValueError):
+        fc.ShardedConvStream(mesh, kerns, (16, 16, 1), depth=0)
+    with pytest.raises(ValueError):
+        fc.ShardedConvStream(
+            mesh, kerns, (16, 16, 1), mode="fftmap", algorithm="tiled"
+        )
+    stream = fc.ShardedConvStream(mesh, kerns, (16, 16, 1), depth=1)
+    with pytest.raises(ValueError):
+        stream.submit(np.zeros((8, 16, 1), np.float32))
+
+
 def test_stream_result_idempotent(rng):
     kerns = rng.standard_normal((1, 3, 3, 1)).astype(np.float32)
     stream = fc.ConvStream.create((12, 12, 1), kerns, depth=1)
