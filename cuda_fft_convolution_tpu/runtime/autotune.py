@@ -140,11 +140,16 @@ def default_candidates(kh: int, kw: int) -> list[tuple]:
     ke_h, ke_w = _envelope(kh), _envelope(kw)
     base_h = [max(8, _envelope(kh - 1) // 2), _envelope(kh - 1),
               2 * _envelope(kh - 1)]
-    # vw candidates with lane-aligned Hermitian width:
-    # (vw + kw - 1) // 2 + 1 ≡ 0 (mod 128)
+    # vw candidates with lane-aligned Hermitian width: block_w = vw+kw−1
+    # must be 256·m − 1 (odd) so Wc = block_w//2 + 1 = 128·m exactly —
+    # any other width tile-pads the spectra planes (a 129-wide Wc
+    # physically occupies 256 lanes: 1.98× traffic on every MAC/product
+    # byte). m starts at the first multiple that clears vw ≥ 128, so
+    # large kernels (512²+) get candidates too.
     cand_w = []
-    for m in (1, 2):
-        vw = 256 * m - kw + 1
+    m0 = -(-(128 + kw) // 256)
+    for m in (m0, m0 + 1, m0 + 2):
+        vw = 256 * m - kw
         if vw >= 128:
             cand_w.append(vw)
     cands: list[tuple] = [(vh, vw) for vh in base_h for vw in cand_w]

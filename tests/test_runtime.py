@@ -161,6 +161,26 @@ def test_autotune_table_lookup_and_registration():
         autotune._MEASURED.clear()
 
 
+def test_autotune_default_candidates_lane_aligned():
+    """Every analytic W candidate must give a LANE-ALIGNED Hermitian width:
+    block_w = vw + kw − 1 = 256·m − 1 so Wc = 128·m exactly. The previous
+    formula produced Wc = 128·m + 1 — one column over, which tile-pads
+    every spectra plane to the next 128 lanes (~2× traffic) — and produced
+    NO candidates at all for kernels wider than 256 (the 512² big-kernel
+    envelope)."""
+    from cuda_fft_convolution_tpu.runtime.autotune import default_candidates
+
+    for kw in (8, 32, 64, 128, 200, 512):
+        cands = default_candidates(kw, kw)
+        plain = [c for c in cands if len(c) == 2]
+        assert plain, f"no analytic candidates for kw={kw}"
+        for vh, vw in plain:
+            bw = vw + kw - 1
+            wc = bw // 2 + 1
+            assert wc % 128 == 0, (kw, vw, bw, wc)
+            assert vw >= 128
+
+
 def test_autotune_live_measure_cpu(tmp_path, monkeypatch):
     """autotune_block_geometry measures candidates on the current backend
     and persists the table."""
