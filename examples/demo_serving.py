@@ -118,4 +118,21 @@ maps16 = fc.conv_spectral(sd16, sk16, mode="same")
 _m16 = np.asarray(maps16.astype(jnp.float32))
 assert np.max(np.abs(_m16 - _m)) / np.max(np.abs(_m)) < 2e-2
 
+# 10. multi-device serving: ShardedConvStream composes the stream pool
+# with the mesh path (bank pre-sharded over the kernel axis, data spectra
+# replicated over ICI) — the reference's full streams design
+# (src/cudaConvFFTDataStreams.cu:273-349: per-GPU stream pairs x kernel
+# round-robin) as two orthogonal primitives. Skipped on single-device
+# backends (run under tests/conftest.py's 8-virtual-CPU mesh to see it).
+import jax as _jax
+
+if len(_jax.devices()) >= 2:
+    mesh = fc.make_mesh(data=1, kernels=len(_jax.devices()))
+    with fc.ShardedConvStream(mesh, bank, frames[0].shape, depth=3,
+                              mode="same", algorithm="tiled") as sstream:
+        sharded = [fut.result() for fut in
+                   [sstream.submit(f) for f in frames]]
+    _ss = np.asarray(sharded[0])
+    assert np.max(np.abs(_ss - _m)) / np.max(np.abs(_m)) < 1e-5
+
 print("serving demo OK")
