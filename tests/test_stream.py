@@ -144,6 +144,23 @@ def test_sharded_stream_direct_fftmap(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_sharded_stream_bf16_tier(rng):
+    """The bf16 serving tier flows through the sharded stream: bf16 bank
+    spectra sharded over the mesh, results within the tier's ~5e-3 of the
+    fp32 path."""
+    mesh = _mesh_or_skip()
+    kerns = rng.standard_normal((6, 5, 5, 4)).astype(np.float32)
+    frame = rng.standard_normal((40, 36, 4)).astype(np.float32)
+    with fc.ShardedConvStream(
+        mesh, kerns, (40, 36, 4), depth=2, mode="same",
+        store_dtype="bfloat16",
+    ) as stream:
+        got = np.asarray(stream.submit(frame).result(), np.float32)
+    sd = fc.fft_data_tiled(frame, 5, 5, trim_mode="same")
+    want = np.asarray(fc.conv_spectral(sd, kerns, mode="same"))
+    assert rel_err(got, want) < 2e-2
+
+
 def test_sharded_stream_validation(rng):
     mesh = _mesh_or_skip()
     kerns = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
