@@ -143,7 +143,97 @@ void ffc_plan_bank(int64_t n, int64_t f, int64_t fft_h, int64_t fft_w,
   *out_peak_bytes = fixed + chunk * per_chunked;
 }
 
+// ---------------------------------------------------------------------------
+// Overlap-save block geometry (analytic planner) + fused-kernel VMEM model —
+// native mirrors of ops/tiled.py:choose_block_fft's analytic fallback and
+// ops/block_conv.py:block_conv_vmem_bytes/_fits_vmem. The Python side
+// remains the definition of record and additionally overlays the MEASURED
+// geometry table (runtime/autotune.py) before falling back to these rules;
+// the native planner carries the analytic scheduling math for host-side
+// planning in hot serving loops.
+// ---------------------------------------------------------------------------
+
+static int64_t pad8(int64_t x) { return ffc_align_up(x, 8); }
+static int64_t pad128(int64_t x) { return ffc_align_up(x, 128); }
+
+// Tile-padded per-cell VMEM working set of the fused Pallas block-conv
+// kernel (scratch variants v3/v4: wstack=1). Mirrors
+// ops/block_conv.py:block_conv_vmem_bytes — every buffer counted at its
+// (8, 128)-tile-padded footprint (Mosaic allocates scoped VMEM in tiles;
+// the unpadded model admitted plans the compiler aborted).
+int64_t ffc_block_conv_vmem_bytes(int64_t f, int64_t lh, int64_t wc,
+                                  int64_t vh, int64_t vw, int64_t mbh,
+                                  int32_t wstack, int64_t mbw,
+                                  int64_t spec_bytes) {
+  lh = pad8(lh);
+  wc = pad128(wc);
+  vh = pad8(vh);
+  vw = pad128(vw);
+  const int64_t d_block = spec_bytes * 2 * mbh * mbw * f * lh * wc;
+  const int64_t k_block = spec_bytes * 2 * f * lh * wc;
+  const int64_t out_block = 4 * mbh * vh * mbw * vw;
+  const int64_t mats = spec_bytes * 2 * (vh * lh + wc * vw);
+  const int64_t inter =
+      wstack ? 4 * (2 * mbh * vh * wc + 2 * lh * wc + 4 * vh * wc)
+             : 4 * (2 * lh * mbh * wc + 4 * vh * mbh * wc);
+  return 2 * (d_block + k_block + out_block) + mats + inter;
+}
+
+// Whether the fused kernel can run (MBH=MBW=1 worst case) within scoped
+// VMEM: 16 MB for f32 plans, 12 MB for bf16 (hidden f32 conversion copies
+// — measured crash/ok boundary; ops/block_conv.py:_vmem_limit).
+int32_t ffc_block_conv_fits_vmem(int64_t f, int64_t lh, int64_t wc,
+                                 int64_t vh, int64_t vw,
+                                 int64_t spec_bytes) {
+  const int64_t limit =
+      spec_bytes >= 4 ? (int64_t{16} << 20) : (int64_t{12} << 20);
+  return ffc_block_conv_vmem_bytes(f, lh, wc, vh, vw, 1, 1, 1, spec_bytes) <
+         limit;
+}
+
+// Analytic overlap-save block plan — mirrors the fallback rules of
+// ops/tiled.py:choose_block_fft (the measured-table overlay happens in
+// Python before this). Returns 1 and fills (block_h, block_w, plan_kh,
+// plan_kw) when tiling pays, 0 when the direct engine should run.
+// matmul_engine: 1 = MXU-DFT transform engine (any size; wants small
+// aligned valid windows), 0 = XLA-FFT engine (5-smooth sizes, larger
+// blocks).
+int32_t ffc_choose_block_fft(int64_t data_h, int64_t data_w, int64_t max_kh,
+                             int64_t max_kw, int32_t matmul_engine,
+                             int64_t max_block, int64_t* out_lh,
+                             int64_t* out_lw, int64_t* out_pkh,
+                             int64_t* out_pkw) {
+  int64_t lh, lw;
+  if (matmul_engine) {
+    // Valid window aligned to the hardware tile (Vh to 8 sublanes, Vw to
+    // 128 lanes); H blocks small (Vh ≈ K), W blocks wider (Vw ≈ 6·K) —
+    // measured rules, see choose_block_fft.
+    const int64_t vh0 = pad8(max_kh - 1) > 8 ? pad8(max_kh - 1) : 8;
+    const int64_t vw0 = pad128(6 * (max_kw - 1)) > 128
+                            ? pad128(6 * (max_kw - 1))
+                            : 128;
+    lh = vh0 + max_kh - 1;
+    if (lh > max_block) lh = max_block;
+    lw = vw0 + max_kw - 1;
+    if (lw > max_block) lw = max_block;
+    if (lh < 2 * (max_kh - 1) || lw < 2 * (max_kw - 1)) return 0;
+  } else {
+    const int64_t th = 8 * max_kh > 128 ? 8 * max_kh : 128;
+    const int64_t tw = 8 * max_kw > 128 ? 8 * max_kw : 128;
+    lh = ffc_next_fast_len(th < max_block ? th : max_block);
+    lw = ffc_next_fast_len(tw < max_block ? tw : max_block);
+    if (lh < 4 * (max_kh - 1) || lw < 4 * (max_kw - 1)) return 0;
+  }
+  if (data_h + max_kh - 1 <= 2 * lh && data_w + max_kw - 1 <= 2 * lw)
+    return 0;
+  *out_lh = lh;
+  *out_lw = lw;
+  *out_pkh = max_kh;
+  *out_pkw = max_kw;
+  return 1;
+}
+
 // ABI version for the ctypes loader's compatibility check.
-int32_t ffc_abi_version() { return 2; }
+int32_t ffc_abi_version() { return 3; }
 
 }  // extern "C"

@@ -19,7 +19,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _csrc_dir() -> str:
@@ -82,6 +82,18 @@ def load():
         lib.ffc_plan_bank.restype = None
         lib.ffc_plan_bank.argtypes = [
             c64, c64, c64, c64, c64, c64, c64,
+            ctypes.POINTER(c64), ctypes.POINTER(c64),
+        ]
+        lib.ffc_block_conv_vmem_bytes.restype = c64
+        lib.ffc_block_conv_vmem_bytes.argtypes = [
+            c64, c64, c64, c64, c64, c64, ctypes.c_int32, c64, c64,
+        ]
+        lib.ffc_block_conv_fits_vmem.restype = ctypes.c_int32
+        lib.ffc_block_conv_fits_vmem.argtypes = [c64, c64, c64, c64, c64, c64]
+        lib.ffc_choose_block_fft.restype = ctypes.c_int32
+        lib.ffc_choose_block_fft.argtypes = [
+            c64, c64, c64, c64, ctypes.c_int32, c64,
+            ctypes.POINTER(c64), ctypes.POINTER(c64),
             ctypes.POINTER(c64), ctypes.POINTER(c64),
         ]
         lib.ffc_abi_version.restype = ctypes.c_int32

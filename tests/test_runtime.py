@@ -38,6 +38,79 @@ def test_native_planner_builds_and_matches_python():
         assert lib.ffc_next_fast_len(n) == next_fast_len(n)
 
 
+def test_native_block_planner_matches_python():
+    """The native analytic block-geometry planner + fused-kernel VMEM model
+    (csrc/planner.cpp ABI v3) must agree with the Python definitions of
+    record (ops/tiled.py analytic fallback, ops/block_conv.py VMEM model)
+    across engines, kernel scales, and both precision tiers."""
+    import ctypes
+
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        block_conv_fits_vmem,
+        block_conv_vmem_bytes,
+    )
+    from cuda_fft_convolution_tpu.ops.tiled import choose_block_fft
+    from cuda_fft_convolution_tpu.runtime import autotune
+
+    lib = get_native_planner()
+    if lib is None:
+        pytest.skip("native planner unavailable (no g++?)")
+
+    # VMEM model: exact byte agreement across geometry/group/tier grid
+    for f, lh, wc, vh, vw in [
+        (1, 256, 256, 192, 384),
+        (8, 63, 144, 56, 256),
+        (31, 27, 70, 16, 128),
+        (1, 1023, 512, 512, 512),
+    ]:
+        for mbh, mbw in [(1, 1), (2, 2), (4, 1)]:
+            for wstack in (1, 0):
+                for sb in (4, 2):
+                    assert lib.ffc_block_conv_vmem_bytes(
+                        f, lh, wc, vh, vw, mbh, wstack, mbw, sb
+                    ) == block_conv_vmem_bytes(
+                        f, lh, wc, vh, vw, mbh, bool(wstack), mbw, sb
+                    ), (f, lh, wc, vh, vw, mbh, wstack, mbw, sb)
+        for sb in (4, 2):
+            assert bool(
+                lib.ffc_block_conv_fits_vmem(f, lh, wc, vh, vw, sb)
+            ) == block_conv_fits_vmem(f, lh, wc, vh, vw, sb)
+
+    # Analytic block plan: agreement with the Python fallback (the measured
+    # table is a Python-side overlay — clear it for the comparison)
+    c64 = ctypes.c_int64
+    try:
+        autotune._MEASURED.clear()
+        saved = dict(autotune._BUILTIN)
+        autotune._BUILTIN.clear()
+        for engine in (1, 0):
+            for dh, dw, kh, kw in [
+                (2048, 2048, 64, 64),
+                (2048, 2048, 512, 512),
+                (512, 512, 12, 12),
+                (100, 90, 6, 6),
+                (64, 64, 64, 64),   # declines: image spans < 2 blocks
+                (40, 40, 33, 33),   # declines: extreme overlap redundancy
+            ]:
+                lh = c64(0); lw = c64(0); pkh = c64(0); pkw = c64(0)
+                found = lib.ffc_choose_block_fft(
+                    dh, dw, kh, kw, engine, 1024,
+                    ctypes.byref(lh), ctypes.byref(lw),
+                    ctypes.byref(pkh), ctypes.byref(pkw),
+                )
+                want = choose_block_fft(
+                    dh, dw, kh, kw, matmul_engine=bool(engine),
+                    _with_plan=True,
+                )
+                if want is None:
+                    assert found == 0, (engine, dh, dw, kh, kw)
+                else:
+                    assert found == 1, (engine, dh, dw, kh, kw)
+                    assert (lh.value, lw.value, pkh.value, pkw.value) == want
+    finally:
+        autotune._BUILTIN.update(saved)
+
+
 def test_plan_bank_chunk_bounds():
     p = plan_bank(100, 1, 2160, 2160, batch=1, hbm_budget_bytes=8 << 30)
     assert 1 <= p.chunk_size <= 100
