@@ -28,6 +28,7 @@ demo:
 	python examples/demo_bank.py
 	python examples/demo_dpm.py
 	python examples/demo_train.py
+	python examples/demo_serving.py
 
 clean:
 	rm -f $(SO)
