@@ -103,7 +103,55 @@ def _rtt_floor() -> float:
     return ts[len(ts) // 2]
 
 
+def _backend_or_report(timeout_s: float = 600.0) -> bool:
+    """Initialize the JAX backend under a watchdog. The tunneled TPU
+    runtime, when its relay is down, HANGS inside backend init for minutes
+    before raising (observed: ~3 min per attempt, 'Unable to initialize
+    backend axon: UNAVAILABLE') — a crashed/hung bench leaves no record.
+    On timeout or init failure this prints an honest zero-value JSON line
+    (with the error in detail) and returns False."""
+    import threading
+
+    result: dict = {}
+
+    def _init():
+        try:
+            import jax
+
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=_init, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in result:
+        return True
+    print(
+        json.dumps(
+            {
+                "metric": "GPix*filters/s, one-shot fft_conv (jit-fused, "
+                          "auto engine), 2048^2 image x 100 64x64 kernels, "
+                          "fp32, 'same' maps",
+                "value": 0.0,
+                "unit": "GPix*filters/s",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "error": result.get(
+                        "error",
+                        f"backend init timed out after {timeout_s:.0f}s "
+                        "(TPU tunnel unavailable)",
+                    )
+                },
+            }
+        )
+    )
+    return False
+
+
 def main() -> None:
+    if not _backend_or_report():
+        return
     import jax
     import jax.numpy as jnp
 
