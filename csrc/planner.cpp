@@ -165,6 +165,11 @@ int64_t ffc_block_conv_vmem_bytes(int64_t f, int64_t lh, int64_t wc,
                                   int64_t vh, int64_t vw, int64_t mbh,
                                   int32_t wstack, int64_t mbw,
                                   int64_t spec_bytes) {
+  // Inverse matrices have the OPPOSITE axis roles to the spectra blocks:
+  // G is (Vh, Lh) — lh on the lane dim — and M is (Wc, Vw) — wc on the
+  // sublane dim (ops/block_conv.py keeps in sync).
+  const int64_t mats =
+      spec_bytes * 2 * (pad8(vh) * pad128(lh) + pad8(wc) * pad128(vw));
   lh = pad8(lh);
   wc = pad128(wc);
   vh = pad8(vh);
@@ -172,7 +177,6 @@ int64_t ffc_block_conv_vmem_bytes(int64_t f, int64_t lh, int64_t wc,
   const int64_t d_block = spec_bytes * 2 * mbh * mbw * f * lh * wc;
   const int64_t k_block = spec_bytes * 2 * f * lh * wc;
   const int64_t out_block = 4 * mbh * vh * mbw * vw;
-  const int64_t mats = spec_bytes * 2 * (vh * lh + wc * vw);
   const int64_t inter =
       wstack ? 4 * (2 * mbh * vh * wc + 2 * lh * wc + 4 * vh * wc)
              : 4 * (2 * lh * mbh * wc + 4 * vh * mbh * wc);

@@ -1207,10 +1207,14 @@ def _tiled_chunk_size(
     f = spectral.feature_dim
     lh, wc = spectral.block_h, spectral.block_w // 2 + 1
     nb = b * nbh * nbw
+    # Stored spectra scale with the serving tier (bf16 = 2-byte planes);
+    # MAC products and inverse temps stay f32 — the chunked bf16 path runs
+    # the upcast lowering, whose dot outputs are f32 (ops/spectral_mac.py).
+    pair = 2 * d_re.dtype.itemsize
     per_kernel = 2 * nb * lh * wc * 8 + b * spectral.out_h * spectral.out_w * 4
     fixed = (
-        nb * f * lh * wc * 8  # block spectra
-        + n * f * lh * wc * 8  # bank spectra
+        nb * f * lh * wc * pair  # block spectra
+        + n * f * lh * wc * pair  # bank spectra
         + b * n * spectral.out_h * spectral.out_w * 4  # output maps
     )
     budget = max(_device_memory_budget() - fixed, per_kernel)
@@ -1275,6 +1279,12 @@ def conv_spectral_pipelined(
         sk = kernels
         validate(not correlation, "correlation must be baked into fft_kernels "
                  "when passing SpectralKernels")
+        validate(
+            sk.re.dtype == spectral.re.dtype,
+            f"spectra store-dtype mismatch: kernels {sk.re.dtype}, data "
+            f"{spectral.re.dtype} — precompute both sides with the same "
+            "store_dtype ('bfloat16' tier pairs with a bf16 bank)",
+        )
     else:
         sk = fft_kernels(
             kernels, spectral=spectral, correlation=correlation,

@@ -319,12 +319,17 @@ def block_conv_vmem_bytes(
     allocation exceeded the 16 MB scoped-vmem limit ("Scoped allocation
     with size 16.75M and limit 16.00M", v5e remote compile at blocks
     (63, 287), group (4, 2), F=8 — perf/sweep_f8_fused.py)."""
+    # Inverse matrices have the OPPOSITE axis roles to the spectra blocks:
+    # G is (Vh, Lh) — lh on the lane dim — and M is (Wc, Vw) — wc on the
+    # sublane dim (block_conv_pallas operand construction).
+    mats = spec_bytes * 2 * (
+        _pad8(vh) * _pad128(lh) + _pad8(wc) * _pad128(vw)
+    )
     lh, wc = _pad8(lh), _pad128(wc)
     vh, vw = _pad8(vh), _pad128(vw)
     d_block = spec_bytes * 2 * mbh * mbw * f * lh * wc
     k_block = spec_bytes * 2 * f * lh * wc
     out_block = 4 * mbh * vh * mbw * vw
-    mats = spec_bytes * 2 * (vh * lh + wc * vw)
     if wstack:
         # re/im scratch + one block's MAC planes + sub-transform temps
         inter = 4 * (2 * mbh * vh * wc + 2 * lh * wc + 4 * vh * wc)

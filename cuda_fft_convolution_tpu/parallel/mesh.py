@@ -268,6 +268,12 @@ def conv_spectral_sharded(
             "flat-layout banks are a single-device direct-engine "
             "optimization; precompute with storage='planar' for sharding",
         )
+        validate(
+            sk.re.dtype == spectral.re.dtype,
+            f"spectra store-dtype mismatch: kernels {sk.re.dtype}, data "
+            f"{spectral.re.dtype} — precompute both sides with the same "
+            "store_dtype ('bfloat16' tier pairs with a bf16 bank)",
+        )
     else:
         if not tiled:
             # Giant raw banks: size the RESIDENT per-device spectra before
@@ -279,7 +285,8 @@ def conv_spectral_sharded(
             n, f = int(kstack.shape[0]), int(kstack.shape[1])
             h_pad = -(-spectral.fft_h // 8) * 8
             wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
-            per_dev_resident = 8 * (-(-n // kshards)) * f * h_pad * wc_pad
+            pair = 2 * spectral.re.dtype.itemsize  # tier-matched bank
+            per_dev_resident = pair * (-(-n // kshards)) * f * h_pad * wc_pad
             if n > kshards and per_dev_resident > budget // 2:
                 kstack, correlation = _api._apply_correlation_flip(
                     kstack, khs, kws, correlation
@@ -290,7 +297,13 @@ def conv_spectral_sharded(
                     use_pallas=use_pallas, same_offset=same_offset,
                     budget=budget,
                 )
-        sk = _api.fft_kernels(kernels, spectral=spectral, correlation=correlation)
+        sk = _api.fft_kernels(
+            kernels, spectral=spectral, correlation=correlation,
+            store_dtype=(
+                "bfloat16"
+                if spectral.re.dtype == jnp.bfloat16 else "float32"
+            ),
+        )
     if tiled:
         validate(
             mode != "fftmap",

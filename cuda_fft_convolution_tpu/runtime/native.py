@@ -60,7 +60,18 @@ def load():
             lib = ctypes.CDLL(so)
         except OSError:
             return None
+        try:
+            _LIB = _bind(lib)
+        except AttributeError:
+            # Stale library missing current-ABI symbols (e.g. a prebuilt
+            # .so newer than planner.cpp) — fall back to pure Python.
+            _LIB = None
+        return _LIB
 
+
+def _bind(lib):
+        """Bind the current-ABI symbols; AttributeError on a stale library,
+        None on an ABI-version mismatch."""
         c64 = ctypes.c_int64
         lib.ffc_ceil_div.restype = c64
         lib.ffc_ceil_div.argtypes = [c64, c64]
@@ -100,5 +111,4 @@ def load():
         lib.ffc_abi_version.argtypes = []
         if lib.ffc_abi_version() != _ABI_VERSION:
             return None
-        _LIB = lib
-        return _LIB
+        return lib

@@ -37,6 +37,7 @@ class FftConvPlan:
     kernel_shape: tuple  # (N, Kh, Kw, F)
     fft_h: int
     fft_w: int
+    kfft_aval: object  # ShapeDtypeStruct of each kernel-spectra plane
     _data_fft_exec: object
     _kernel_fft_exec: object
     _conv_exec: object
@@ -168,6 +169,7 @@ def make_plan(
             kernel_shape=tuple(kernel_shape),
             fft_h=block_h,
             fft_w=block_w,
+            kfft_aval=kfft_aval,
             _data_fft_exec=jax.jit(_data_fft_t).lower(data_aval).compile(),
             _kernel_fft_exec=jax.jit(_kernel_fft_t).lower(kern_aval).compile(),
             _conv_exec=jax.jit(_conv)
@@ -216,6 +218,7 @@ def make_plan(
         kernel_shape=tuple(kernel_shape),
         fft_h=fft_h,
         fft_w=fft_w,
+        kfft_aval=kfft_aval,
         _data_fft_exec=jax.jit(_data_fft).lower(data_aval).compile(),
         _kernel_fft_exec=jax.jit(_kernel_fft).lower(kern_aval).compile(),
         _conv_exec=jax.jit(_conv)

@@ -153,6 +153,16 @@ class ConvStream:
         path of a serving loop. Accepts a spatial bank of the planned shape
         or a precomputed ``(re, im)`` spectra pair from ``plan.kernel_fft``."""
         if isinstance(kernels, tuple) and len(kernels) == 2:
+            want = self._plan.kfft_aval
+            for name, plane in zip(("re", "im"), kernels):
+                validate(
+                    tuple(plane.shape) == tuple(want.shape)
+                    and plane.dtype == want.dtype,
+                    f"spectra pair {name} plane {plane.dtype}"
+                    f"{tuple(plane.shape)} != planned {want.dtype}"
+                    f"{tuple(want.shape)} — pass plan.kernel_fft output "
+                    "for this plan's geometry and store dtype",
+                )
             self._kfft = kernels
             return
         kernels = jnp.asarray(kernels, jnp.float32)
@@ -267,11 +277,13 @@ class ShardedConvStream:
         self._kh, self._kw = int(kernels.shape[1]), int(kernels.shape[2])
         self._inflight: collections.deque[ConvFuture] = collections.deque()
 
-        # Template staging pass (zero frame): fixes the FFT/block geometry
-        # and the baked output window so every submit reuses the cached
-        # executables.
-        template = jnp.zeros(self._data_shape, jnp.float32)
-        sd = self._stage(template)
+        # Abstract staging pass: fixes the FFT/block geometry and the baked
+        # output window with ZERO device work — the spectral pytrees carry
+        # geometry as static aux fields, so eval_shape yields everything
+        # fft_kernels needs (a real zero-frame transform here would pay a
+        # throwaway dispatch plus the data-FFT program's first compile).
+        template = jax.ShapeDtypeStruct(self._data_shape, jnp.float32)
+        sd = jax.eval_shape(self._stage, template)
         sk = _api.fft_kernels(
             kernels, spectral=sd, correlation=correlation,
             storage="planar",  # sharding takes planar (mesh.py validates)

@@ -300,3 +300,67 @@ def test_checkpoint_roundtrip_preserves_tier(rng, tmp_path):
     assert rel_err(
         out[0], fft_map_f64(data, kerns[0], sd.fft_h, sd.fft_w)
     ) < BF16_TOL
+
+
+def test_store_dtype_mismatch_rejected_everywhere(rng):
+    """The mismatch guard holds on EVERY bank entry point that accepts
+    precomputed SpectralKernels — pipelined and sharded included (a silent
+    mixed pair runs the upcast MAC at bf16 dot precision, degrading the
+    f32 side ~1e-3 without an error)."""
+    data = _mk(rng, (32, 32, 2))
+    kerns = [_mk(rng, (5, 5, 2)) for _ in range(4)]
+    sd32 = fc.fft_data(data, 5, 5)
+    sk16 = fc.fft_kernels(kerns, spectral=sd32, store_dtype="bfloat16")
+    with pytest.raises(InvalidInputError, match="store-dtype mismatch"):
+        fc.conv_spectral_pipelined(sd32, sk16, chunk_size=2)
+    mesh = fc.make_mesh(data=1)
+    with pytest.raises(InvalidInputError, match="store-dtype mismatch"):
+        fc.conv_spectral_sharded(sd32, sk16, mesh)
+
+
+def test_sharded_raw_kernels_inherit_tier(rng):
+    """conv_spectral_sharded transforms raw kernels at the DATA spectra's
+    store dtype (a silent f32 bank against bf16 data doubles the intended
+    per-device residency and mixes tiers)."""
+    data = _mk(rng, (32, 32, 2))
+    kerns = np.stack([_mk(rng, (5, 5, 2)) for _ in range(8)])
+    sd = fc.fft_data(data, 5, 5, store_dtype="bfloat16")
+    mesh = fc.make_mesh(data=1)
+    out = np.array(
+        fc.conv_spectral_sharded(sd, kerns, mesh).astype(jnp.float32)
+    )
+    # must match an explicitly bf16-precomputed bank bit-for-bit (an f32
+    # bank would round differently everywhere)
+    sk16 = fc.fft_kernels(kerns, spectral=sd, store_dtype="bfloat16")
+    want = np.array(
+        fc.conv_spectral_sharded(sd, sk16, mesh).astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(out, want)
+    for i in range(8):
+        assert rel_err(
+            out[i], fft_map_f64(data, kerns[i], sd.fft_h, sd.fft_w)
+        ) < BF16_TOL
+
+
+def test_tiled_chunk_model_is_tier_aware(rng):
+    """The tiled engine's chunk-size model counts stored-spectra bytes at
+    the tier's width: under the same tight budget the bf16 tier gets at
+    least the f32 chunk (its fixed footprint halves)."""
+    from cuda_fft_convolution_tpu import api as _api
+
+    data = _mk(rng, (256, 256, 1))
+    n = 16
+    chunks = {}
+    try:
+        for tier in ("float32", "bfloat16"):
+            sd = fc.fft_data_tiled(data, 9, 9, store_dtype=tier)
+            d_re = sd.re
+            # budget just above the f32 fixed footprint so per-kernel cost
+            # becomes the binding constraint
+            fc.set_config(hbm_budget_bytes=48 << 20)
+            chunks[tier] = _api._tiled_chunk_size(sd, d_re, n)
+            fc.set_config(hbm_budget_bytes=None)
+    finally:
+        fc.set_config(hbm_budget_bytes=None)
+    assert chunks["bfloat16"] >= chunks["float32"]
+    assert chunks["bfloat16"] > 1  # halved spectra must buy headroom

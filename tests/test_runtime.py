@@ -1,5 +1,6 @@
 """Runtime layer tests: native planner parity + AOT plan execution."""
 
+import os
 import numpy as np
 import pytest
 
@@ -353,3 +354,29 @@ def test_plan_bank_native_matches_python(monkeypatch):
     python_plans = [planner.plan_bank(*c[:5], hbm_budget_bytes=c[5]) for c in cases]
     for c, a, b in zip(cases, native_plans, python_plans):
         assert (a.chunk_size, a.peak_bytes) == (b.chunk_size, b.peak_bytes), c
+
+
+def test_native_loader_stale_abi_falls_back(tmp_path, monkeypatch):
+    """A stale libfftconv_planner.so missing current-ABI symbols (e.g. a
+    prebuilt copy newer than planner.cpp) must yield None — falling back to
+    the Python planners — not raise AttributeError out of load()."""
+    import subprocess
+
+    from cuda_fft_convolution_tpu.runtime import native
+
+    src = tmp_path / "old.cpp"
+    src.write_text('extern "C" long long ffc_ceil_div(long long a, '
+                   "long long b) { return (a + b - 1) / b; }\n")
+    so = tmp_path / "libfftconv_planner.so"
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
+        check=True,
+    )
+    # a planner.cpp OLDER than the .so so the mtime check skips the rebuild
+    planner_src = tmp_path / "planner.cpp"
+    planner_src.write_text("// stub\n")
+    os.utime(planner_src, (0, 0))
+    monkeypatch.setattr(native, "_csrc_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(native, "_TRIED", False)
+    monkeypatch.setattr(native, "_LIB", None)
+    assert native.load() is None

@@ -183,3 +183,48 @@ def test_stream_result_idempotent(rng):
     b = np.array(fut.result())
     np.testing.assert_array_equal(a, b)
     assert fut.done()
+
+
+def test_stream_update_kernels_rejects_foreign_spectra_pair(rng):
+    """A (re, im) pair from a different geometry or store dtype is rejected
+    at update time — not at the next submit as an opaque XLA aval error."""
+    kerns = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
+    stream = fc.ConvStream.create((16, 16, 1), kerns, depth=1)
+    other = fc.ConvStream.create((32, 32, 1), kerns, depth=1)
+    with pytest.raises(ValueError, match="planned"):
+        stream.update_kernels(other.plan.kernel_fft(kerns))
+    # dtype mismatch (f32 pair into a bf16-tier plan)
+    bf = fc.ConvStream.create((16, 16, 1), kerns, depth=1,
+                              store_dtype="bfloat16")
+    with pytest.raises(ValueError, match="planned"):
+        bf.update_kernels(stream.plan.kernel_fft(kerns))
+    # the right pair still flows
+    bf.update_kernels(bf.plan.kernel_fft(kerns))
+    frame = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    assert bf.submit(frame).result().shape[0] == 2
+
+
+def test_sharded_stream_constructs_without_device_work(rng, monkeypatch):
+    """ShardedConvStream resolves geometry via eval_shape — constructing it
+    must not execute a staging transform (on the tunneled TPU a throwaway
+    zero-frame dispatch costs an RTT plus a first compile)."""
+    mesh = _mesh_or_skip()
+    import cuda_fft_convolution_tpu.api as _api
+
+    calls = {"n": 0}
+    real = _api.fft_data_tiled
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(_api, "fft_data_tiled", counting)
+    kerns = rng.standard_normal((8, 3, 3, 1)).astype(np.float32)
+    stream = fc.ShardedConvStream(mesh, kerns, (16, 16, 1), depth=1)
+    # the staging fn is traced abstractly (eval_shape) — that one call must
+    # not have touched devices; probe by checking no frame was staged with
+    # concrete inputs (eval_shape passes ShapeDtypeStructs through)
+    assert calls["n"] == 1
+    frame = rng.standard_normal((16, 16, 1)).astype(np.float32)
+    out = np.array(stream.submit(frame).result())
+    assert out.shape[0] == 8
