@@ -459,6 +459,34 @@ _HBM_BYTES_BY_KIND = {
 }
 
 
+def _bank_spectra_bytes(
+    n: int, f: int, fft_h: int, fft_w: int, store_bytes: int = 4,
+    flat: bool = False,
+) -> int:
+    """Resident HBM bytes of a bank's (re, im) spectra — THE byte model
+    every residency/streaming decision uses (keep single-sourced; it must
+    mirror fft_kernels' actual storage). Planar planes occupy their
+    (8, 128)-tile-padded footprint — a (540, 271) plane is physically
+    (544, 384), 1.43× nominal (measured OOMs with the nominal model);
+    flat packing is lane-padded only (~nominal). ``store_bytes``:
+    per-element width (2 = bf16 serving tier)."""
+    wc = fft_w // 2 + 1
+    if flat:
+        return 2 * store_bytes * n * f * (-(-(fft_h * wc) // 128) * 128)
+    h_pad = -(-fft_h // 8) * 8
+    wc_pad = -(-wc // 128) * 128
+    return 2 * store_bytes * n * f * h_pad * wc_pad
+
+
+def _flat_auto_rule(n: int, f: int, fft_h: int, fft_w: int) -> bool:
+    """When storage='auto' packs a (corner, direct-engine) bank flat: the
+    tile-padding waste exceeds 25% on a reasonably large bank."""
+    wc = fft_w // 2 + 1
+    h_pad = -(-fft_h // 8) * 8
+    wc_pad = -(-wc // 128) * 128
+    return (h_pad * wc_pad) / (fft_h * wc) > 1.25 and n * f >= 64
+
+
 def _device_memory_budget() -> int:
     """Usable HBM bytes on the default device (conservative fraction from
     Config.hbm_fraction): runtime memory_stats when available, else a
@@ -496,6 +524,7 @@ def fft_data(
     policy: FftSizePolicy | str | None = None,
     device=None,
     padding: str = "zero",
+    same_offset: str = "scipy",
     store_dtype: str = "float32",
 ) -> SpectralData:
     """Precompute the reusable data spectrum — ≈ ``cudaFFTData(data, Kh, Kw)``
@@ -508,10 +537,16 @@ def fft_data(
     policy pluggable per SURVEY.md §7).
 
     ``padding``: 'zero' pads with zeros (padData,
-    src/cudaConvFFTData.cuh:11-31); 'clamp' replicates edge pixels through
-    the (max_kernel − 1) pad band (padDataClampToBorder,
+    src/cudaConvFFTData.cuh:11-31); 'clamp' pads with the reference's
+    three-region border-replicate rule (padDataClampToBorder,
     src/convolutionFFTkernel.cu:46-76) — boundary-friendly filtering where
-    edge outputs see replicated pixels instead of an implicit black border.
+    'same'-window edge outputs see replicated pixels instead of an implicit
+    black border on EVERY edge (bottom/right via the clamp band, top/left
+    via the wrap-to-origin replicas the circular FFT reads at negative tap
+    indices). The band is sized to the kernel-center ('same') offset;
+    ``same_offset`` picks the convention ('scipy' (K−1)//2 or 'matlab'
+    K//2 — match the trim you will request; they differ only for even
+    kernels). Pair with mode 'same' or 'fftmap'.
 
     ``store_dtype='bfloat16'`` stores the spectra bf16 — the serving tier
     for BASELINE configs[4]'s "bf16 inputs, fp32 spectral accumulation":
@@ -522,6 +557,10 @@ def fft_data(
     """
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
     validate(padding in ("zero", "clamp"), "padding must be 'zero' or 'clamp'")
+    validate(
+        same_offset in ("scipy", "matlab"),
+        "same_offset must be 'scipy' or 'matlab'",
+    )
     store_t = _resolve_store_dtype(store_dtype)
     policy = _resolve_policy(policy)
     if device is not None:
@@ -532,9 +571,16 @@ def fft_data(
     data_cf, batched = _data_to_cfirst(data)
     b, f, h, w = data_cf.shape
     fft_h, fft_w = compute_fft_size(h, w, max_kernel_h, max_kernel_w, policy)
-    clamp = (
-        (max_kernel_h - 1, max_kernel_w - 1) if padding == "clamp" else (0, 0)
-    )
+    if padding == "clamp":
+        # The band is the kernel-center ('same') offset — the reference's
+        # kernelY/kernelX pad arguments; the rest of the pad wraps to
+        # row/col 0 inside pad_clamp_to_border.
+        if same_offset == "matlab":
+            clamp = (max_kernel_h // 2, max_kernel_w // 2)
+        else:
+            clamp = ((max_kernel_h - 1) // 2, (max_kernel_w - 1) // 2)
+    else:
+        clamp = (0, 0)
     re, im = _fft_data_worker(data_cf, fft_h, fft_w, *clamp)
     re, im = re.astype(store_t), im.astype(store_t)
     if not batched:
@@ -739,29 +785,27 @@ def fft_kernels(
     wc = fft_w // 2 + 1
     h_pad = -(-fft_h // 8) * 8
     wc_pad = -(-wc // 128) * 128
-    pad_ratio = (h_pad * wc_pad) / (fft_h * wc)
     flat = storage == "flat" or (
-        storage == "auto" and pad_ratio > 1.25 and n * f >= 64
+        storage == "auto" and _flat_auto_rule(n, f, fft_h, fft_w)
         and not centered and not tiled_target
     )
-    if centered:
-        re, im = _fft_kernels_centered_worker(
-            kstack, fft_h, fft_w, khs, kws
-        )
-        return SpectralKernels(
-            re=re.astype(store_t), im=im.astype(store_t),
-            fft_h=fft_h, fft_w=fft_w,
-            kernel_hs=khs, kernel_ws=kws, centered=True,
-        )
+    def _transform_chunk(chunk, s):
+        # centered banks roll each kernel's own center to the origin —
+        # they chunk through the same bounded loop below as corner banks
+        if centered:
+            e = s + chunk.shape[0]
+            return _fft_kernels_centered_worker(
+                chunk, fft_h, fft_w, khs[s:e], kws[s:e]
+            )
+        return _fft_kernels_worker(chunk, fft_h, fft_w, correlation)
+
     # RESIDENT footprint is the (8,128)-tile-PADDED HBM layout, not the
     # nominal element count — a (540, 271) plane occupies (544, 384),
     # 1.43× nominal (measured OOMs with the nominal model). Flat storage
     # packs to ~nominal.
-    store_bytes = 2 * jnp.dtype(store_t).itemsize  # re + im, per pixel
-    if flat:
-        spectra_bytes = n * f * (-(-(fft_h * wc) // 128) * 128) * store_bytes
-    else:
-        spectra_bytes = n * f * h_pad * wc_pad * store_bytes  # padded planes
+    spectra_bytes = _bank_spectra_bytes(
+        n, f, fft_h, fft_w, jnp.dtype(store_t).itemsize, flat
+    )
     total = _device_memory_budget()
     if spectra_bytes > total // 4 and n > 1:
         # Chunk the forward transform so its temporaries stay bounded (big
@@ -780,8 +824,8 @@ def fft_kernels(
         re = jnp.zeros(acc_shape, store_t)
         im = jnp.zeros(acc_shape, store_t)
         for s in range(0, n, step):
-            c_re, c_im = _fft_kernels_worker(
-                kstack[s : s + min(step, n - s)], fft_h, fft_w, correlation
+            c_re, c_im = _transform_chunk(
+                kstack[s : s + min(step, n - s)], s
             )
             c_re, c_im = c_re.astype(store_t), c_im.astype(store_t)
             if flat:
@@ -794,14 +838,14 @@ def fft_kernels(
             # pile-up re-creates the 2×-bank peak the donation avoids.
             _drain_device_queue(re)
     else:
-        re, im = _fft_kernels_worker(kstack, fft_h, fft_w, correlation)
+        re, im = _transform_chunk(kstack, 0)
         re, im = re.astype(store_t), im.astype(store_t)
         if flat:
             re = _flatten_bank_chunk(re)
             im = _flatten_bank_chunk(im)
     return SpectralKernels(
         re=re, im=im, fft_h=fft_h, fft_w=fft_w, kernel_hs=khs,
-        kernel_ws=kws, flat=flat,
+        kernel_ws=kws, flat=flat, centered=centered,
     )
 
 
@@ -965,21 +1009,15 @@ def conv_spectral(
             "(reference check src/cudaConvolutionFFT.cu:242-243)",
         )
         n, f = int(kstack.shape[0]), int(kstack.shape[1])
-        wc = spectral.fft_w // 2 + 1
-        h_pad = -(-spectral.fft_h // 8) * 8
-        wc_pad = -(-wc // 128) * 128
         # Mirror fft_kernels' ACTUAL storage: the data spectra's store
         # dtype (bf16 tier halves residency) and flat auto-packing (kills
         # the tile padding) — the f32-planar model would stream banks that
         # comfortably fit resident.
-        store_b = int(spectral.re.dtype.itemsize)
-        pad_ratio = (h_pad * wc_pad) / (spectral.fft_h * wc)
-        if pad_ratio > 1.25 and n * f >= 64:  # fft_kernels flat-auto rule
-            resident_bytes = (
-                2 * store_b * n * f * (-(-(spectral.fft_h * wc) // 128) * 128)
-            )
-        else:
-            resident_bytes = 2 * store_b * n * f * h_pad * wc_pad
+        resident_bytes = _bank_spectra_bytes(
+            n, f, spectral.fft_h, spectral.fft_w,
+            int(spectral.re.dtype.itemsize),
+            flat=_flat_auto_rule(n, f, spectral.fft_h, spectral.fft_w),
+        )
         if (
             n > 1
             and kernel_layout == "corner"
@@ -1036,15 +1074,13 @@ def conv_spectral(
         # difference back so a flat bank isn't starved into tiny chunks by
         # phantom padding (the planner ABI stays layout-agnostic; the
         # store WIDTH is the planner's own store_bytes input).
-        wc = spectral.fft_w // 2 + 1
-        padded = (
-            sk.num_kernels * spectral.feature_dim
-            * (-(-spectral.fft_h // 8) * 8) * (-(-wc // 128) * 128)
-            * 2 * store_bytes
+        padded = _bank_spectra_bytes(
+            sk.num_kernels, spectral.feature_dim,
+            spectral.fft_h, spectral.fft_w, store_bytes,
         )
-        flat_bytes = (
-            sk.num_kernels * spectral.feature_dim
-            * (-(-(spectral.fft_h * wc) // 128) * 128) * 2 * store_bytes
+        flat_bytes = _bank_spectra_bytes(
+            sk.num_kernels, spectral.feature_dim,
+            spectral.fft_h, spectral.fft_w, store_bytes, flat=True,
         )
         budget += max(padded - flat_bytes, 0)
     plan = plan_bank(
@@ -1322,6 +1358,12 @@ def conv_spectral_pipelined(
             "storage='planar' for tiled spectra",
         )
         validate(
+            not sk.centered,
+            "kernel_layout='centered' requires the direct engine "
+            "(SpectralData) — tiled block decomposition assumes "
+            "corner-anchored kernels",
+        )
+        validate(
             mode != "fftmap",
             "mode='fftmap' requires the direct engine; the tiled engine "
             "computes linear convolution only",
@@ -1558,7 +1600,7 @@ def fft_conv(
     )
     spectral = fft_data(
         data, max_kernel_h, max_kernel_w, policy=policy, device=device,
-        padding=padding, store_dtype=store_dtype,
+        padding=padding, same_offset=same_offset, store_dtype=store_dtype,
     )
     return conv_spectral(
         spectral, kernels, mode=mode, correlation=correlation,

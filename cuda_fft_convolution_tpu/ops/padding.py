@@ -5,11 +5,10 @@ Reference equivalents:
     zero-pad an H×W×F array into FFT_H×FFT_W×F, data in the top-left corner.
   - ``pad_clamp_to_border`` ≈ the vestigial texture-based ``padData`` in
     src/convolutionFFTkernel.cu:46-76, which replicates edge pixels into the
-    pad band instead of zeros (named as a capability to carry forward in
-    BASELINE.json). The reference version also wraps the far pad region back
-    to row/col 0 for kernel-centering; here we expose the useful semantic —
-    edge replication over the (kernel-1)-wide band, zero (wrap) elsewhere is
-    not needed because linear-conv consumers only read the valid window.
+    pad band and fills the far pad region with row/col-0 replicas (named as
+    a capability to carry forward in BASELINE.json). Both regions matter:
+    the band serves bottom/right edge outputs, the wrap-to-origin region
+    serves top/left edge outputs through the circular FFT.
 
 On TPU these are pure data-movement ops; XLA lowers ``jax.lax.pad`` /
 dynamic-slice fusions efficiently, so no Pallas is needed for zero padding —
@@ -64,22 +63,34 @@ def pad_kernel_centered(
 def pad_clamp_to_border(
     x: jnp.ndarray, fft_h: int, fft_w: int, border_h: int, border_w: int
 ) -> jnp.ndarray:
-    """Pad (H, W) up to (fft_h, fft_w): replicate edge values through a
-    border band of (border_h, border_w) rows/cols, zero beyond it.
+    """Pad (H, W) up to (fft_h, fft_w) with the reference's exact
+    three-region rule (src/convolutionFFTkernel.cu:65-74): data in the
+    top-left corner; the next (border_h, border_w) pad rows/cols replicate
+    the far edge (row H−1 / col W−1); every pad row/col BEYOND the band
+    replicates row/col 0.
 
-    Semantic match for src/convolutionFFTkernel.cu:65-74 with the wrap-to-0
-    region replaced by zeros (the wrap exists there only to center kernels;
-    our kernels are corner-anchored like the built reference path).
+    The far wrap-to-origin region is load-bearing for linear convolution
+    through a circular FFT: output pixels near the top/left edge read taps
+    at negative indices, which wrap to the END of the padded array — those
+    rows must hold row/col-0 replicas for edge outputs to see replicated
+    pixels (zeros there would reintroduce the implicit black border on the
+    top/left edges that clamp padding exists to remove). ``border_h/w``
+    should be the kernel's center offset (the 'same'-window trim offset) —
+    the reference's ``kernelY``/``kernelX`` arguments.
     """
     h, w = x.shape[-2], x.shape[-1]
     if h > fft_h or w > fft_w:
         raise ValueError(
             f"input spatial dims ({h},{w}) exceed FFT dims ({fft_h},{fft_w})"
         )
-    # Clamped index gather along each spatial axis, then zero the far region.
-    rows = jnp.minimum(jnp.arange(fft_h), h - 1)
-    cols = jnp.minimum(jnp.arange(fft_w), w - 1)
-    out = x[..., rows, :][..., :, cols]
-    row_live = (jnp.arange(fft_h) < h + border_h)[:, None]
-    col_live = (jnp.arange(fft_w) < w + border_w)[None, :]
-    return out * (row_live & col_live).astype(x.dtype)
+    idx_h = jnp.arange(fft_h)
+    idx_w = jnp.arange(fft_w)
+    rows = jnp.where(
+        idx_h < h, jnp.minimum(idx_h, h - 1),
+        jnp.where(idx_h < h + border_h, h - 1, 0),
+    )
+    cols = jnp.where(
+        idx_w < w, jnp.minimum(idx_w, w - 1),
+        jnp.where(idx_w < w + border_w, w - 1, 0),
+    )
+    return x[..., rows, :][..., :, cols]

@@ -199,6 +199,46 @@ def fft_data_blocks(
     return rfft2_padded_planes(xb, block_h, block_w)
 
 
+def fused_dispatch_auto(
+    f: int, block_h: int, block_w: int, vh: int, vw: int,
+    spec_dtype=jnp.float32,
+) -> bool:
+    """The auto fused-dispatch condition — THE definition of when the fused
+    Pallas block-conv runs instead of the unfused MAC+inverse pipeline
+    (conv_blocks' auto branch and the autotuner's registered ``fused`` flag
+    both call this; keep it single-sourced so registered entries always
+    record what actually runs).
+
+    The scratch-variant fused kernels beat the unfused pipeline at EVERY
+    legal geometry measured on v5e at F ≤ 16 (perf/bench_fused_v3.py,
+    perf/sweep_f8_fused.py), so legality — TPU matmul-transform path,
+    (8,128)-aligned valid window, wide-enough dots, VMEM fit — is the
+    condition, plus the F cap: at F=31 the kernel-spectra refetch bill
+    makes fused LOSE where it even compiles (54.6 vs 38.9 ms at blocks
+    (63,287), N=64 — PERF.md's closed F=31 argument)."""
+    from cuda_fft_convolution_tpu.ops.block_conv import block_conv_fits_vmem
+    from cuda_fft_convolution_tpu.ops.conv import _use_matmul_fft
+
+    lwc = block_w // 2 + 1
+    dt = jnp.dtype(spec_dtype)
+    return (
+        jax.default_backend() == "tpu"
+        # f32 AND the bf16 serving tier (BF16IO single-pass dots)
+        and dt in (jnp.float32, jnp.bfloat16)
+        and _use_matmul_fft(block_h, block_w)
+        and f <= 16
+        and vh % 8 == 0
+        and vw % 128 == 0
+        # stay inside measured-winning dot territory: narrow cells
+        # (small Wc / short windows) starve the MXU — the v1 lesson
+        and vh >= 32
+        and lwc >= 128
+        and block_conv_fits_vmem(
+            f, block_h, lwc, vh, vw, spec_bytes=dt.itemsize
+        )
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -235,37 +275,8 @@ def conv_blocks(
     dflat_im = d_im.reshape(b * nbh * nbw, f, lh, lwc)
     fused = get_config().use_fused_block_conv
     if fused is None:
-        # auto: the scratch-variant fused kernels (v3 row-stacked W stage /
-        # v4 radix-2 H stage) beat the unfused pipeline at EVERY legal
-        # geometry measured on v5e at F ≤ 16 (perf/bench_fused_v3.py F=1:
-        # 61.8–79.6 ms vs a flat 75–90 ms unfused traffic roofline;
-        # perf/sweep_f8_fused.py F=2–16: fused 29–48 ms vs unfused 41–62
-        # across K=32..64 at both tiers), so legality — aligned valid
-        # window + VMEM fit on the matmul-transform TPU path — is the
-        # dispatch condition, plus an F cap: at F=31 the kernel-spectra
-        # refetch bill makes fused LOSE where it even compiles (measured
-        # 54.6 vs 38.9 ms at blocks (63, 287), N=64 — the same economics
-        # PERF.md's closed F=31 argument derives for the DPM bank).
-        from cuda_fft_convolution_tpu.ops.block_conv import (
-            block_conv_fits_vmem,
-        )
-
-        fused = (
-            jax.default_backend() == "tpu"
-            # f32 AND the bf16 serving tier (BF16IO single-pass dots)
-            and d_re.dtype in (jnp.float32, jnp.bfloat16)
-            and _use_matmul_fft(block_h, block_w)
-            and f <= 16
-            and vh % 8 == 0
-            and vw % 128 == 0
-            # stay inside measured-winning dot territory: narrow cells
-            # (small Wc / short windows) starve the MXU — the v1 lesson
-            and vh >= 32
-            and lwc >= 128
-            and block_conv_fits_vmem(
-                f, lh, lwc, vh, vw, spec_bytes=d_re.dtype.itemsize
-            )
-        )
+        # auto: see fused_dispatch_auto (single-sourced with the autotuner)
+        fused = fused_dispatch_auto(f, block_h, block_w, vh, vw, d_re.dtype)
     if fused and jax.default_backend() == "tpu" and (
         vh % 8 != 0 or vw % 128 != 0
     ):

@@ -283,10 +283,10 @@ def conv_spectral_sharded(
                 kernels, spectral.feature_dim
             )
             n, f = int(kstack.shape[0]), int(kstack.shape[1])
-            h_pad = -(-spectral.fft_h // 8) * 8
-            wc_pad = -(-(spectral.fft_w // 2 + 1) // 128) * 128
-            pair = 2 * spectral.re.dtype.itemsize  # tier-matched bank
-            per_dev_resident = pair * (-(-n // kshards)) * f * h_pad * wc_pad
+            per_dev_resident = _api._bank_spectra_bytes(
+                -(-n // kshards), f, spectral.fft_h, spectral.fft_w,
+                int(spectral.re.dtype.itemsize),  # tier-matched bank
+            )
             if n > kshards and per_dev_resident > budget // 2:
                 kstack, correlation = _api._apply_correlation_flip(
                     kstack, khs, kws, correlation
@@ -299,6 +299,8 @@ def conv_spectral_sharded(
                 )
         sk = _api.fft_kernels(
             kernels, spectral=spectral, correlation=correlation,
+            storage="planar",  # 'auto' may pick flat: rank-3 spectra
+            # can't take the 4-axis kernel PartitionSpec below
             store_dtype=(
                 "bfloat16"
                 if spectral.re.dtype == jnp.bfloat16 else "float32"
@@ -313,6 +315,12 @@ def conv_spectral_sharded(
         validate(
             sk.fft_h == spectral.block_h and sk.fft_w == spectral.block_w,
             "SpectralKernels FFT dims do not match the tiled block dims",
+        )
+        validate(
+            not sk.centered,
+            "kernel_layout='centered' requires the direct engine "
+            "(SpectralData) — tiled block decomposition assumes "
+            "corner-anchored kernels",
         )
         validate(
             max(sk.kernel_hs) <= spectral.max_kh

@@ -263,21 +263,9 @@ def autotune_block_geometry(
 
 
 def _fused_gate(f: int, bh: int, bw: int, vh: int, vw: int) -> bool:
-    """Mirror of conv_blocks' auto fused-dispatch condition, evaluated for
-    a measured plan so the registered entry records what actually ran."""
-    import jax
+    """conv_blocks' auto fused-dispatch condition, evaluated for a measured
+    plan so the registered entry records what actually ran — delegates to
+    the single-sourced predicate (ops/tiled.py fused_dispatch_auto)."""
+    from cuda_fft_convolution_tpu.ops.tiled import fused_dispatch_auto
 
-    from cuda_fft_convolution_tpu.ops.block_conv import block_conv_fits_vmem
-    from cuda_fft_convolution_tpu.ops.conv import _use_matmul_fft
-
-    lwc = bw // 2 + 1
-    return (
-        jax.default_backend() == "tpu"
-        and _use_matmul_fft(bh, bw)
-        and f <= 16  # F=31 measured losing fused (perf/sweep_f8_fused.py)
-        and vh % 8 == 0
-        and vw % 128 == 0
-        and vh >= 32
-        and lwc >= 128
-        and block_conv_fits_vmem(f, bh, lwc, vh, vw)
-    )
+    return fused_dispatch_auto(f, bh, bw, vh, vw)

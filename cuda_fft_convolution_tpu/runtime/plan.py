@@ -141,6 +141,8 @@ def make_plan(
             sk = _api.fft_kernels(
                 kernels, fft_h=block_h, fft_w=block_w,
                 correlation=correlation, store_dtype=store_dtype,
+                storage="planar",  # 'auto' may pick flat (rank-3) on big
+                # banks; _conv_exec is lowered against 4-D planar avals
             )
             return sk.re, sk.im
 

@@ -364,3 +364,24 @@ def test_tiled_chunk_model_is_tier_aware(rng):
         fc.set_config(hbm_budget_bytes=None)
     assert chunks["bfloat16"] >= chunks["float32"]
     assert chunks["bfloat16"] > 1  # halved spectra must buy headroom
+
+
+def test_sharded_streaming_spatial_bf16(rng):
+    """The sharded giant-bank streaming path (raw bank too big to hold
+    resident) accepts bf16-tier data spectra: per-chunk f32 kernel
+    transforms run a mixed MAC against the bf16 data planes (tier-bound
+    accuracy either way)."""
+    data = _mk(rng, (48, 48, 2))
+    bank = np.stack([_mk(rng, (5, 5, 2)) for _ in range(16)])
+    sd = fc.fft_data(data, 5, 5, store_dtype="bfloat16")
+    mesh = fc.make_mesh(data=1)
+    try:
+        fc.set_config(hbm_budget_bytes=1 << 20)  # forces streaming
+        out = np.array(
+            fc.conv_spectral_sharded(sd, bank, mesh).astype(jnp.float32)
+        )
+    finally:
+        fc.set_config(hbm_budget_bytes=None)
+    sd64 = fc.fft_data(data, 5, 5)
+    want = np.array(fc.conv_spectral(sd64, bank))
+    assert rel_err(out, want) < BF16_TOL

@@ -24,17 +24,28 @@ def test_pad_to_fft_noop_and_errors(rng):
 
 
 def test_pad_clamp_to_border(rng):
+    """The reference's exact three-region rule
+    (src/convolutionFFTkernel.cu:65-74): data, far-edge clamp band,
+    then row/col-0 replicas (which the circular FFT reads at negative tap
+    indices — top/left edge outputs depend on them)."""
     x = rng.standard_normal((4, 6)).astype(np.float32)
     out = np.array(pad_clamp_to_border(x, 8, 12, 2, 3))
     assert out.shape == (8, 12)
     np.testing.assert_array_equal(out[:4, :6], x)
-    # border band replicates edge values
+    # border band replicates far-edge values
     np.testing.assert_array_equal(out[4, :6], x[3, :])
     np.testing.assert_array_equal(out[5, :6], x[3, :])
     np.testing.assert_array_equal(out[:4, 6], x[:, 5])
-    # beyond the band: zeros
-    assert np.all(out[6:, :] == 0)
-    assert np.all(out[:, 9:] == 0)
+    np.testing.assert_array_equal(out[:4, 8], x[:, 5])
+    # beyond the band: wrap-to-origin replicas (NOT zeros)
+    np.testing.assert_array_equal(out[6, :6], x[0, :])
+    np.testing.assert_array_equal(out[7, :6], x[0, :])
+    np.testing.assert_array_equal(out[:4, 9], x[:, 0])
+    np.testing.assert_array_equal(out[:4, 11], x[:, 0])
+    # corner regions compose the two axis rules
+    assert out[7, 11] == x[0, 0]
+    assert out[4, 9] == x[3, 0]
+    assert out[6, 8] == x[0, 5]
 
 
 def test_pad_kernel_centered(rng):

@@ -14,14 +14,16 @@ TOL = 1e-5
 
 
 def _clamp_pad_f64(x, fft_h, fft_w, bh, bw):
-    """f64 oracle of pad_clamp_to_border: edge-replicate a (bh, bw) band,
-    zero beyond."""
+    """f64 oracle of pad_clamp_to_border: the reference's three-region rule
+    (src/convolutionFFTkernel.cu:65-74) — data, (bh, bw) far-edge clamp
+    band, row/col-0 replicas beyond."""
     h, w = x.shape
-    out = np.zeros((fft_h, fft_w), np.float64)
-    rows = np.minimum(np.arange(h + bh), h - 1)
-    cols = np.minimum(np.arange(w + bw), w - 1)
-    out[: h + bh, : w + bw] = x[np.ix_(rows, cols)]
-    return out
+    ih, iw = np.arange(fft_h), np.arange(fft_w)
+    rows = np.where(ih < h, np.minimum(ih, h - 1),
+                    np.where(ih < h + bh, h - 1, 0))
+    cols = np.where(iw < w, np.minimum(iw, w - 1),
+                    np.where(iw < w + bw, w - 1, 0))
+    return x[np.ix_(rows, cols)]
 
 
 def test_fft_conv_padding_clamp_vs_oracle(rng):
@@ -35,9 +37,52 @@ def test_fft_conv_padding_clamp_vs_oracle(rng):
     ref = np.zeros((fft_h, fft_w))
     for c in range(2):
         dp = _clamp_pad_f64(data[:, :, c].astype(np.float64), fft_h, fft_w,
-                            6, 4)
+                            3, 2)  # band = kernel-center ('same') offset
         kf = np.fft.fft2(kern[:, :, c].astype(np.float64), (fft_h, fft_w))
         ref += np.real(np.fft.ifft2(np.fft.fft2(dp) * kf))
+    assert rel_err(out, ref) < TOL
+
+
+def _conv_same_nearest_f64(data, kern, dh, dw):
+    """Direct 'same'-window convolution with 'nearest' (edge-replicate)
+    boundary handling: taps outside the image read the clipped edge pixel.
+    This is the end-to-end semantic padding='clamp' exists to deliver."""
+    h, w = data.shape
+    kh, kw = kern.shape
+    out = np.zeros((h, w), np.float64)
+    for y in range(h):
+        for x in range(w):
+            acc = 0.0
+            for i in range(kh):
+                for j in range(kw):
+                    sy = min(max(y + dh - i, 0), h - 1)
+                    sx = min(max(x + dw - j, 0), w - 1)
+                    acc += data[sy, sx] * kern[i, j]
+            out[y, x] = acc
+    return out
+
+
+@pytest.mark.parametrize("ksz,off", [((7, 5), "scipy"), ((6, 4), "matlab")])
+def test_clamp_same_equals_nearest_boundary(rng, ksz, off):
+    """mode='same' + padding='clamp' == direct convolution with replicated
+    borders on EVERY edge — including the top/left edges, whose taps reach
+    the pad through the circular wrap (the wrap-to-origin region), and
+    including exact-fit FFT sizes where the pad is only kernel−1 wide
+    (policy='fast' at 26+7−1=32 / 28+5−1=32 below)."""
+    kh, kw = ksz
+    data = rng.standard_normal((26, 28)).astype(np.float32)
+    kern = rng.standard_normal((kh, kw)).astype(np.float32)
+    out = np.array(
+        fc.fft_conv(data[:, :, None], kh, kw, [kern[:, :, None]],
+                    mode="same", padding="clamp", policy="fast",
+                    same_offset=off)
+    )[0]
+    dh = kh // 2 if off == "matlab" else (kh - 1) // 2
+    dw = kw // 2 if off == "matlab" else (kw - 1) // 2
+    ref = _conv_same_nearest_f64(
+        data.astype(np.float64), kern.astype(np.float64), dh, dw
+    )
+    assert out.shape == ref.shape
     assert rel_err(out, ref) < TOL
 
 
