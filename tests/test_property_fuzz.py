@@ -103,3 +103,65 @@ def test_fuzz_bf16_tier_vs_fp32():
         got = np.asarray(jnp.asarray(g, jnp.float32))
         assert got.shape == want.shape
         assert rel_err(got, want) < 2e-2, (h, w, f, kh, kw, mode, algo)
+
+
+def test_fuzz_clamp_same_vs_nearest_oracle():
+    """Random shapes/kernels at padding='clamp', mode='same': equals direct
+    convolution with 'nearest' (edge-replicate) boundary handling on every
+    edge — both same-offset conventions, kernels even and odd, including
+    exact-fit FFT sizes where the pad is exactly kernel−1 wide."""
+    rng = np.random.default_rng(404)
+    for trial in range(6):
+        h = int(rng.integers(16, 48))
+        w = int(rng.integers(16, 48))
+        kh = int(rng.integers(2, 9))
+        kw = int(rng.integers(2, 9))
+        off = ["scipy", "matlab"][trial % 2]
+        data = rng.standard_normal((h, w)).astype(np.float32)
+        kern = rng.standard_normal((kh, kw)).astype(np.float32)
+        out = np.array(
+            fc.fft_conv(data[:, :, None], kh, kw, [kern[:, :, None]],
+                        mode="same", padding="clamp", policy="fast",
+                        same_offset=off)
+        )[0]
+        dh = kh // 2 if off == "matlab" else (kh - 1) // 2
+        dw = kw // 2 if off == "matlab" else (kw - 1) // 2
+        d64, k64 = data.astype(np.float64), kern.astype(np.float64)
+        # vectorized 'nearest'-boundary direct conv oracle
+        ref = np.zeros((h, w))
+        ys = np.arange(h)[:, None]
+        xs = np.arange(w)[None, :]
+        for i in range(kh):
+            for j in range(kw):
+                sy = np.clip(ys + dh - i, 0, h - 1)
+                sx = np.clip(xs + dw - j, 0, w - 1)
+                ref += d64[sy, sx] * k64[i, j]
+        assert rel_err(out, ref) < TOL, (h, w, kh, kw, off)
+
+
+def test_fuzz_bank_entry_points_agree():
+    """conv_spectral / conv_spectral_pipelined (forced chunking) /
+    one-shot fft_conv agree bit-for-bit-ish on random uniform banks, both
+    storage layouts."""
+    rng = np.random.default_rng(1234)
+    for trial in range(4):
+        h = int(rng.integers(24, 80))
+        w = int(rng.integers(24, 80))
+        f = int(rng.integers(1, 3))
+        kh = int(rng.integers(2, 8))
+        kw = int(rng.integers(2, 8))
+        n = int(rng.integers(3, 7))
+        data = rng.standard_normal((h, w, f)).astype(np.float32)
+        bank = rng.standard_normal((n, kh, kw, f)).astype(np.float32)
+        sd = fc.fft_data(data, kh, kw)
+        storage = ["planar", "flat"][trial % 2]
+        sk = fc.fft_kernels(bank, spectral=sd, storage=storage)
+        a = np.array(fc.conv_spectral(sd, sk, mode="same"))
+        b = np.array(
+            fc.conv_spectral_pipelined(sd, sk, mode="same", chunk_size=2)
+        )
+        c = np.array(
+            fc.fft_conv(data, kh, kw, bank, mode="same", algorithm="direct")
+        )
+        np.testing.assert_allclose(b, a, atol=1e-5)
+        np.testing.assert_allclose(c, a, atol=1e-5)
