@@ -14,4 +14,9 @@ run() {
 run high_prec  perf/diag_high_prec.py
 run inv_direct perf/diag_inverse_tier_direct.py
 run bigk_geom  perf/sweep_bigk_geometry.py
+echo "=== tpu_suite start $(date +%H:%M:%S) ===" | tee -a $LOGDIR/r3c_driver.log
+FFTCONV_TEST_TPU=1 timeout 5400 python -m pytest tests/ -q \
+  > $LOGDIR/r3c_tpu_suite.log 2>&1
+echo "=== tpu_suite exit=$? $(date +%H:%M:%S) ===" | tee -a $LOGDIR/r3c_driver.log
+run bench      bench.py
 echo "ALL DONE $(date)" >> $LOGDIR/r3c_driver.log
