@@ -238,6 +238,10 @@ int32_t ffc_choose_block_fft(int64_t data_h, int64_t data_w, int64_t max_kh,
 }
 
 // ABI version for the ctypes loader's compatibility check.
-int32_t ffc_abi_version() { return 3; }
+// Bump on ANY semantic change to the exported models, not just signature
+// changes — the version gate (runtime/native.py) is what protects the
+// bit-for-bit Python/C++ contract when a stale prebuilt .so escapes the
+// mtime rebuild check. v4: mats axis-role fix in ffc_block_conv_vmem_bytes.
+int32_t ffc_abi_version() { return 4; }
 
 }  // extern "C"

@@ -143,11 +143,11 @@ def _kernels_to_stack(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fft_h", "fft_w", "clamp_h", "clamp_w")
+    jax.jit, static_argnames=("fft_h", "fft_w", "clamp", "clamp_h", "clamp_w")
 )
 def _fft_data_worker(
     data_cf: jnp.ndarray, fft_h: int, fft_w: int,
-    clamp_h: int = 0, clamp_w: int = 0,
+    clamp: bool = False, clamp_h: int = 0, clamp_w: int = 0,
 ):
     """(B, F, H, W) → (re, im) f32 planes (B, F, fft_h, fft_w//2+1).
 
@@ -156,11 +156,14 @@ def _fft_data_worker(
     cufftPlanMany BATCH=F, src/cudaFFTData.cu:137-143). Split-plane output:
     no complex64 at the program boundary (see types.py).
 
-    ``clamp_h/clamp_w`` > 0 selects border-clamp padding (edge pixels
-    replicated through a (clamp_h, clamp_w) band — ≈ padDataClampToBorder,
-    src/convolutionFFTkernel.cu:46-76) instead of zero padding.
+    ``clamp=True`` selects border-clamp padding with a (clamp_h, clamp_w)
+    far-edge band (≈ padDataClampToBorder,
+    src/convolutionFFTkernel.cu:46-76) instead of zero padding. The flag is
+    separate from the band sizes: a (0, 0) band is a VALID clamp pad (the
+    whole pad wraps to row/col 0 — exactly right for kernels ≤ 2 wide,
+    whose 'same' offset is 0).
     """
-    if clamp_h or clamp_w:
+    if clamp:
         from cuda_fft_convolution_tpu.ops.padding import pad_clamp_to_border
 
         data_cf = pad_clamp_to_border(
@@ -184,22 +187,19 @@ def _fft_kernels_worker(
     return rfft2_padded_planes(kstack, fft_h, fft_w)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("fft_h", "fft_w", "khs", "kws")
-)
+@functools.partial(jax.jit, static_argnames=("fft_h", "fft_w"))
 def _fft_kernels_centered_worker(
-    kstack: jnp.ndarray, fft_h: int, fft_w: int, khs: tuple, kws: tuple
+    kstack: jnp.ndarray, fft_h: int, fft_w: int, shifts: jnp.ndarray
 ):
     """(N, F, Kh, Kw) → (re, im) planes with each kernel's CENTER wrapped to
     the origin (≈ padKernel, src/convolutionFFTkernel.cu:13-40): maps come
-    out un-shifted, so 'same' needs no trim offset. Each kernel rolls by its
-    OWN center (ragged banks center correctly)."""
+    out un-shifted, so 'same' needs no trim offset. ``shifts`` is the
+    per-kernel (N, 2) array of negated center offsets — TRACED, not static,
+    so a chunked ragged bank shares one executable across chunks (each
+    kernel rolls by its OWN center; ragged banks center correctly)."""
     from cuda_fft_convolution_tpu.ops.padding import pad_to_fft
 
     padded = pad_to_fft(kstack.astype(jnp.float32), fft_h, fft_w)
-    shifts = jnp.asarray(
-        [(-(kh // 2), -(kw // 2)) for kh, kw in zip(khs, kws)]
-    )
     rolled = jax.vmap(
         lambda x, s: jnp.roll(x, (s[0], s[1]), axis=(-2, -1))
     )(padded, shifts)
@@ -581,12 +581,15 @@ def fft_data(
             clamp = ((max_kernel_h - 1) // 2, (max_kernel_w - 1) // 2)
     else:
         clamp = (0, 0)
-    re, im = _fft_data_worker(data_cf, fft_h, fft_w, *clamp)
+    re, im = _fft_data_worker(
+        data_cf, fft_h, fft_w, padding == "clamp", *clamp
+    )
     re, im = re.astype(store_t), im.astype(store_t)
     if not batched:
         re, im = re[0], im[0]
     return SpectralData(
-        re=re, im=im, fft_h=fft_h, fft_w=fft_w, data_h=h, data_w=w
+        re=re, im=im, fft_h=fft_h, fft_w=fft_w, data_h=h, data_w=w,
+        clamp=padding == "clamp",
     )
 
 
@@ -792,11 +795,15 @@ def fft_kernels(
     def _transform_chunk(chunk, s):
         # centered banks roll each kernel's own center to the origin —
         # they chunk through the same bounded loop below as corner banks
+        # (shifts ride as a traced operand: ragged chunks share one
+        # executable instead of recompiling per static-khs slice)
         if centered:
             e = s + chunk.shape[0]
-            return _fft_kernels_centered_worker(
-                chunk, fft_h, fft_w, khs[s:e], kws[s:e]
+            shifts = jnp.asarray(
+                [(-(kh // 2), -(kw // 2))
+                 for kh, kw in zip(khs[s:e], kws[s:e])]
             )
+            return _fft_kernels_centered_worker(chunk, fft_h, fft_w, shifts)
         return _fft_kernels_worker(chunk, fft_h, fft_w, correlation)
 
     # RESIDENT footprint is the (8,128)-tile-PADDED HBM layout, not the
@@ -957,6 +964,12 @@ def conv_spectral(
     see ``fft_kernels`` (centered banks → un-shifted maps; 'fftmap'/'same',
     direct engine only)."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
+    validate(
+        not (getattr(spectral, "clamp", False) and mode == "full"),
+        "padding='clamp' spectra pair with mode 'same', 'fftmap', or "
+        "'valid' — a 'full' window mixes the far-edge band with the "
+        "wrap-to-origin replicas",
+    )
     if isinstance(spectral, TiledSpectralData):
         validate(
             kernel_layout == "corner"
@@ -1310,6 +1323,12 @@ def conv_spectral_pipelined(
     memory budget (runtime/planner.py plan_bank — the decision the reference
     hard-codes as 2 slots)."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
+    validate(
+        not (getattr(spectral, "clamp", False) and mode == "full"),
+        "padding='clamp' spectra pair with mode 'same', 'fftmap', or "
+        "'valid' — a 'full' window mixes the far-edge band with the "
+        "wrap-to-origin replicas",
+    )
     tiled = isinstance(spectral, TiledSpectralData)
     if isinstance(kernels, SpectralKernels):
         sk = kernels
@@ -1489,6 +1508,13 @@ def fft_conv(
             "engine (algorithm='direct' or 'auto')",
         )
         algorithm = "direct"
+    validate(
+        padding != "clamp" or mode in ("same", "fftmap", "valid"),
+        "padding='clamp' pairs with mode 'same', 'fftmap', or 'valid' — a "
+        "'full' window mixes the far-edge band with the wrap-to-origin "
+        "replicas (the pad regions exist to serve 'same' edge outputs, "
+        "src/convolutionFFTkernel.cu:65-74)",
+    )
     if (
         bucket_ragged
         and mode != "fftmap"  # fftmap's raw-map shape is FFT-size-defined

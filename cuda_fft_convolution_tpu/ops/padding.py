@@ -86,11 +86,9 @@ def pad_clamp_to_border(
     idx_h = jnp.arange(fft_h)
     idx_w = jnp.arange(fft_w)
     rows = jnp.where(
-        idx_h < h, jnp.minimum(idx_h, h - 1),
-        jnp.where(idx_h < h + border_h, h - 1, 0),
+        idx_h < h, idx_h, jnp.where(idx_h < h + border_h, h - 1, 0)
     )
     cols = jnp.where(
-        idx_w < w, jnp.minimum(idx_w, w - 1),
-        jnp.where(idx_w < w + border_w, w - 1, 0),
+        idx_w < w, idx_w, jnp.where(idx_w < w + border_w, w - 1, 0)
     )
     return x[..., rows, :][..., :, cols]

@@ -257,6 +257,12 @@ def conv_spectral_sharded(
     materialize spectra at all — the spatial kernels are sharded and each
     device streams its shard (transform + MAC + inverse per chunk)."""
     tiled = isinstance(spectral, TiledSpectralData)
+    validate(
+        not (getattr(spectral, "clamp", False) and mode == "full"),
+        "padding='clamp' spectra pair with mode 'same', 'fftmap', or "
+        "'valid' — a 'full' window mixes the far-edge band with the "
+        "wrap-to-origin replicas",
+    )
     kshards = mesh.shape[KERNEL_AXIS]
     budget = _api._device_memory_budget()
     if isinstance(kernels, SpectralKernels):

@@ -19,7 +19,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _csrc_dir() -> str:

@@ -74,6 +74,10 @@ class SpectralData:
     fft_w: int = dataclasses.field(metadata=dict(static=True))
     data_h: int = dataclasses.field(metadata=dict(static=True))
     data_w: int = dataclasses.field(metadata=dict(static=True))
+    # True when the pad region holds border-clamp replicas (fft_data
+    # padding='clamp') rather than zeros: 'full' windows then mix edge
+    # semantics and are rejected downstream.
+    clamp: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def fft(self) -> jnp.ndarray:

@@ -193,3 +193,37 @@ def test_centered_kernels_checkpoint_roundtrip(rng, tmp_path):
     back = load_spectral(p)
     assert back.centered is True
     np.testing.assert_array_equal(np.array(back.re), np.array(sk.re))
+
+
+def test_clamp_full_mode_rejected(rng):
+    """mode='full' under padding='clamp' is a validation error on every
+    entry point (the pad mixes far-edge band and wrap-to-origin replicas —
+    only 'same'/'fftmap'/'valid' have coherent edge semantics). The flag
+    survives a checkpoint round trip."""
+    data = rng.standard_normal((24, 24, 1)).astype(np.float32)
+    kern = rng.standard_normal((5, 5, 1)).astype(np.float32)
+    with pytest.raises(InvalidInputError, match="clamp"):
+        fc.fft_conv(data, 5, 5, [kern], mode="full", padding="clamp")
+    sd = fc.fft_data(data, 5, 5, padding="clamp")
+    assert sd.clamp
+    with pytest.raises(InvalidInputError, match="clamp"):
+        fc.conv_spectral(sd, [kern], mode="full")
+    with pytest.raises(InvalidInputError, match="clamp"):
+        fc.conv_spectral_pipelined(sd, [kern], mode="full", chunk_size=1)
+    # 'valid' never reads the pad: identical to zero-pad 'valid'
+    v_clamp = np.array(fc.conv_spectral(sd, [kern], mode="valid"))
+    sd0 = fc.fft_data(data, 5, 5)
+    v_zero = np.array(fc.conv_spectral(sd0, [kern], mode="valid"))
+    np.testing.assert_allclose(v_clamp, v_zero, atol=1e-5)
+
+
+def test_clamp_flag_checkpoint_roundtrip(rng, tmp_path):
+    data = rng.standard_normal((20, 20, 1)).astype(np.float32)
+    sd = fc.fft_data(data, 4, 4, padding="clamp", same_offset="matlab")
+    p = str(tmp_path / "clamped.npz")
+    fc.save_spectral(p, sd)
+    sd2 = fc.load_spectral(p)
+    assert sd2.clamp is True
+    with pytest.raises(InvalidInputError, match="clamp"):
+        fc.conv_spectral(sd2, [rng.standard_normal((4, 4, 1))
+                               .astype(np.float32)], mode="full")

@@ -111,12 +111,17 @@ def test_fuzz_clamp_same_vs_nearest_oracle():
     edge — both same-offset conventions, kernels even and odd, including
     exact-fit FFT sizes where the pad is exactly kernel−1 wide."""
     rng = np.random.default_rng(404)
+    # pinned first: kh=kw=2 at scipy offset has a (0,0) clamp band — the
+    # ENTIRE pad is wrap-to-origin replicas (regression: a truthiness gate
+    # on the band once degraded this case to zero padding, rel err 0.77)
+    cases = [(20, 22, 2, 2, "scipy")]
     for trial in range(6):
-        h = int(rng.integers(16, 48))
-        w = int(rng.integers(16, 48))
-        kh = int(rng.integers(2, 9))
-        kw = int(rng.integers(2, 9))
-        off = ["scipy", "matlab"][trial % 2]
+        cases.append((
+            int(rng.integers(16, 48)), int(rng.integers(16, 48)),
+            int(rng.integers(2, 9)), int(rng.integers(2, 9)),
+            ["scipy", "matlab"][trial % 2],
+        ))
+    for h, w, kh, kw, off in cases:
         data = rng.standard_normal((h, w)).astype(np.float32)
         kern = rng.standard_normal((kh, kw)).astype(np.float32)
         out = np.array(
