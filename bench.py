@@ -169,10 +169,26 @@ def main() -> None:
     from cuda_fft_convolution_tpu.utils.fft_size import compute_fft_size
 
     quick = os.environ.get("BENCH_QUICK", "0") == "1"
+    # BENCH_SMOKE=1: shrink every config so ALL rows execute quickly on CPU
+    # — a plumbing check (tests/test_aux.py runs it), not a measurement.
+    # Real sizes stay the single source of truth in the else branch.
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
 
     rng = np.random.default_rng(0)
-    H = W = 2048
-    N, KH, KW, F = 100, 64, 64, 1
+    if smoke:
+        H = W = 256
+        N, KH, KW, F = 10, 16, 16, 1
+        ACC = 128           # accuracy-check image size
+        BIGK, NB = 48, 2    # large-kernel regime
+        BATCH_B, BATCH_HW = 2, 128
+        IMG4K, NK, KD, NKD = 256, 16, 12, 8
+    else:
+        H = W = 2048
+        N, KH, KW, F = 100, 64, 64, 1
+        ACC = 512
+        BIGK, NB = 512, 16
+        BATCH_B, BATCH_HW = 8, 1024
+        IMG4K, NK, KD, NKD = 4096, 1024, 12, 576
     data = jnp.asarray(rng.standard_normal((H, W, F)).astype(np.float32))
     kernels = jnp.asarray(rng.standard_normal((N, KH, KW, F)).astype(np.float32))
     jax.block_until_ready((data, kernels))
@@ -181,10 +197,10 @@ def main() -> None:
     # --- accuracy vs float64 CPU FFT oracle first, while HBM is empty
     # (512²×8 kernels shares every code path incl. the tiled engine —
     # BASELINE configs[0]/[1] correctness scenario)
-    dh = np.asarray(data[:512, :512, :])
+    dh = np.asarray(data[:ACC, :ACC, :])
     ks = np.asarray(kernels[:8, :, :, :])
     got = np.array(fc.fft_conv(dh, KH, KW, ks, mode="full"))
-    oh, ow = 512 + KH - 1, 512 + KW - 1
+    oh, ow = ACC + KH - 1, ACC + KW - 1
     err = 0.0
     for i in range(ks.shape[0]):
         ref = np.zeros((oh, ow))
@@ -240,12 +256,11 @@ def main() -> None:
         # an algorithmic cost.
         import gc as _gc
 
-        NB = 16
         kbig = jnp.asarray(
-            rng.standard_normal((NB, 512, 512, F)).astype(np.float32)
+            rng.standard_normal((NB, BIGK, BIGK, F)).astype(np.float32)
         )
         bigk_shot = _probed(
-            lambda d, k: fc.fft_conv(d, 512, 512, k, mode="same")
+            lambda d, k: fc.fft_conv(d, BIGK, BIGK, k, mode="same")
         )
         t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
         v_bigk = H * W * NB / 1e9 / t_bigk
@@ -253,7 +268,7 @@ def main() -> None:
         # (sync every 8th call) — the one-shot number is ~55% tunnel RTT
         # (depth sweep perf/diag_stream_depth2.py: sync8 27.6 ms/call =
         # 2.43 vs sync2 39.1 = 1.72)
-        sdbk = fc.fft_data_tiled(data, 512, 512, trim_mode="same")
+        sdbk = fc.fft_data_tiled(data, BIGK, BIGK, trim_mode="same")
         skbk = fc.fft_kernels(kbig, spectral=sdbk)
         jax.block_until_ready((sdbk.re, skbk.re))
         conv_bk = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
@@ -316,14 +331,16 @@ def main() -> None:
         # batch of 8 images (BASELINE configs[3]; 1024² so the (8, 100, H, W)
         # output fits 16 GB HBM)
         bdata = jnp.asarray(
-            rng.standard_normal((8, 1024, 1024, F)).astype(np.float32)
+            rng.standard_normal(
+                (BATCH_B, BATCH_HW, BATCH_HW, F)
+            ).astype(np.float32)
         )
         sdb = fc.fft_data_tiled(bdata, KH, KW, trim_mode="same")
         skb = fc.fft_kernels(kernels, spectral=sdb)
         jax.block_until_ready((sdb.re, skb.re))
         conv_b = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
         t_batch = _time_fn(conv_b, sdb, skb, iters=3)
-        v_batch = 8 * 1024 * 1024 * N / 1e9 / t_batch
+        v_batch = BATCH_B * BATCH_HW * BATCH_HW * N / 1e9 / t_batch
         del sdb, skb, bdata
 
         # BASELINE configs[4]: DPM/HOG detection — 4K image → HOG features
@@ -331,14 +348,14 @@ def main() -> None:
         from cuda_fft_convolution_tpu.models import hog_features
 
         img4k = jnp.asarray(
-            rng.standard_normal((4096, 4096)).astype(np.float32)
+            rng.standard_normal((IMG4K, IMG4K)).astype(np.float32)
         )
         feats = jax.jit(
             lambda im: hog_features(im, cell=8, bins=31).astype(jnp.bfloat16)
         )(img4k)
         jax.block_until_ready(feats)
         del img4k
-        FD, NK, KD = 31, 1024, 12
+        FD = 31
         dpm_bank = jnp.asarray(
             rng.standard_normal((NK, KD, KD, FD)).astype(np.float32)
         )
@@ -365,7 +382,6 @@ def main() -> None:
         # call (store_bytes-aware) and the chunked MAC runs the upcast
         # lowering — measured 82.9 ms/call, 72.4 streamed
         # (perf/diag_bf16d.py) vs round 2's f32 0.867 GPix·F/s.
-        NKD = 576
         sdf = fc.fft_data(
             feats.astype(jnp.float32), KD, KD, store_dtype="bfloat16"
         )

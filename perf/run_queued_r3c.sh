@@ -17,6 +17,11 @@ run bigk_geom  perf/sweep_bigk_geometry.py
 echo "=== tpu_suite start $(date +%H:%M:%S) ===" | tee -a $LOGDIR/r3c_driver.log
 FFTCONV_TEST_TPU=1 timeout 5400 python -m pytest tests/ -q \
   > $LOGDIR/r3c_tpu_suite.log 2>&1
-echo "=== tpu_suite exit=$? $(date +%H:%M:%S) ===" | tee -a $LOGDIR/r3c_driver.log
+suite_rc=$?
+echo "=== tpu_suite exit=$suite_rc $(date +%H:%M:%S) ===" | tee -a $LOGDIR/r3c_driver.log
+# refresh the round artifact in-repo only on a clean run
+if [ "$suite_rc" = 0 ]; then cp $LOGDIR/r3c_tpu_suite.log /root/repo/TPU_SUITE_r03.txt; fi
 run bench      bench.py
+# keep the measured record next to the driver's own BENCH_r03.json
+tail -1 $LOGDIR/r3c_bench.log > /root/repo/BENCH_r03_queued.json 2>/dev/null
 echo "ALL DONE $(date)" >> $LOGDIR/r3c_driver.log

@@ -101,3 +101,45 @@ def test_selftest_complex_probe_subprocess():
         # CPU backend: the subprocess probe should succeed (True); None only
         # if the subprocess couldn't run at all.
         assert rep["complex_d2h_ok"] in (True, None)
+
+
+def test_bench_smoke_all_rows():
+    """bench.py BENCH_SMOKE=1 end to end in a CPU subprocess: the round
+    artifact comes from this script, so a plumbing error in any config
+    branch (the non-quick rows only run on the attached TPU otherwise)
+    must fail CI, not the one measured run that counts. Asserts one valid
+    JSON line with every row populated."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(
+        BENCH_SMOKE="1",
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="",  # no 8-device forcing: bench runs single-device
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=840,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "GPix*filters/s"
+    assert rec["value"] > 0
+    d = rec["detail"]
+    assert d["max_rel_err_vs_f64_fft"] < 1e-5
+    for key in (
+        "headline_ms", "amortized_tiled_GPixF_s", "streaming_tiled_GPixF_s",
+        "fftmap_parity_GPixF_s", "amortized_direct_GPixF_s",
+        "pipelined_GPixF_s", "bf16_GPixF_s", "bf16_streaming_GPixF_s",
+        "batch8_1024_GPixF_s", "bigkernel_512_GPixF_s",
+        "bigkernel_streaming_GPixF_s", "dpm_hog_bf16_1024f_GPixF_s",
+        "dpm_hog_streaming_GPixF_s", "dpm_direct_giantbank_GPixF_s",
+        "dpm_direct_streaming_GPixF_s",
+    ):
+        assert d.get(key) is not None and d[key] > 0, key
