@@ -525,6 +525,7 @@ def fft_data(
     device=None,
     padding: str = "zero",
     same_offset: str = "scipy",
+    kernel_layout: str = "corner",
     store_dtype: str = "float32",
 ) -> SpectralData:
     """Precompute the reusable data spectrum — ≈ ``cudaFFTData(data, Kh, Kw)``
@@ -543,10 +544,14 @@ def fft_data(
     'same'-window edge outputs see replicated pixels instead of an implicit
     black border on EVERY edge (bottom/right via the clamp band, top/left
     via the wrap-to-origin replicas the circular FFT reads at negative tap
-    indices). The band is sized to the kernel-center ('same') offset;
-    ``same_offset`` picks the convention ('scipy' (K−1)//2 or 'matlab'
-    K//2 — match the trim you will request; they differ only for even
-    kernels). Pair with mode 'same' or 'fftmap'.
+    indices). The band is sized to the kernels' 'same'-window anchor:
+    ``same_offset`` picks the corner-layout convention ('scipy' (K−1)//2
+    or 'matlab' K//2 — match the trim you will request; they differ only
+    for even kernels), and ``kernel_layout='centered'`` sizes it K//2 (a
+    centered kernel's anchor is its roll shift, independent of the trim
+    convention) — pass it when the bank will be centered. The band is
+    recorded on the result and the 'same' trim validates it against the
+    actual kernels. Pair with mode 'same' or 'fftmap'.
 
     ``store_dtype='bfloat16'`` stores the spectra bf16 — the serving tier
     for BASELINE configs[4]'s "bf16 inputs, fp32 spectral accumulation":
@@ -561,6 +566,10 @@ def fft_data(
         same_offset in ("scipy", "matlab"),
         "same_offset must be 'scipy' or 'matlab'",
     )
+    validate(
+        kernel_layout in ("corner", "centered"),
+        "kernel_layout must be 'corner' or 'centered'",
+    )
     store_t = _resolve_store_dtype(store_dtype)
     policy = _resolve_policy(policy)
     if device is not None:
@@ -572,10 +581,12 @@ def fft_data(
     b, f, h, w = data_cf.shape
     fft_h, fft_w = compute_fft_size(h, w, max_kernel_h, max_kernel_w, policy)
     if padding == "clamp":
-        # The band is the kernel-center ('same') offset — the reference's
+        # The band is the kernels' 'same'-window ANCHOR — the reference's
         # kernelY/kernelX pad arguments; the rest of the pad wraps to
-        # row/col 0 inside pad_clamp_to_border.
-        if same_offset == "matlab":
+        # row/col 0 inside pad_clamp_to_border. A centered kernel's anchor
+        # is its roll shift K//2 regardless of same_offset (the trim
+        # convention only moves corner-anchored windows).
+        if kernel_layout == "centered" or same_offset == "matlab":
             clamp = (max_kernel_h // 2, max_kernel_w // 2)
         else:
             clamp = ((max_kernel_h - 1) // 2, (max_kernel_w - 1) // 2)
@@ -587,9 +598,12 @@ def fft_data(
     re, im = re.astype(store_t), im.astype(store_t)
     if not batched:
         re, im = re[0], im[0]
+    is_clamp = padding == "clamp"
     return SpectralData(
         re=re, im=im, fft_h=fft_h, fft_w=fft_w, data_h=h, data_w=w,
-        clamp=padding == "clamp",
+        clamp=is_clamp,
+        band_h=clamp[0] if is_clamp else -1,
+        band_w=clamp[1] if is_clamp else -1,
     )
 
 
@@ -890,6 +904,39 @@ def _trim(
         "only (the 'full'/'valid' windows wrap circularly for centered "
         "anchors — use the default corner layout)",
     )
+    if (
+        mode == "same"
+        and getattr(spectral, "clamp", False)
+        and getattr(spectral, "band_h", -1) >= 0
+    ):
+        # The clamp band only serves 'same' edge outputs whose window
+        # anchor matches the band it was sized for: bottom/right outputs
+        # tap rows up to D−1+anchor (must be far-edge replicas, positions
+        # [D, D+band)), and top/left outputs' negative taps wrap to the
+        # last (K−1−anchor) rows (must be row-0 replicas, positions
+        # >= D+band). A kernel/convention whose anchor falls outside
+        # [band OK-range] silently reads the WRONG replica class — reject
+        # it instead (reference rule: src/convolutionFFTkernel.cu:65-74).
+        for kh, kw in zip(khs, kws):
+            for kk, band, fft_l, d_l, ax in (
+                (kh, spectral.band_h, spectral.fft_h, h, "H"),
+                (kw, spectral.band_w, spectral.fft_w, w, "W"),
+            ):
+                anchor = (
+                    kk // 2
+                    if (centered or same_offset == "matlab")
+                    else (kk - 1) // 2
+                )
+                validate(
+                    anchor <= band <= fft_l - d_l - (kk - 1 - anchor),
+                    f"padding='clamp' band mismatch on the {ax} axis: the "
+                    f"spectra's far-edge band ({band}) does not serve a "
+                    f"'same' window anchored at {anchor} (kernel {kk}, "
+                    f"{'centered' if centered else same_offset} anchor). "
+                    "Recompute fft_data(padding='clamp') with the same "
+                    "same_offset/kernel_layout and max_kernel dims as "
+                    "this call",
+                )
     ragged = len(set(khs)) > 1 or len(set(kws)) > 1
     # Spectra with a baked output window (fft_data_tiled trim_mode) carry
     # the block-tiling origin: window coordinates below are 'full'-window
@@ -1626,7 +1673,8 @@ def fft_conv(
     )
     spectral = fft_data(
         data, max_kernel_h, max_kernel_w, policy=policy, device=device,
-        padding=padding, same_offset=same_offset, store_dtype=store_dtype,
+        padding=padding, same_offset=same_offset,
+        kernel_layout=kernel_layout, store_dtype=store_dtype,
     )
     return conv_spectral(
         spectral, kernels, mode=mode, correlation=correlation,

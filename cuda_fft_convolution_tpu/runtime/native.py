@@ -70,45 +70,45 @@ def load():
 
 
 def _bind(lib):
-        """Bind the current-ABI symbols; AttributeError on a stale library,
-        None on an ABI-version mismatch."""
-        c64 = ctypes.c_int64
-        lib.ffc_ceil_div.restype = c64
-        lib.ffc_ceil_div.argtypes = [c64, c64]
-        lib.ffc_align_up.restype = c64
-        lib.ffc_align_up.argtypes = [c64, c64]
-        lib.ffc_next_multiple_of_16.restype = c64
-        lib.ffc_next_multiple_of_16.argtypes = [c64]
-        lib.ffc_next_pow2.restype = c64
-        lib.ffc_next_pow2.argtypes = [c64]
-        lib.ffc_next_fast_len.restype = c64
-        lib.ffc_next_fast_len.argtypes = [c64]
-        lib.ffc_next_fast_len_aligned.restype = c64
-        lib.ffc_next_fast_len_aligned.argtypes = [c64, c64]
-        lib.ffc_compute_fft_size.restype = None
-        lib.ffc_compute_fft_size.argtypes = [
-            c64, c64, c64, c64, ctypes.c_int32,
-            ctypes.POINTER(c64), ctypes.POINTER(c64),
-        ]
-        lib.ffc_plan_bank.restype = None
-        lib.ffc_plan_bank.argtypes = [
-            c64, c64, c64, c64, c64, c64, c64,
-            ctypes.POINTER(c64), ctypes.POINTER(c64),
-        ]
-        lib.ffc_block_conv_vmem_bytes.restype = c64
-        lib.ffc_block_conv_vmem_bytes.argtypes = [
-            c64, c64, c64, c64, c64, c64, ctypes.c_int32, c64, c64,
-        ]
-        lib.ffc_block_conv_fits_vmem.restype = ctypes.c_int32
-        lib.ffc_block_conv_fits_vmem.argtypes = [c64, c64, c64, c64, c64, c64]
-        lib.ffc_choose_block_fft.restype = ctypes.c_int32
-        lib.ffc_choose_block_fft.argtypes = [
-            c64, c64, c64, c64, ctypes.c_int32, c64,
-            ctypes.POINTER(c64), ctypes.POINTER(c64),
-            ctypes.POINTER(c64), ctypes.POINTER(c64),
-        ]
-        lib.ffc_abi_version.restype = ctypes.c_int32
-        lib.ffc_abi_version.argtypes = []
-        if lib.ffc_abi_version() != _ABI_VERSION:
-            return None
-        return lib
+    """Bind the current-ABI symbols; AttributeError on a stale library,
+    None on an ABI-version mismatch."""
+    c64 = ctypes.c_int64
+    lib.ffc_ceil_div.restype = c64
+    lib.ffc_ceil_div.argtypes = [c64, c64]
+    lib.ffc_align_up.restype = c64
+    lib.ffc_align_up.argtypes = [c64, c64]
+    lib.ffc_next_multiple_of_16.restype = c64
+    lib.ffc_next_multiple_of_16.argtypes = [c64]
+    lib.ffc_next_pow2.restype = c64
+    lib.ffc_next_pow2.argtypes = [c64]
+    lib.ffc_next_fast_len.restype = c64
+    lib.ffc_next_fast_len.argtypes = [c64]
+    lib.ffc_next_fast_len_aligned.restype = c64
+    lib.ffc_next_fast_len_aligned.argtypes = [c64, c64]
+    lib.ffc_compute_fft_size.restype = None
+    lib.ffc_compute_fft_size.argtypes = [
+        c64, c64, c64, c64, ctypes.c_int32,
+        ctypes.POINTER(c64), ctypes.POINTER(c64),
+    ]
+    lib.ffc_plan_bank.restype = None
+    lib.ffc_plan_bank.argtypes = [
+        c64, c64, c64, c64, c64, c64, c64,
+        ctypes.POINTER(c64), ctypes.POINTER(c64),
+    ]
+    lib.ffc_block_conv_vmem_bytes.restype = c64
+    lib.ffc_block_conv_vmem_bytes.argtypes = [
+        c64, c64, c64, c64, c64, c64, ctypes.c_int32, c64, c64,
+    ]
+    lib.ffc_block_conv_fits_vmem.restype = ctypes.c_int32
+    lib.ffc_block_conv_fits_vmem.argtypes = [c64, c64, c64, c64, c64, c64]
+    lib.ffc_choose_block_fft.restype = ctypes.c_int32
+    lib.ffc_choose_block_fft.argtypes = [
+        c64, c64, c64, c64, ctypes.c_int32, c64,
+        ctypes.POINTER(c64), ctypes.POINTER(c64),
+        ctypes.POINTER(c64), ctypes.POINTER(c64),
+    ]
+    lib.ffc_abi_version.restype = ctypes.c_int32
+    lib.ffc_abi_version.argtypes = []
+    if lib.ffc_abi_version() != _ABI_VERSION:
+        return None
+    return lib

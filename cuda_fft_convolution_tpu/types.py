@@ -78,6 +78,14 @@ class SpectralData:
     # padding='clamp') rather than zeros: 'full' windows then mix edge
     # semantics and are rejected downstream.
     clamp: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Clamp far-edge band sizes (the reference's kernelY/kernelX pad args,
+    # src/convolutionFFTkernel.cu:46-76) — recorded so downstream 'same'
+    # trims can verify the band actually serves the requested
+    # (kernel, same_offset, kernel_layout) combination (_trim). −1 =
+    # unknown (non-clamp spectra, or objects built by from_packed/
+    # from_complex interop): validation is skipped.
+    band_h: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    band_w: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     @property
     def fft(self) -> jnp.ndarray:

@@ -86,7 +86,10 @@ def load_spectral(path: str):
             v = z[f.name]
             if v.ndim == 0:
                 iv = int(v)
-                if iv < 0:
+                if iv < 0 and f.default is None:
+                    # the save-side None-as-−1 convention applies only to
+                    # optional fields; int fields whose sentinel IS −1
+                    # (e.g. SpectralData.band_h 'unknown') load verbatim
                     kwargs[f.name] = None
                 elif f.type in ("bool", bool):
                     kwargs[f.name] = bool(iv)

@@ -22,6 +22,10 @@ echo "=== tpu_suite exit=$suite_rc $(date +%H:%M:%S) ===" | tee -a $LOGDIR/r3c_d
 # refresh the round artifact in-repo only on a clean run
 if [ "$suite_rc" = 0 ]; then cp $LOGDIR/r3c_tpu_suite.log /root/repo/TPU_SUITE_r03.txt; fi
 run bench      bench.py
-# keep the measured record next to the driver's own BENCH_r03.json
-tail -1 $LOGDIR/r3c_bench.log > /root/repo/BENCH_r03_queued.json 2>/dev/null
+# keep the measured record next to the driver's own BENCH_r03.json —
+# only a real JSON record (bench may crash/timeout; stderr is merged in)
+if grep -q '^{"metric"' $LOGDIR/r3c_bench.log 2>/dev/null; then
+  grep '^{"metric"' $LOGDIR/r3c_bench.log | tail -1 \
+    > /root/repo/BENCH_r03_queued.json
+fi
 echo "ALL DONE $(date)" >> $LOGDIR/r3c_driver.log

@@ -53,6 +53,30 @@ def fft_map_f64(
     return out
 
 
+def conv_same_nearest_f64(
+    data: np.ndarray, kern: np.ndarray, dh: int, dw: int
+) -> np.ndarray:
+    """Direct 'same'-window convolution (single channel, f64) with
+    'nearest' (edge-replicate) boundary handling: taps outside the image
+    read the clipped edge pixel. (dh, dw) is the window anchor — the
+    'same' offset for corner-anchored kernels, the K//2 roll shift for
+    centered ones. This is the end-to-end semantic padding='clamp'
+    exists to deliver (src/convolutionFFTkernel.cu:46-76)."""
+    data = np.asarray(data, np.float64)
+    kern = np.asarray(kern, np.float64)
+    h, w = data.shape
+    kh, kw = kern.shape
+    out = np.zeros((h, w))
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    for i in range(kh):
+        for j in range(kw):
+            sy = np.clip(ys + dh - i, 0, h - 1)
+            sx = np.clip(xs + dw - j, 0, w - 1)
+            out += data[sy, sx] * kern[i, j]
+    return out
+
+
 def rel_err(got, want) -> float:
     got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
     denom = np.max(np.abs(want))

@@ -354,7 +354,9 @@ def test_tiled_chunk_model_is_tier_aware(rng):
     try:
         for tier in ("float32", "bfloat16"):
             sd = fc.fft_data_tiled(data, 9, 9, store_dtype=tier)
-            d_re = sd.re
+            # the sizer's contract is the BATCHED rank-6 block layout —
+            # every call site passes spectral.re[None] when unbatched
+            d_re = sd.re[None]
             # budget just above the f32 fixed footprint so per-kernel cost
             # becomes the binding constraint
             fc.set_config(hbm_budget_bytes=48 << 20)

@@ -8,7 +8,7 @@ import pytest
 
 import cuda_fft_convolution_tpu as fc
 from cuda_fft_convolution_tpu.utils.errors import InvalidInputError
-from tests.oracles import rel_err
+from tests.oracles import conv_same_nearest_f64, rel_err
 
 TOL = 1e-5
 
@@ -43,25 +43,6 @@ def test_fft_conv_padding_clamp_vs_oracle(rng):
     assert rel_err(out, ref) < TOL
 
 
-def _conv_same_nearest_f64(data, kern, dh, dw):
-    """Direct 'same'-window convolution with 'nearest' (edge-replicate)
-    boundary handling: taps outside the image read the clipped edge pixel.
-    This is the end-to-end semantic padding='clamp' exists to deliver."""
-    h, w = data.shape
-    kh, kw = kern.shape
-    out = np.zeros((h, w), np.float64)
-    for y in range(h):
-        for x in range(w):
-            acc = 0.0
-            for i in range(kh):
-                for j in range(kw):
-                    sy = min(max(y + dh - i, 0), h - 1)
-                    sx = min(max(x + dw - j, 0), w - 1)
-                    acc += data[sy, sx] * kern[i, j]
-            out[y, x] = acc
-    return out
-
-
 @pytest.mark.parametrize("ksz,off", [((7, 5), "scipy"), ((6, 4), "matlab")])
 def test_clamp_same_equals_nearest_boundary(rng, ksz, off):
     """mode='same' + padding='clamp' == direct convolution with replicated
@@ -79,7 +60,7 @@ def test_clamp_same_equals_nearest_boundary(rng, ksz, off):
     )[0]
     dh = kh // 2 if off == "matlab" else (kh - 1) // 2
     dw = kw // 2 if off == "matlab" else (kw - 1) // 2
-    ref = _conv_same_nearest_f64(
+    ref = conv_same_nearest_f64(
         data.astype(np.float64), kern.astype(np.float64), dh, dw
     )
     assert out.shape == ref.shape
@@ -227,3 +208,76 @@ def test_clamp_flag_checkpoint_roundtrip(rng, tmp_path):
     with pytest.raises(InvalidInputError, match="clamp"):
         fc.conv_spectral(sd2, [rng.standard_normal((4, 4, 1))
                                .astype(np.float32)], mode="full")
+
+
+def test_clamp_centered_even_kernel_default_offset(rng):
+    """padding='clamp' + kernel_layout='centered' with an EVEN kernel at
+    the DEFAULT same_offset: the clamp band must be sized by the centered
+    anchor K//2 (the roll shift), not by the scipy (K−1)//2 trim offset —
+    they differ for even kernels, and a scipy-sized band puts row-0
+    replicas where bottom-edge outputs expect far-edge replicas
+    (regression: 0.31 max rel err before the band was layout-aware)."""
+    data = rng.standard_normal((26, 24, 1)).astype(np.float32)
+    kern = rng.standard_normal((6, 6, 1)).astype(np.float32)
+    out = np.array(
+        fc.fft_conv(data, 6, 6, [kern], mode="same", padding="clamp",
+                    kernel_layout="centered")
+    )[0]
+    # centered maps anchor at K//2 regardless of the trim convention
+    ref = conv_same_nearest_f64(data[:, :, 0], kern[:, :, 0], 3, 3)
+    assert out.shape == ref.shape
+    assert rel_err(out, ref) < TOL
+
+
+def test_clamp_band_mismatch_rejected(rng):
+    """The split API records the clamp band on SpectralData, so a 'same'
+    trim whose anchor the band cannot serve is a validation error, not a
+    silent wrong answer: (a) a band sized for same_offset='scipy' used
+    with a 'matlab' trim on an even kernel; (b) a kernel LARGER than the
+    max_kernel the band was sized for (but still within FFT dims); (c) a
+    corner-sized band consumed by a centered bank."""
+    data = rng.standard_normal((30, 30, 1)).astype(np.float32)
+    k6 = rng.standard_normal((6, 6, 1)).astype(np.float32)
+    sd = fc.fft_data(data, 6, 6, padding="clamp")  # scipy band = 2
+    assert (sd.band_h, sd.band_w) == (2, 2)
+    with pytest.raises(InvalidInputError, match="band"):
+        fc.conv_spectral(sd, [k6], mode="same", same_offset="matlab")
+    # matching convention passes
+    np.array(fc.conv_spectral(sd, [k6], mode="same"))
+    # (b) larger kernel than the band was planned for
+    sd_big = fc.fft_data(data, 12, 12, padding="clamp")
+    k12 = rng.standard_normal((12, 12, 1)).astype(np.float32)
+    np.array(fc.conv_spectral(sd_big, [k12], mode="same"))
+    sd_small_band = fc.fft_data(data, 6, 6, padding="clamp", policy="pow2")
+    with pytest.raises(InvalidInputError, match="band"):
+        fc.conv_spectral(sd_small_band, [k12], mode="same")
+    # (c) centered bank against a corner-scipy band (anchors differ
+    # for even kernels)
+    with pytest.raises(InvalidInputError, match="band"):
+        fc.conv_spectral(sd, [k6], mode="same", kernel_layout="centered")
+    # the layout-aware fft_data band serves it
+    sd_c = fc.fft_data(data, 6, 6, padding="clamp",
+                       kernel_layout="centered")
+    assert (sd_c.band_h, sd_c.band_w) == (3, 3)
+    np.array(fc.conv_spectral(sd_c, [k6], mode="same",
+                              kernel_layout="centered"))
+
+
+def test_clamp_band_checkpoint_roundtrip(rng, tmp_path):
+    """band_h/band_w survive save/load (−1 'unknown' sentinel must NOT be
+    collapsed to None by the optional-field convention) and the reloaded
+    object still validates trims."""
+    data = rng.standard_normal((20, 20, 1)).astype(np.float32)
+    sd = fc.fft_data(data, 6, 6, padding="clamp", same_offset="matlab")
+    p = str(tmp_path / "band.npz")
+    fc.save_spectral(p, sd)
+    sd2 = fc.load_spectral(p)
+    assert (sd2.band_h, sd2.band_w) == (sd.band_h, sd.band_w) == (3, 3)
+    with pytest.raises(InvalidInputError, match="band"):
+        fc.conv_spectral(sd2, [rng.standard_normal((6, 6, 1))
+                               .astype(np.float32)], mode="same")
+    # non-clamp spectra round-trip the −1 sentinel, not None
+    sd0 = fc.fft_data(data, 6, 6)
+    fc.save_spectral(p, sd0)
+    back = fc.load_spectral(p)
+    assert back.band_h == -1 and back.band_w == -1

@@ -10,7 +10,7 @@ from cuda_fft_convolution_tpu.ops.block_conv import (
     block_conv_pallas,
     radix_h_legal,
 )
-from tests.oracles import fft_conv_full_f64, rel_err
+from tests.oracles import conv_same_nearest_f64, fft_conv_full_f64, rel_err
 
 TOL = 1e-5
 
@@ -131,16 +131,7 @@ def test_fuzz_clamp_same_vs_nearest_oracle():
         )[0]
         dh = kh // 2 if off == "matlab" else (kh - 1) // 2
         dw = kw // 2 if off == "matlab" else (kw - 1) // 2
-        d64, k64 = data.astype(np.float64), kern.astype(np.float64)
-        # vectorized 'nearest'-boundary direct conv oracle
-        ref = np.zeros((h, w))
-        ys = np.arange(h)[:, None]
-        xs = np.arange(w)[None, :]
-        for i in range(kh):
-            for j in range(kw):
-                sy = np.clip(ys + dh - i, 0, h - 1)
-                sx = np.clip(xs + dw - j, 0, w - 1)
-                ref += d64[sy, sx] * k64[i, j]
+        ref = conv_same_nearest_f64(data, kern, dh, dw)
         assert rel_err(out, ref) < TOL, (h, w, kh, kw, off)
 
 
