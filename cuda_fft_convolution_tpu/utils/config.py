@@ -56,13 +56,17 @@ class Config:
     # Precision tier for the UNFUSED pipeline's inverse-synthesis dots
     # (irfft2_norm_planes / the tiled windowed inverse). 'high' is XLA's
     # 3-pass split-bf16 (56 TF/s measured vs HIGHEST's 31) — the XLA-side
-    # twin of the fused kernel's bf16x3 default: forwards stay at
-    # ``matmul_precision`` (HIGHEST), so end-to-end error stays ~5e-6
-    # against the ≤1e-5 bar (emulated + measured; HIGH on *every* stage
-    # measured ~9e-6 — too thin a margin to default). The inverse is the
-    # flop-dominant stage of the unfused pipeline (e.g. ~22 of ~41 device
-    # ms on the 512²-kernel config), so this is where the tier pays.
-    inverse_precision: str = "high"
+    # twin of the fused kernel's bf16x3 — and is a measured 1.5–2× on
+    # inverse-dominated configs (512² kernels: 43.0 vs ~40-series ms/call,
+    # perf/diag_high_prec.py). It is OPT-IN, not the default: on-device
+    # error at the big-kernel scenario (1023² inverse synthesis) measured
+    # 2.07e-5 — OVER the library's ≤1e-5 bar (the numpy emulation that
+    # predicted ~5e-6 underestimated; split-bf16 error grows with
+    # contraction length, and unfused transforms are unbounded in size,
+    # unlike the fused kernel's VMEM-capped ≤512 blocks where bf16x3
+    # measures 6.7e-6). Default 'highest' keeps every default path
+    # fp32-exact (~2e-7).
+    inverse_precision: str = "highest"
     # Fused Pallas block-conv kernel (ops/block_conv.py): MAC + windowed
     # inverse-DFT matmuls in one VMEM pass. None = auto (off pending
     # per-backend measurement), True/False force.
@@ -85,7 +89,7 @@ class Config:
             use_matmul_fft=_env_bool("FFTCONV_USE_MATMUL_FFT"),
             matmul_precision=os.environ.get("FFTCONV_MATMUL_PRECISION", "highest"),
             inverse_precision=os.environ.get(
-                "FFTCONV_INVERSE_PRECISION", "high"
+                "FFTCONV_INVERSE_PRECISION", "highest"
             ),
             use_fused_block_conv=_env_bool("FFTCONV_FUSED_BLOCK_CONV"),
             fused_precision=os.environ.get(

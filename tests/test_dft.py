@@ -76,12 +76,15 @@ def test_matmul_engine_tiled_path(rng):
 
 def test_inverse_precision_tiers_hold_the_bar(rng):
     """The inverse-synthesis precision tier (config.inverse_precision;
-    default 'high' — the XLA-side twin of the fused kernel's bf16x3) must
-    stay within the library's ≤1e-5 bar against the f64 oracle on every
-    tier, through both the direct and tiled engines. On TPU the tiers
-    genuinely differ (HIGHEST 6-pass vs HIGH 3-pass split-bf16, measured
-    ~3e-7 vs ~5e-6); on CPU all tiers run exact f32 — the test then pins
-    the plumbing (set_config must invalidate cached executables)."""
+    default 'highest' — 'high', the XLA-side twin of the fused kernel's
+    bf16x3, is an opt-in speed tier) must stay within the library's ≤1e-5
+    bar against the f64 oracle at MODERATE transform sizes on every tier,
+    through both the direct and tiled engines. On TPU the tiers genuinely
+    differ (HIGHEST 6-pass vs HIGH 3-pass split-bf16, measured ~3e-7 vs
+    ~5e-6 here; at 1023² inverse synthesis 'high' measured 2.07e-5 — WHY
+    it is not the default, perf/diag_high_prec.py); on CPU all tiers run
+    exact f32 — the test then pins the plumbing (set_config must
+    invalidate cached executables)."""
     data = rng.standard_normal((96, 80, 2)).astype(np.float32)
     kern = rng.standard_normal((9, 7, 2)).astype(np.float32)
     ref = fft_conv_full_f64(data, kern)
@@ -97,7 +100,7 @@ def test_inverse_precision_tiers_hold_the_bar(rng):
             assert rel_err(direct, ref) < 1e-5, tier
             assert rel_err(tiled, ref) < 1e-5, tier
     finally:
-        fc.set_config(inverse_precision="high")
+        fc.set_config(inverse_precision="highest")
 
 
 def test_matmul_gradients(rng):
