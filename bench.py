@@ -278,7 +278,9 @@ def main() -> None:
         _gc.collect()
         np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
 
-        # reference-parity one-shot: raw circular fftmaps, direct engine
+        # reference-parity one-shot: raw circular fftmaps. 'auto' routes
+        # these through the tiled engine since round 3f — the baked FFT
+        # canvas makes overlap-save emit direct-parity raw maps.
         fftmap_shot = _probed(
             lambda d, k: fc.fft_conv(d, KH, KW, k, mode="fftmap")
         )

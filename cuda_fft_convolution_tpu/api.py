@@ -620,6 +620,7 @@ def fft_data_tiled(
     trim_kernel_w: int | None = None,
     same_offset: str = "scipy",
     store_dtype: str = "float32",
+    policy: FftSizePolicy | str | None = None,
 ) -> TiledSpectralData:
     """Precompute overlap-save BLOCK spectra of the data (ops/tiled.py).
 
@@ -635,14 +636,29 @@ def fft_data_tiled(
     'full'-window requests against such spectra still work whenever the
     requested rows/cols lie inside the baked window; wider requests raise.
 
+    ``trim_mode='fftmap'`` bakes the DIRECT engine's FFT canvas
+    (``policy(data + trim_kernel − 1)``, origin 0): blocks beyond the
+    linear extent convolve the zero pad and write exact zeros, so the
+    assembled maps equal the direct engine's raw circular fftmaps
+    (src/cudaConvFFTData.cu:250-282) — same shape, same placement — at
+    overlap-save speed. Such spectra also serve every linear mode (the
+    canvas contains the 'full' window). ``policy`` sizes the canvas
+    (default the same policy ``fft_data`` uses); zero-padding only
+    (the clamp band is a direct-engine concept).
+
     ``store_dtype='bfloat16'``: the bf16 serving tier (see ``fft_data``) —
     block spectra stored bf16, all downstream dots single-pass bf16 with
     f32 accumulation."""
     validate(max_kernel_h >= 1 and max_kernel_w >= 1, "kernel dims must be >= 1")
     store_t = _resolve_store_dtype(store_dtype)
     validate(
-        trim_mode in ("full", "same", "valid"),
-        "trim_mode must be 'full', 'same', or 'valid'",
+        trim_mode in ("full", "same", "valid", "fftmap"),
+        "trim_mode must be 'full', 'same', 'valid', or 'fftmap'",
+    )
+    validate(
+        policy is None or trim_mode == "fftmap",
+        "policy only sizes the trim_mode='fftmap' canvas — block dims are "
+        "chosen by the overlap-save planner, not an FFT-size policy",
     )
     # window offsets follow the USER's kernel size — captured before a
     # measured block plan possibly enlarges the planned envelope below
@@ -691,6 +707,21 @@ def fft_data_tiled(
         )
         origin_h, origin_w = tkh - 1, tkw - 1
         win_h, win_w = h - tkh + 1, w - tkw + 1
+    elif trim_mode == "fftmap":
+        # The direct engine's canvas for these data/kernel dims — the maps'
+        # shape is user-visible (reference raw-output parity), so it must
+        # match what fft_data would pick exactly.
+        origin_h = origin_w = 0
+        win_h, win_w = compute_fft_size(
+            h, w, tkh, tkw, _resolve_policy(policy)
+        )
+        validate(
+            win_h >= h + tkh - 1 and win_w >= w + tkw - 1,
+            f"fftmap canvas ({win_h},{win_w}) does not cover the linear "
+            f"extent ({h + tkh - 1},{w + tkw - 1}) — the circular maps "
+            "would alias; use an FFT-size policy that pads to at least "
+            "data + kernel − 1",
+        )
     else:
         origin_h = origin_w = 0
         win_h = win_w = None
@@ -705,6 +736,7 @@ def fft_data_tiled(
         re=re, im=im, block_h=block_h, block_w=block_w,
         max_kh=max_kernel_h, max_kw=max_kernel_w, data_h=h, data_w=w,
         origin_h=origin_h, origin_w=origin_w, win_h=win_h, win_w=win_w,
+        fftmap_canvas=trim_mode == "fftmap",
     )
 
 
@@ -1004,7 +1036,8 @@ def conv_spectral(
     'fftmap', trimmed windows for 'full'/'same'/'valid' (list if ragged).
 
     A ``TiledSpectralData`` routes through the overlap-save engine
-    (ops/tiled.py; linear-conv modes only).
+    (ops/tiled.py; linear-conv modes — plus 'fftmap' when the spectra
+    baked the FFT canvas, ``fft_data_tiled(trim_mode='fftmap')``).
 
     ``same_offset``: 'scipy' = (Kh−1)//2 or 'matlab' = Kh//2 ('same' window
     offset — MATLAB conv2 parity for even kernels). ``kernel_layout``:
@@ -1239,9 +1272,10 @@ def _conv_spectral_tiled(
 ):
     """Overlap-save bank convolution against precomputed block spectra."""
     validate(
-        mode != "fftmap",
-        "mode='fftmap' (raw circular maps) requires the direct engine; "
-        "the tiled engine computes linear convolution only",
+        mode != "fftmap" or spectral.fftmap_canvas,
+        "mode='fftmap' (raw circular maps) needs spectra with the FFT "
+        "canvas baked in — precompute with fft_data_tiled("
+        "trim_mode='fftmap') or use the direct engine",
     )
     if isinstance(kernels, SpectralKernels):
         sk = kernels
@@ -1277,6 +1311,20 @@ def _conv_spectral_tiled(
         f"bank kernels up to ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) exceed "
         f"the tiled spectra's planned max ({spectral.max_kh},{spectral.max_kw})",
     )
+    if mode == "fftmap":
+        # Raw-map parity holds only while the linear extent fits the baked
+        # canvas — a larger kernel's true circular map would wrap where
+        # these maps stay zero (direct-engine check mirrored from
+        # conv_spectral's linear-window validation).
+        validate(
+            spectral.data_h + max(sk.kernel_hs) - 1 <= spectral.win_h
+            and spectral.data_w + max(sk.kernel_ws) - 1 <= spectral.win_w,
+            f"kernel ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) exceeds the "
+            f"fftmap canvas ({spectral.win_h},{spectral.win_w}) baked for "
+            f"data ({spectral.data_h},{spectral.data_w}): the circular map "
+            "would wrap. Recompute fft_data_tiled(trim_mode='fftmap') with "
+            "larger trim_kernel dims",
+        )
     use_pallas = _resolve_pallas(use_pallas)
     batched = spectral.batched
     d_re = spectral.re if batched else spectral.re[None]
@@ -1430,9 +1478,10 @@ def conv_spectral_pipelined(
             "corner-anchored kernels",
         )
         validate(
-            mode != "fftmap",
-            "mode='fftmap' requires the direct engine; the tiled engine "
-            "computes linear convolution only",
+            mode != "fftmap" or spectral.fftmap_canvas,
+            "mode='fftmap' (raw circular maps) needs spectra with the FFT "
+            "canvas baked in — precompute with fft_data_tiled("
+            "trim_mode='fftmap') or use the direct engine",
         )
         validate(
             max(sk.kernel_hs) <= spectral.max_kh
@@ -1440,6 +1489,17 @@ def conv_spectral_pipelined(
             f"bank kernels up to ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) "
             f"exceed the tiled spectra's planned max "
             f"({spectral.max_kh},{spectral.max_kw})",
+        )
+        validate(
+            mode != "fftmap"
+            or (
+                spectral.data_h + max(sk.kernel_hs) - 1 <= spectral.win_h
+                and spectral.data_w + max(sk.kernel_ws) - 1 <= spectral.win_w
+            ),
+            f"kernel ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) exceeds the "
+            f"fftmap canvas ({spectral.win_h},{spectral.win_w}): the "
+            "circular map would wrap — recompute fft_data_tiled("
+            "trim_mode='fftmap') with larger trim_kernel dims",
         )
         batched = spectral.batched
         d_re = spectral.re if batched else spectral.re[None]
@@ -1524,8 +1584,9 @@ def fft_conv(
     requires them because it sizes buffers before reading the cell array).
 
     ``algorithm``: 'direct' = one image-sized FFT (the reference's engine);
-    'tiled' = overlap-save block FFTs (ops/tiled.py, linear modes only);
-    'auto' = tiled when the planner says it pays and the mode allows it.
+    'tiled' = overlap-save block FFTs (ops/tiled.py — linear modes, plus
+    'fftmap' via a baked FFT-size canvas whose raw maps match the direct
+    engine's exactly); 'auto' = tiled when the planner says it pays.
 
     ``padding='clamp'`` replicates edge pixels through the pad band
     (padDataClampToBorder, src/convolutionFFTkernel.cu:46-76);
@@ -1603,10 +1664,12 @@ def fft_conv(
     if algorithm == "auto" and policy is not None:
         # An explicitly pinned FFT-size policy (e.g. 'multiple16' for
         # reference parity) only applies to the direct engine — the tiled
-        # engine's block geometry supersedes it. Honor the pin rather than
-        # silently ignoring it.
+        # engine's block geometry supersedes it (but still sizes the
+        # mode='fftmap' canvas, which IS output shape; algorithm='tiled'
+        # passes it through below). Honor the pin rather than silently
+        # ignoring it.
         algorithm = "direct"
-    if algorithm != "direct" and mode != "fftmap":
+    if algorithm != "direct":
         data_arr = _as_array(data)
         h, w = (
             (data_arr.shape[0], data_arr.shape[1])
@@ -1622,8 +1685,20 @@ def fft_conv(
             # block tiling so the engine writes 'same'/'valid' maps
             # directly — the trim slice becomes a no-op (saves a
             # full-output HBM copy, ~14 ms on the 2048²×100 headline).
+            # mode='fftmap' bakes the direct engine's FFT canvas instead:
+            # the raw circular maps ARE the 'full' maps zero-extended
+            # (padding='zero'/'corner' guaranteed here — 'clamp'/'centered'
+            # forced the direct engine above), so overlap-save serves
+            # reference raw-output parity too.
             trim_kwargs = {}
-            if mode in ("same", "valid"):
+            if mode == "fftmap":
+                trim_kwargs = dict(
+                    trim_mode="fftmap",
+                    trim_kernel_h=max_kernel_h,
+                    trim_kernel_w=max_kernel_w,
+                    policy=policy,
+                )
+            elif mode in ("same", "valid"):
                 # Bake the window at the ACTUAL uniform kernel shape — not
                 # max_kernel_h/w, which callers may pass larger than the
                 # kernels (the reference's buffer-sizing pattern,
@@ -1666,11 +1741,8 @@ def fft_conv(
                 spectral, kernels, mode=mode, correlation=correlation,
                 use_pallas=use_pallas, same_offset=same_offset,
             )
-    validate(
-        algorithm != "tiled",
-        "algorithm='tiled' computes linear convolution only — "
-        "use mode='full'/'same'/'valid'",
-    )
+    # Reaching here: algorithm == 'direct', or 'auto' with the planner
+    # declining to tile ('tiled' always returned above).
     spectral = fft_data(
         data, max_kernel_h, max_kernel_w, policy=policy, device=device,
         padding=padding, same_offset=same_offset,

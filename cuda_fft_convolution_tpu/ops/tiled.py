@@ -12,9 +12,12 @@ convolution is valid linear convolution in its last L−K+1 rows/cols; the
 wrapped band is discarded and blocks are laid edge-to-edge.
 
 Exactness: overlap-save computes the LINEAR convolution (the 'full'/'same'/
-'valid' windows) bit-for-fp32 like the big-FFT path; it cannot reproduce the
-big path's circular-wrap region, so mode='fftmap' always uses the direct
-engine (api.py dispatches).
+'valid' windows) bit-for-fp32 like the big-FFT path. It can ALSO serve
+mode='fftmap': the direct canvas is sized ≥ data+K−1, so its raw circular
+maps are exactly the 'full' linear maps zero-extended to the canvas —
+fft_data_tiled(trim_mode='fftmap') bakes that canvas as the output window
+(the extra blocks convolve the zero pad and write exact zeros) and the
+assembled maps match the direct engine's placement bit-for-parity.
 
 Everything here is jnp → differentiable and shard_map-compatible; the block
 axis is just another batch axis for the spectral MAC.

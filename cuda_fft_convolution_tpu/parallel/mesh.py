@@ -314,9 +314,21 @@ def conv_spectral_sharded(
         )
     if tiled:
         validate(
-            mode != "fftmap",
-            "mode='fftmap' requires the direct engine (tiled spectra hold "
-            "linear-convolution blocks only)",
+            mode != "fftmap" or spectral.fftmap_canvas,
+            "mode='fftmap' (raw circular maps) needs spectra with the FFT "
+            "canvas baked in — precompute with fft_data_tiled("
+            "trim_mode='fftmap') or use the direct engine",
+        )
+        validate(
+            mode != "fftmap"
+            or (
+                spectral.data_h + max(sk.kernel_hs) - 1 <= spectral.win_h
+                and spectral.data_w + max(sk.kernel_ws) - 1 <= spectral.win_w
+            ),
+            f"kernel ({max(sk.kernel_hs)},{max(sk.kernel_ws)}) exceeds the "
+            f"fftmap canvas ({spectral.win_h},{spectral.win_w}): the "
+            "circular map would wrap — recompute fft_data_tiled("
+            "trim_mode='fftmap') with larger trim_kernel dims",
         )
         validate(
             sk.fft_h == spectral.block_h and sk.fft_w == spectral.block_w,

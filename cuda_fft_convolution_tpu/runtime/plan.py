@@ -87,9 +87,9 @@ def make_plan(
     (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F).
 
     ``algorithm='tiled'`` compiles the overlap-save engine instead (block
-    spectra; requires a linear mode, default 'full'); ``mode`` picks the
-    output window baked into the compiled program ('fftmap' only for
-    'direct').
+    spectra); ``mode`` picks the output window baked into the compiled
+    program — 'fftmap' bakes the direct engine's FFT canvas so the tiled
+    program emits reference-parity raw circular maps.
 
     ``store_dtype='bfloat16'``: the bf16 serving tier (see api.fft_data) —
     plan spectra stored/exchanged bf16 with f32 accumulation; the plan's
@@ -119,8 +119,6 @@ def make_plan(
         )
         from cuda_fft_convolution_tpu.types import SpectralKernels, TiledSpectralData
 
-        if mode == "fftmap":
-            mode = "full"
         # static block geometry, resolved once on host (the plan may
         # enlarge the effective kernel envelope — aligned valid window)
         plan = choose_block_plan(h, w, kh, kw, feature_dim=f)
@@ -129,11 +127,22 @@ def make_plan(
             pkh, pkw = kh, kw
         else:
             block_h, block_w, pkh, pkw = plan
+        # mode='fftmap' bakes the direct engine's FFT canvas into the block
+        # tiling (fft_data_tiled trim_mode='fftmap'): the compiled program
+        # emits reference-parity raw circular maps at overlap-save speed.
+        trim_kwargs = (
+            dict(
+                trim_mode="fftmap", trim_kernel_h=kh, trim_kernel_w=kw,
+                policy=policy,
+            )
+            if mode == "fftmap"
+            else {}
+        )
 
         def _data_fft_t(data):
             sd = _api.fft_data_tiled(
                 data, pkh, pkw, block_h=block_h, block_w=block_w,
-                store_dtype=store_dtype,
+                store_dtype=store_dtype, **trim_kwargs,
             )
             return sd.re, sd.im
 
@@ -146,6 +155,13 @@ def make_plan(
             )
             return sk.re, sk.im
 
+        if mode == "fftmap":
+            from cuda_fft_convolution_tpu.api import _resolve_policy
+
+            canvas = compute_fft_size(h, w, kh, kw, _resolve_policy(policy))
+        else:
+            canvas = (None, None)
+
         def _conv(d_re, d_im, k_re, k_im):
             # always batched internally; execute_spectral unwraps
             sd = TiledSpectralData(
@@ -153,6 +169,8 @@ def make_plan(
                 im=d_im if d_im.ndim == 6 else d_im[None],
                 block_h=block_h, block_w=block_w,
                 max_kh=pkh, max_kw=pkw, data_h=h, data_w=w,
+                win_h=canvas[0], win_w=canvas[1],
+                fftmap_canvas=mode == "fftmap",
             )
             sk = SpectralKernels(
                 re=k_re, im=k_im, fft_h=block_h, fft_w=block_w,

@@ -232,9 +232,9 @@ class ShardedConvStream:
         maps = [f.result() for f in futures]    # sharded over (data, kernels)
 
     ``algorithm='tiled'`` runs the overlap-save engine per device with the
-    'same'/'valid' window baked into the block tiling; 'direct' runs the
-    big-FFT engine (required for mode='fftmap'). Stacked uniform banks
-    only (ragged cells need per-size plans — bucket first).
+    'same'/'valid' window — or the mode='fftmap' FFT canvas — baked into
+    the block tiling; 'direct' runs the big-FFT engine. Stacked uniform
+    banks only (ragged cells need per-size plans — bucket first).
     """
 
     def __init__(
@@ -258,10 +258,8 @@ class ShardedConvStream:
             algorithm in ("tiled", "direct"),
             "algorithm must be 'tiled' or 'direct'",
         )
-        validate(
-            mode != "fftmap" or algorithm == "direct",
-            "mode='fftmap' requires algorithm='direct'",
-        )
+        # mode='fftmap' works on BOTH engines: tiled bakes the direct
+        # FFT canvas into the block tiling (fft_data_tiled trim_mode).
         kernels = jnp.asarray(kernels)
         validate(
             kernels.ndim == 4,
@@ -296,7 +294,10 @@ class ShardedConvStream:
         from cuda_fft_convolution_tpu import api as _api
 
         if self._algorithm == "tiled":
-            trim = self._mode if self._mode in ("same", "valid") else "full"
+            if self._mode in ("same", "valid", "fftmap"):
+                trim = self._mode
+            else:
+                trim = "full"
             return _api.fft_data_tiled(
                 frame, self._kh, self._kw, trim_mode=trim,
                 same_offset=self._same_offset,

@@ -187,6 +187,15 @@ class TiledSpectralData:
     win_w: int | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # trim_mode='fftmap': the baked window IS the direct engine's FFT canvas
+    # (origin 0, extent = policy(data + trim_kernel − 1)). Because the canvas
+    # covers the full linear extent, the raw circular maps equal the linear
+    # 'full' maps zero-extended — so these spectra serve mode='fftmap' with
+    # bit-parity placement to the direct engine (the reference's raw output,
+    # src/cudaConvFFTData.cu:250-282) at overlap-save speed.
+    fftmap_canvas: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def fft(self) -> jnp.ndarray:
@@ -199,6 +208,10 @@ class TiledSpectralData:
     @property
     def feature_dim(self) -> int:
         return self.re.shape[-3]
+
+    @property
+    def batch_size(self) -> int:
+        return self.re.shape[0] if self.batched else 1
 
     @property
     def out_h(self) -> int:

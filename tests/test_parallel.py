@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.utils.errors import InvalidInputError
 from tests.oracles import fft_conv_full_f64, rel_err
 
 needs_multidevice = pytest.mark.skipif(
@@ -237,3 +238,25 @@ def test_sharded_same_offset_matlab(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_tiled_sharded_fftmap_canvas(rng):
+    """fftmap-canvas tiled spectra through the sharded path: raw circular
+    maps match the single-device DIRECT engine (shape and placement)."""
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((60, 50, 2)).astype(np.float32)
+    kerns = [rng.standard_normal((5, 5, 2)).astype(np.float32) for _ in range(9)]
+    want = np.array(
+        fc.fft_conv(data, kernels=kerns, mode="fftmap", algorithm="direct")
+    )
+    baked = fc.fft_data_tiled(
+        data, 5, 5, block_h=32, block_w=32, trim_mode="fftmap"
+    )
+    got = np.array(fc.conv_spectral_sharded(baked, kerns, mesh, mode="fftmap"))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+    # non-canvas tiled spectra still reject raw-map requests on the mesh
+    plain = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral_sharded(plain, kerns, mesh, mode="fftmap")

@@ -166,10 +166,8 @@ def test_sharded_stream_validation(rng):
     kerns = rng.standard_normal((2, 3, 3, 1)).astype(np.float32)
     with pytest.raises(ValueError):
         fc.ShardedConvStream(mesh, kerns, (16, 16, 1), depth=0)
-    with pytest.raises(ValueError):
-        fc.ShardedConvStream(
-            mesh, kerns, (16, 16, 1), mode="fftmap", algorithm="tiled"
-        )
+    # mode='fftmap' + algorithm='tiled' is SUPPORTED (baked FFT canvas) —
+    # parity pinned by test_sharded_stream_tiled_fftmap.
     stream = fc.ShardedConvStream(mesh, kerns, (16, 16, 1), depth=1)
     with pytest.raises(ValueError):
         stream.submit(np.zeros((8, 16, 1), np.float32))
@@ -228,3 +226,58 @@ def test_sharded_stream_constructs_without_device_work(rng, monkeypatch):
     frame = rng.standard_normal((16, 16, 1)).astype(np.float32)
     out = np.array(stream.submit(frame).result())
     assert out.shape[0] == 8
+
+
+def test_plan_tiled_fftmap_matches_direct(rng):
+    """AOT tiled plans compile mode='fftmap' by baking the FFT canvas —
+    the compiled program's raw maps match the direct engine exactly."""
+    kerns = rng.standard_normal((3, 6, 6, 2)).astype(np.float32)
+    data = rng.standard_normal((48, 40, 2)).astype(np.float32)
+    plan = fc.make_plan((48, 40, 2), (3, 6, 6, 2), algorithm="tiled",
+                        mode="fftmap")
+    got = np.asarray(plan.execute(data, kerns))
+    want = np.asarray(
+        fc.fft_conv(data, kernels=kerns, mode="fftmap", algorithm="direct",
+                    policy=fc.FftSizePolicy.FAST)
+    )
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_stream_tiled_fftmap(rng):
+    """ConvStream over a tiled fftmap plan: bounded serving with raw-map
+    output parity."""
+    kerns = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)
+    frames = [
+        rng.standard_normal((36, 36, 1)).astype(np.float32) for _ in range(3)
+    ]
+    with fc.ConvStream.create(
+        (36, 36, 1), kerns, depth=2, algorithm="tiled", mode="fftmap",
+        policy=fc.FftSizePolicy.FAST,
+    ) as stream:
+        got = stream.map(frames)
+    for f, g in zip(frames, got):
+        want = np.asarray(
+            fc.fft_conv(f, kernels=kerns, mode="fftmap", algorithm="direct",
+                        policy=fc.FftSizePolicy.FAST)
+        )
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-5)
+
+
+def test_sharded_stream_tiled_fftmap(rng):
+    """ShardedConvStream with mode='fftmap' on the TILED engine: the baked
+    canvas flows through the mesh; parity vs the single-device direct
+    engine."""
+    mesh = _mesh_or_skip()
+    kerns = rng.standard_normal((4, 3, 3, 1)).astype(np.float32)
+    frame = rng.standard_normal((40, 40, 1)).astype(np.float32)
+    with fc.ShardedConvStream(
+        mesh, kerns, (40, 40, 1), depth=1, mode="fftmap", algorithm="tiled"
+    ) as stream:
+        got = np.asarray(stream.submit(frame).result())
+    want = np.asarray(
+        fc.fft_conv(frame, kernels=kerns, mode="fftmap", algorithm="direct")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -109,8 +109,8 @@ def test_tiled_rejects_fftmap_and_oversize(rng):
         fc.conv_spectral(sd, [kern], mode="fftmap")
     with pytest.raises(InvalidInputError):  # kernel beyond planned max
         fc.conv_spectral(sd, [np.zeros((9, 9, 1), np.float32)], mode="full")
-    with pytest.raises(InvalidInputError):  # tiled + fftmap one-shot
-        fc.fft_conv(data, kernels=[kern], mode="fftmap", algorithm="tiled")
+    # tiled + fftmap one-shot is SUPPORTED (fft_conv bakes the FFT canvas
+    # itself) — placement parity is pinned by test_fftmap_tiled_* below.
 
 
 def test_auto_algorithm_dispatch(rng):
@@ -447,3 +447,138 @@ def test_fused_vmem_gate_measured_boundary():
     assert block_conv_vmem_bytes(
         1, 128, 256, 96, 384, g32[0], True, g32[1], 4
     ) < (12 << 20)
+
+
+# ---------------------------------------------------------------------------
+# mode='fftmap' through the tiled engine: the baked FFT-size canvas makes
+# the raw circular maps reproducible by overlap-save (direct canvas is
+# sized >= data+K-1, so circular == linear 'full' zero-extended). Every
+# case pins shape AND placement against the direct engine.
+# ---------------------------------------------------------------------------
+
+
+def test_fftmap_tiled_matches_direct(rng):
+    data = rng.standard_normal((200, 150, 2)).astype(np.float32)
+    bank = rng.standard_normal((4, 12, 8, 2)).astype(np.float32)
+    direct = np.array(
+        fc.fft_conv(data, kernels=bank, mode="fftmap", algorithm="direct")
+    )
+    tiled = np.array(
+        fc.fft_conv(data, kernels=bank, mode="fftmap", algorithm="tiled")
+    )
+    assert tiled.shape == direct.shape
+    assert rel_err(tiled, direct) < TOL
+
+
+def test_fftmap_tiled_ragged_and_correlation(rng):
+    data = rng.standard_normal((180, 170, 3)).astype(np.float32)
+    kerns = [
+        rng.standard_normal((9, 7, 3)).astype(np.float32),
+        rng.standard_normal((5, 11, 3)).astype(np.float32),
+        rng.standard_normal((11, 11, 3)).astype(np.float32),
+    ]
+    for corr in (False, True):
+        direct = np.array(
+            fc.fft_conv(
+                data, kernels=kerns, mode="fftmap", algorithm="direct",
+                correlation=corr,
+            )
+        )
+        tiled = np.array(
+            fc.fft_conv(
+                data, kernels=kerns, mode="fftmap", algorithm="tiled",
+                correlation=corr,
+            )
+        )
+        assert tiled.shape == direct.shape
+        assert rel_err(tiled, direct) < TOL
+
+
+def test_fftmap_tiled_batched_and_oversized_max(rng):
+    data = rng.standard_normal((2, 160, 140, 2)).astype(np.float32)
+    bank = rng.standard_normal((3, 8, 8, 2)).astype(np.float32)
+    # max_kernel passed LARGER than the actual kernels (the reference's
+    # buffer-sizing pattern) — the canvas must follow the max dims.
+    direct = np.array(
+        fc.fft_conv(data, 16, 16, bank, mode="fftmap", algorithm="direct")
+    )
+    tiled = np.array(
+        fc.fft_conv(data, 16, 16, bank, mode="fftmap", algorithm="tiled")
+    )
+    assert tiled.shape == direct.shape
+    assert rel_err(tiled, direct) < TOL
+
+
+def test_fftmap_tiled_pinned_policy_shape(rng):
+    data = rng.standard_normal((150, 150, 1)).astype(np.float32)
+    bank = rng.standard_normal((2, 9, 9, 1)).astype(np.float32)
+    direct = np.array(
+        fc.fft_conv(
+            data, kernels=bank, mode="fftmap", algorithm="direct",
+            policy="multiple16",
+        )
+    )
+    tiled = np.array(
+        fc.fft_conv(
+            data, kernels=bank, mode="fftmap", algorithm="tiled",
+            policy="multiple16",
+        )
+    )
+    assert tiled.shape == direct.shape
+    assert rel_err(tiled, direct) < TOL
+
+
+def test_fftmap_canvas_spectra_serve_linear_modes(rng):
+    data = rng.standard_normal((120, 130, 2)).astype(np.float32)
+    kern = rng.standard_normal((7, 9, 2)).astype(np.float32)
+    sd = fc.fft_data_tiled(data, 7, 9, trim_mode="fftmap")
+    assert sd.fftmap_canvas
+    for mode in ("full", "same", "valid"):
+        got = np.array(fc.conv_spectral(sd, [kern], mode=mode))[0]
+        want = np.array(
+            fc.fft_conv(data, kernels=[kern], mode=mode, algorithm="direct")
+        )[0]
+        assert got.shape == want.shape
+        assert rel_err(got, want) < TOL
+
+
+def test_fftmap_tiled_pipelined_matches_direct(rng):
+    data = rng.standard_normal((140, 140, 1)).astype(np.float32)
+    bank = rng.standard_normal((5, 8, 8, 1)).astype(np.float32)
+    sd = fc.fft_data_tiled(data, 8, 8, trim_mode="fftmap")
+    direct = np.array(
+        fc.fft_conv(data, kernels=bank, mode="fftmap", algorithm="direct")
+    )
+    got = np.array(
+        fc.conv_spectral_pipelined(sd, bank, mode="fftmap", chunk_size=2)
+    )
+    assert got.shape == direct.shape
+    assert rel_err(got, direct) < TOL
+
+
+def test_fftmap_tiled_validation():
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((64, 64, 1)).astype(np.float32)
+    kern = rng.standard_normal((5, 5, 1)).astype(np.float32)
+    # spectra without the baked canvas reject raw-map requests
+    sd_full = fc.fft_data_tiled(data, 5, 5)
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral(sd_full, [kern], mode="fftmap")
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral_pipelined(sd_full, [kern], mode="fftmap")
+    # a kernel whose linear extent exceeds the baked canvas would wrap:
+    # plan the blocks for 40x40 kernels but bake the canvas for 5x5 —
+    # a 33x33 kernel passes the planned-max check yet must be rejected
+    # at the canvas (64+33-1 > policy(64+5-1)).
+    sd = fc.fft_data_tiled(
+        data, 40, 40, trim_mode="fftmap", trim_kernel_h=5, trim_kernel_w=5
+    )
+    assert sd.data_h + 33 - 1 > sd.win_h
+    big = rng.standard_normal((33, 33, 1)).astype(np.float32)
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral(sd, [big], mode="fftmap")
+    with pytest.raises(InvalidInputError):
+        fc.conv_spectral_pipelined(sd, [big], mode="fftmap")
+    # policy only applies to the fftmap canvas
+    with pytest.raises(InvalidInputError):
+        fc.fft_data_tiled(data, 5, 5, trim_mode="same", policy="pow2")
