@@ -387,3 +387,22 @@ def test_sharded_streaming_spatial_bf16(rng):
     sd64 = fc.fft_data(data, 5, 5)
     want = np.array(fc.conv_spectral(sd64, bank))
     assert rel_err(out, want) < BF16_TOL
+
+
+def test_fftmap_tiled_bf16_tier(rng):
+    """mode='fftmap' through the TILED engine at the bf16 tier: the baked
+    canvas flows with bf16 spectra; raw maps stay within tier tolerance of
+    the fp32 direct engine's."""
+    data = _mk(rng, (90, 80, 2))
+    bank = np.stack([_mk(rng, (7, 7, 2)) for _ in range(4)])
+    want = np.asarray(
+        fc.fft_conv(data, kernels=bank, mode="fftmap", algorithm="direct")
+    )
+    got = np.asarray(
+        fc.fft_conv(
+            data, kernels=bank, mode="fftmap", algorithm="tiled",
+            store_dtype="bfloat16",
+        ).astype(jnp.float32)
+    )
+    assert got.shape == want.shape
+    assert rel_err(got, want) < BF16_TOL

@@ -161,3 +161,32 @@ def test_fuzz_bank_entry_points_agree():
         )
         np.testing.assert_allclose(b, a, atol=1e-5)
         np.testing.assert_allclose(c, a, atol=1e-5)
+
+
+def test_fuzz_fftmap_tiled_vs_direct():
+    """Random shapes through mode='fftmap' on both engines: the tiled
+    canvas must reproduce the direct engine's raw circular maps (shape AND
+    placement) at every geometry, batched or not, with correlation."""
+    rng = np.random.default_rng(41)
+    for trial in range(8):
+        h = int(rng.integers(40, 180))
+        w = int(rng.integers(40, 180))
+        f = int(rng.integers(1, 4))
+        kh = int(rng.integers(1, 13))
+        kw = int(rng.integers(1, 13))
+        n = int(rng.integers(1, 4))
+        batched = trial % 3 == 2
+        shape = (2, h, w, f) if batched else (h, w, f)
+        data = rng.standard_normal(shape).astype(np.float32)
+        bank = rng.standard_normal((n, kh, kw, f)).astype(np.float32)
+        corr = trial % 2 == 1
+        direct = np.asarray(
+            fc.fft_conv(data, kernels=bank, mode="fftmap",
+                        algorithm="direct", correlation=corr)
+        )
+        tiled = np.asarray(
+            fc.fft_conv(data, kernels=bank, mode="fftmap",
+                        algorithm="tiled", correlation=corr)
+        )
+        assert tiled.shape == direct.shape, (trial, tiled.shape, direct.shape)
+        assert rel_err(tiled, direct) < TOL, (h, w, f, kh, kw, n, corr)
