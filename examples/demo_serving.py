@@ -118,6 +118,19 @@ maps16 = fc.conv_spectral(sd16, sk16, mode="same")
 _m16 = np.asarray(maps16.astype(jnp.float32))
 assert np.max(np.abs(_m16 - _m)) / np.max(np.abs(_m)) < 2e-2
 
+# 9b. reference-parity raw circular maps (mode='fftmap') WITHOUT the
+# direct-engine tax: trim_mode='fftmap' bakes the direct FFT canvas into
+# the block tiling, so overlap-save emits the same maps (shape and
+# placement) at tiled speed — measured 6x on the 2048^2 x 100 config
+# (docs/PERF.md round 3f). fft_conv(mode='fftmap') auto-routes this.
+sd_map = fc.fft_data_tiled(frames[0], K, K, trim_mode="fftmap")
+raw = fc.conv_spectral(sd_map, bank, mode="fftmap")
+raw_direct = fc.fft_conv(frames[0], K, K, bank, mode="fftmap",
+                         algorithm="direct")
+_r, _rd = np.asarray(raw), np.asarray(raw_direct)
+assert _r.shape == _rd.shape
+assert np.max(np.abs(_r - _rd)) / np.max(np.abs(_rd)) < 1e-5
+
 # 10. multi-device serving: ShardedConvStream composes the stream pool
 # with the mesh path (bank pre-sharded over the kernel axis, data spectra
 # replicated over ICI) — the reference's full streams design

@@ -143,3 +143,24 @@ def test_bench_smoke_all_rows():
         "dpm_direct_streaming_GPixF_s",
     ):
         assert d.get(key) is not None and d[key] > 0, key
+
+
+def test_checkpoint_fftmap_canvas_roundtrip(rng, tmp_path):
+    """fftmap-baked tiled spectra survive checkpoint/resume: the canvas
+    flag and window restore, and raw-map serving continues bit-identical."""
+    import cuda_fft_convolution_tpu as fc
+    from cuda_fft_convolution_tpu.utils.checkpoint import (
+        load_spectral,
+        save_spectral,
+    )
+
+    data = rng.standard_normal((40, 40, 1)).astype(np.float32)
+    sd = fc.fft_data_tiled(data, 5, 5, trim_mode="fftmap")
+    path = str(tmp_path / "sd_fftmap.npz")
+    save_spectral(path, sd)
+    sd2 = load_spectral(path)
+    assert sd2.fftmap_canvas and sd2.win_h == sd.win_h
+    kern = rng.standard_normal((5, 5, 1)).astype(np.float32)
+    a = np.asarray(fc.conv_spectral(sd, [kern], mode="fftmap"))
+    b = np.asarray(fc.conv_spectral(sd2, [kern], mode="fftmap"))
+    np.testing.assert_array_equal(a, b)

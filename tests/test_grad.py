@@ -72,3 +72,19 @@ def test_grad_through_tiled_engine(rng):
     g_direct = np.array(jax.grad(lambda k: loss(k, "direct"))(kern))
     g_tiled = np.array(jax.grad(lambda k: loss(k, "tiled"))(kern))
     np.testing.assert_allclose(g_tiled, g_direct, rtol=1e-3, atol=1e-2)
+
+
+def test_grad_through_fftmap_canvas(rng):
+    """mode='fftmap' on the tiled engine (baked FFT canvas) stays
+    differentiable and matches the direct engine's gradient."""
+    data = jnp.asarray(rng.standard_normal((40, 40, 1)).astype(np.float32))
+    bank = jnp.asarray(rng.standard_normal((2, 5, 5, 1)).astype(np.float32))
+
+    def loss(d, algorithm):
+        out = fc.fft_conv(d, 5, 5, bank, mode="fftmap", algorithm=algorithm)
+        return jnp.sum(out**2)
+
+    g_direct = np.array(jax.grad(lambda d: loss(d, "direct"))(data))
+    g_tiled = np.array(jax.grad(lambda d: loss(d, "tiled"))(data))
+    scale = np.max(np.abs(g_direct))
+    assert np.max(np.abs(g_tiled - g_direct)) / scale < 1e-5
