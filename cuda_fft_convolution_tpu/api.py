@@ -1661,13 +1661,13 @@ def fft_conv(
             max_kernel_h = int(karr.shape[kh_ax])
             max_kernel_w = int(karr.shape[kw_ax])
 
-    if algorithm == "auto" and policy is not None:
+    if algorithm == "auto" and policy is not None and mode != "fftmap":
         # An explicitly pinned FFT-size policy (e.g. 'multiple16' for
-        # reference parity) only applies to the direct engine — the tiled
-        # engine's block geometry supersedes it (but still sizes the
-        # mode='fftmap' canvas, which IS output shape; algorithm='tiled'
-        # passes it through below). Honor the pin rather than silently
-        # ignoring it.
+        # reference parity) only applies to the direct engine for LINEAR
+        # windows — the tiled engine's block geometry supersedes it, so
+        # honor the pin rather than silently ignoring it. mode='fftmap'
+        # stays on auto: there the policy sizes the output CANVAS, which
+        # the tiled engine honors exactly (trim_kwargs below).
         algorithm = "direct"
     if algorithm != "direct":
         data_arr = _as_array(data)

@@ -39,7 +39,7 @@ CONFIGS = {
     "dpm_hog_streaming_GPixF_s": ("DPM tiled streaming", _floor_gpixfs(512, 512, 1024, 12, 12, 31, io_bytes=2)),
     "dpm_direct_giantbank_GPixF_s": ("DPM direct 576 bank", _floor_gpixfs(512, 512, 576, 12, 12, 31, 540, 540, io_bytes=2)),
     "dpm_direct_streaming_GPixF_s": ("DPM direct streaming", _floor_gpixfs(512, 512, 576, 12, 12, 31, 540, 540, io_bytes=2)),
-    "fftmap_parity_GPixF_s": ("fftmap parity (direct)", _floor_gpixfs(2048, 2048, 100, 64, 64, 1, 2160, 2160)),
+    "fftmap_parity_GPixF_s": ("fftmap parity (auto: tiled canvas)", _floor_gpixfs(2048, 2048, 100, 64, 64, 1, 2160, 2160)),
     "batch8_1024_GPixF_s": ("batch 8 × 1024²", _floor_gpixfs(1024, 1024, 100, 64, 64, 1)),
 }
 

@@ -582,3 +582,20 @@ def test_fftmap_tiled_validation():
     # policy only applies to the fftmap canvas
     with pytest.raises(InvalidInputError):
         fc.fft_data_tiled(data, 5, 5, trim_mode="same", policy="pow2")
+
+
+def test_fftmap_auto_honors_pinned_policy(rng):
+    """algorithm='auto' + an explicit FFT-size policy + mode='fftmap':
+    auto may tile (the canvas honors the policy exactly) — output must
+    match the direct engine at that policy, shape included."""
+    data = rng.standard_normal((300, 280, 1)).astype(np.float32)
+    bank = rng.standard_normal((2, 8, 8, 1)).astype(np.float32)
+    want = np.asarray(
+        fc.fft_conv(data, kernels=bank, mode="fftmap", algorithm="direct",
+                    policy="multiple16")
+    )
+    got = np.asarray(
+        fc.fft_conv(data, kernels=bank, mode="fftmap", policy="multiple16")
+    )
+    assert got.shape == want.shape
+    assert rel_err(got, want) < TOL
