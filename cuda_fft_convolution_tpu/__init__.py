@@ -52,6 +52,8 @@ from cuda_fft_convolution_tpu.utils.fft_size import (
 from cuda_fft_convolution_tpu.runtime import (
     ConvFuture,
     ConvStream,
+    RaggedConvFuture,
+    RaggedConvStream,
     FftConvPlan,
     ShardedConvStream,
     make_plan,
@@ -83,6 +85,8 @@ __all__ = [
     "fetch",
     "ConvFuture",
     "ConvStream",
+    "RaggedConvFuture",
+    "RaggedConvStream",
     "ShardedConvStream",
     "FftConvPlan",
     "make_plan",

@@ -8,6 +8,7 @@ FFT-convolution path (rfft2 → spectral MAC → irfft2) is differentiable JAX,
 something the reference's MEX pipeline could never offer.
 """
 
+from cuda_fft_convolution_tpu.models.detect import detect_peaks
 from cuda_fft_convolution_tpu.models.hog import hog_features
 from cuda_fft_convolution_tpu.models.filter_bank import (
     FilterBankDetector,
@@ -31,6 +32,7 @@ from cuda_fft_convolution_tpu.models.pyramid import (
 )
 
 __all__ = [
+    "detect_peaks",
     "hog_features",
     "FilterBankDetector",
     "detect",

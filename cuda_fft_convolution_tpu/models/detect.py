@@ -1,0 +1,182 @@
+"""On-device detection head: per-kernel peak extraction over score maps.
+
+The reference library exists to serve DPM/HOG detectors (README.md:4-6
+"many large kernels, large images") and its own demo validates by PEAK
+LOCATION, not by map contents (demoCudaConvolutionFFT.m:58-61) — yet its
+pipeline always materializes every full score map. At the fused kernel's
+measured roofline the OUTPUT MAPS are the dominant HBM traffic (~1.68
+GB/call ≈ 6 of 9 ms at the bf16 DPM config, PERF.md): a serving consumer
+that only wants peaks pays 10⁴× more output bytes than it reads.
+
+``detect_peaks`` closes that: on the tiled engine at fused-dispatch
+geometries the maps never touch HBM — the peaks variant of the fused
+Pallas kernel (ops/block_conv.py block_conv_peaks_pallas) reduces each
+output cell to a (max, argmax) pair in VMEM and only the tiny block-max
+pyramid crosses HBM; elsewhere the reduction runs in XLA fused into the
+map producer. Results are exact per-kernel top-1 (every cell max is
+exact), bit-comparable to argmaxing the trimmed maps.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cuda_fft_convolution_tpu import api as _api
+from cuda_fft_convolution_tpu.ops.tiled import (
+    choose_block_plan,
+    conv_blocks_peaks,
+    peaks_from_maps,
+)
+from cuda_fft_convolution_tpu.types import SpectralKernels, TiledSpectralData
+from cuda_fft_convolution_tpu.utils.errors import validate
+
+
+def detect_peaks(
+    data,
+    kernels,
+    *,
+    mode: str = "same",
+    correlation: bool = True,
+    algorithm: str = "auto",
+    same_offset: str = "scipy",
+    store_dtype: str = "float32",
+):
+    """Per-kernel top-1 detection: ``(values, positions)`` where ``values``
+    is (N,) (or (B, N) batched) peak responses and ``positions`` is
+    (N, 2) / (B, N, 2) int32 (row, col) in the ``mode`` window's frame
+    ('same' → data coordinates, like the reference demo's peak check).
+
+    ``data`` may be a channel-last array ((H, W, F) or (B, H, W, F)), or a
+    precomputed :class:`TiledSpectralData` (serving: pass the same spectra
+    a `conv_spectral` call would take — the peaks head reuses them).
+    ``kernels`` is a stacked uniform bank (N, Kh, Kw, F) or a
+    :class:`SpectralKernels` at the matching block geometry (planar).
+
+    ``correlation=True`` by default: detection scores are correlations
+    (the MOSSE/DPM convention — template matching, models/filter_bank.py
+    uses the same default).
+
+    ``algorithm='auto'|'tiled'`` routes through the overlap-save engine
+    when the planner tiles (maps never hit HBM at fused geometries);
+    'direct' computes the maps and reduces in XLA."""
+    validate(
+        mode in ("same", "valid", "full"),
+        "detect_peaks modes: 'same', 'valid', 'full' (fftmap's circular "
+        "frame has no meaningful global peak position)",
+    )
+    if isinstance(data, TiledSpectralData):
+        sd = data
+        kh, kw = _kernel_hw(kernels)
+        validate(
+            sd.win_h is not None or mode == "full",
+            "TiledSpectralData without a baked window serves mode='full' "
+            "peaks; bake trim_mode='same'/'valid' at fft_data_tiled for "
+            "windowed peaks",
+        )
+        return _peaks_tiled(sd, kernels, kh, kw, correlation, store_dtype)
+
+    arr = _api._as_array(data)
+    batched = arr.ndim == 4
+    h, w = (arr.shape[1], arr.shape[2]) if batched else (
+        arr.shape[0], arr.shape[1]
+    )
+    kh, kw = _kernel_hw(kernels)
+    if algorithm != "direct":
+        plan = choose_block_plan(
+            h, w, kh, kw, feature_dim=int(arr.shape[-1])
+        )
+        if algorithm == "tiled" or plan is not None:
+            if plan is None:
+                sd = _api.fft_data_tiled(
+                    arr, kh, kw, trim_mode=mode, trim_kernel_h=kh,
+                    trim_kernel_w=kw, same_offset=same_offset,
+                    store_dtype=store_dtype,
+                )
+            else:
+                lh, lw, pkh, pkw = plan
+                sd = _api.fft_data_tiled(
+                    arr, pkh, pkw, block_h=lh, block_w=lw, trim_mode=mode,
+                    trim_kernel_h=kh, trim_kernel_w=kw,
+                    same_offset=same_offset, store_dtype=store_dtype,
+                )
+            return _peaks_tiled(
+                sd, kernels, kh, kw, correlation, store_dtype
+            )
+    maps = _api.fft_conv(
+        arr, kernels=kernels, mode=mode, correlation=correlation,
+        algorithm="direct", same_offset=same_offset,
+        store_dtype=store_dtype,
+    )
+    maps = jnp.asarray(maps)
+    if maps.ndim == 3:  # (N, H, W) unbatched
+        vals, ys, xs = peaks_from_maps(maps[None])
+        return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
+    vals, ys, xs = peaks_from_maps(maps)
+    return vals, jnp.stack([ys, xs], axis=-1)
+
+
+def _kernel_hw(kernels) -> tuple[int, int]:
+    if isinstance(kernels, SpectralKernels):
+        hs, ws = set(kernels.kernel_hs), set(kernels.kernel_ws)
+        validate(
+            len(hs) == 1 and len(ws) == 1,
+            "detect_peaks takes a uniform bank (bucket ragged cells first)",
+        )
+        return next(iter(hs)), next(iter(ws))
+    if isinstance(kernels, (list, tuple)):
+        shapes = {tuple(jnp.asarray(k).shape) for k in kernels}
+        validate(
+            len(shapes) == 1,
+            "detect_peaks takes a uniform bank (bucket ragged cells "
+            "first, e.g. via RaggedConvStream groups)",
+        )
+        kh, kw, _ = next(iter(shapes))
+        return int(kh), int(kw)
+    karr = jnp.asarray(kernels)
+    validate(
+        karr.ndim == 4,
+        "detect_peaks takes a stacked uniform bank (N, Kh, Kw, F)",
+    )
+    return int(karr.shape[1]), int(karr.shape[2])
+
+
+def _peaks_tiled(
+    sd: TiledSpectralData, kernels, kh: int, kw: int, correlation: bool,
+    store_dtype: str,
+):
+    if isinstance(kernels, SpectralKernels):
+        sk = kernels
+        validate(
+            not sk.flat and (sk.fft_h, sk.fft_w) == (sd.block_h, sd.block_w),
+            "SpectralKernels geometry/layout does not match the tiled "
+            "spectra (planar at the block FFT size required)",
+        )
+    else:
+        sk = _api.fft_kernels(
+            kernels, spectral=sd, correlation=correlation,
+            storage="planar", store_dtype=store_dtype,
+        )
+    validate(
+        kh <= sd.max_kh and kw <= sd.max_kw,
+        f"kernel ({kh},{kw}) exceeds the tiled spectra's planned envelope "
+        f"({sd.max_kh},{sd.max_kw})",
+    )
+    d_re = sd.re if sd.batched else sd.re[None]
+    d_im = sd.im if sd.batched else sd.im[None]
+    # The engine synthesizes the baked window (origin shift already in the
+    # block tiling): peaks come back in that window's frame directly. With
+    # no baked window the frame is the KERNEL's 'full' extent — the planned
+    # envelope may be larger (aligned-window plans), and those extra
+    # rows/cols are zeros that must not win the argmax.
+    if sd.win_h is not None:
+        out_h, out_w = sd.out_h, sd.out_w
+    else:
+        out_h, out_w = sd.data_h + kh - 1, sd.data_w + kw - 1
+    vals, ys, xs = conv_blocks_peaks(
+        d_re, d_im, sk.re, sk.im, sd.block_h, sd.block_w,
+        sd.max_kh, sd.max_kw, out_h, out_w,
+    )
+    pos = jnp.stack([ys, xs], axis=-1).astype(jnp.int32)
+    if sd.batched:
+        return vals, pos
+    return vals[0], pos[0]

@@ -609,9 +609,223 @@ def block_conv_pallas(
     return out
 
 
+def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
+                          wc: int, out_h: int, out_w: int, precision,
+                          karatsuba):
+    """Peaks variant of the v3 kernel: identical MAC + windowed inverse
+    compute, but instead of writing the (MBH·Vh, MBW·Vw) output tile to
+    HBM it reduces the tile IN VMEM to one (max, argmax) pair per
+    (batch, kernel, cell) — the detection head. Out-of-window positions
+    (edge tiles extending past out_h/out_w) are masked to −inf; the argmax
+    is the GLOBAL flat index y·out_w + x, first-occurrence tie-break."""
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
+                mi_ref, val_ref, idx_ref, xr_ref, xi_ref):
+        gh = pl.program_id(1)
+        gw = pl.program_id(2)
+        kr = kr_ref[0].astype(jnp.float32)  # (F, Lh, Wc)
+        ki = ki_ref[0].astype(jnp.float32)
+        gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
+        dot = _make_dot(precision)
+        row0 = gh * (mbh * vh)
+        gy = (
+            jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 0) + row0
+        )
+        best_v = None
+        best_i = None
+        for j in range(mbw):  # static unroll over W-columns of the group
+            for i in range(mbh):  # static unroll over H-rows of the group
+                dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, Lh, Wc)
+                di = di_ref[0, i, j].astype(jnp.float32)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (Lh, Wc)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                if karatsuba:
+                    t1 = dot(gr, s_r)
+                    t2 = dot(gi, s_i)
+                    t3 = dot(gr + gi, s_r + s_i)
+                    xr_ref[i * vh:(i + 1) * vh, :] = t1 - t2
+                    xi_ref[i * vh:(i + 1) * vh, :] = t3 - t1 - t2
+                else:
+                    xr_ref[i * vh:(i + 1) * vh, :] = (
+                        dot(gr, s_r) - dot(gi, s_i)
+                    )
+                    xi_ref[i * vh:(i + 1) * vh, :] = (
+                        dot(gr, s_i) + dot(gi, s_r)
+                    )
+            tile = dot(xr_ref[...], mr_ref[...]) + dot(
+                xi_ref[...], mi_ref[...]
+            )  # (MBH·Vh, Vw)
+            col0 = (gw * mbw + j) * vw
+            gx = (
+                jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 1)
+                + col0
+            )
+            ok = (gy < out_h) & (gx < out_w)
+            tile = jnp.where(ok, tile, -jnp.inf)
+            v = jnp.max(tile)
+            flat = gy * out_w + gx
+            cand = jnp.min(
+                jnp.where(tile >= v, flat, jnp.int32(2147483647))
+            )
+            if best_v is None:
+                best_v, best_i = v, cand
+            else:
+                best_i = jnp.where(v > best_v, cand, best_i)
+                best_v = jnp.maximum(v, best_v)
+        val_ref[0, 0, 0, 0] = best_v
+        idx_ref[0, 0, 0, 0] = best_i
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
+                     "interpret", "precision", "karatsuba", "mbh", "mbw"),
+)
+def block_conv_peaks_pallas(
+    dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
+    di: jnp.ndarray,
+    kr: jnp.ndarray,  # (N, F, Lh, Wc) — same dtype as the data spectra
+    ki: jnp.ndarray,
+    block_h: int,
+    block_w: int,
+    kh: int,
+    kw: int,
+    out_h: int,
+    out_w: int,
+    *,
+    interpret: bool = False,
+    precision=None,
+    karatsuba: bool | None = None,
+    mbh: int | None = None,
+    mbw: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """→ per-cell block-max pyramid: ``(vals, idxs)`` of shape
+    (B, N, gbh, gbw) — the max response and its GLOBAL flat position
+    y·out_w + x inside each (MBH·Vh, MBW·Vw) output cell of the fused
+    block-conv, computed WITHOUT ever writing the maps to HBM.
+
+    This is the serving detection head: at the fused kernel's roofline the
+    output maps are the dominant HBM traffic (~1.68 GB/call at the DPM
+    config), but detection consumers want peaks, not maps (the reference's
+    DPM/HOG use case validates by peak location,
+    demoCudaConvolutionFFT.m:58-61) — the per-cell reduction cuts output
+    bytes by vh·vw/2 (≈ 24576× at the (192, 384) plan). Reduce the pyramid
+    with ``jnp.max``/argmax over the cell axes for exact per-kernel top-1
+    (every cell max is exact), or `lax.top_k` over cells for approximate
+    top-k (one candidate per cell region).
+
+    Same operand/precision contract as :func:`block_conv_pallas` (v3
+    scratch variant; radix-H does not apply — the peaks epilogue replaces
+    the output stores, not the transform)."""
+    b, nbh, nbw, f, lh, wc = dr.shape
+    n = kr.shape[0]
+    vh, vw = block_h - kh + 1, block_w - kw + 1
+    assert lh == block_h and wc == block_w // 2 + 1
+    assert dr.dtype == kr.dtype, "data/kernel spectra dtype mismatch"
+    tier_bf16 = dr.dtype == jnp.bfloat16
+    if precision is None:
+        from cuda_fft_convolution_tpu.ops.conv import _matmul_precision
+        from cuda_fft_convolution_tpu.utils.config import get_config
+
+        if tier_bf16:
+            precision = BF16IO
+        else:
+            fp = get_config().fused_precision
+            precision = BF16X3 if fp == BF16X3 else _matmul_precision()
+    if interpret and precision == BF16X3:
+        precision = jax.lax.Precision.HIGHEST  # see block_conv_pallas
+    if karatsuba is None:
+        karatsuba = True
+    if mbh is None and mbw is None:
+        mbh, mbw = _choose_group(nbh, nbw, f, lh, wc, vh, vw, True)
+    mbh = min(mbh or 1, nbh)
+    mbw = min(mbw or 1, nbw)
+    gbh = -(-nbh // mbh)
+    gbw = -(-nbw // mbw)
+    if gbh * mbh != nbh or gbw * mbw != nbw:
+        # padded blocks reduce over −inf-masked coords → never win a cell
+        pad = ((0, 0), (0, gbh * mbh - nbh), (0, gbw * mbw - nbw),
+               (0, 0), (0, 0), (0, 0))
+        dr = jnp.pad(dr, pad)
+        di = jnp.pad(di, pad)
+    mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32
+    gr_np, gi_np = _inv_full_mats(block_h)
+    gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh], mat_t)  # (Vh, Lh)
+    gi = jnp.asarray(gi_np[kh - 1 : kh - 1 + vh], mat_t)
+    mr_np, mi_np = _inv_packed_mats(block_w)
+    mr = jnp.asarray(mr_np[:, kw - 1 : kw - 1 + vw], mat_t)  # (Wc, Vw)
+    mi = jnp.asarray(mi_np[:, kw - 1 : kw - 1 + vw], mat_t)
+
+    grid = (b, gbh, gbw, n)
+    spec_k = pl.BlockSpec(
+        (1, f, lh, wc),
+        lambda bi, gh, gw, ni: (ni, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec_const2 = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda bi, gh, gw, ni: (0, 0), memory_space=pltpu.VMEM
+    )
+    cell_spec = pl.BlockSpec(
+        (1, 1, 1, 1),
+        lambda bi, gh, gw, ni: (bi, ni, gh, gw),
+        memory_space=pltpu.SMEM,
+    )
+    kern = _make_kernel_v3_peaks(
+        mbh, mbw, f, vh, vw, wc, out_h, out_w, precision, karatsuba
+    )
+    flops_mac = 8 * f * lh * wc
+    flops_h = 8 * vh * lh * wc
+    flops_w = 4 * vh * wc * vw
+    vals, idxs = pl.pallas_call(
+        kern,
+        grid=grid,
+        scratch_shapes=[
+            pltpu.VMEM((mbh * vh, wc), jnp.float32),
+            pltpu.VMEM((mbh * vh, wc), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(
+                (1, mbh, mbw, f, lh, wc),
+                lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, mbh, mbw, f, lh, wc),
+                lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            spec_k,
+            spec_k,
+            spec_const2((vh, lh)),
+            spec_const2((vh, lh)),
+            spec_const2((wc, vw)),
+            spec_const2((wc, vw)),
+        ],
+        out_specs=(cell_spec, cell_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, gbh, gbw), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, gbh, gbw), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * nbh * nbw * n * (flops_mac + flops_h + flops_w),
+            bytes_accessed=(
+                2 * dr.dtype.itemsize * f * lh * wc * (b * nbh * nbw)
+                + 2 * dr.dtype.itemsize * f * lh * wc * (b * gbh * gbw * n)
+                + 8 * b * n * gbh * gbw
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dr, di, kr, ki, gr, gi, mr, mi)
+    return vals, idxs
+
+
 # block_conv_pallas reads the global config (fused_precision /
 # matmul_precision) at trace time when precision=None; register so
 # set_config invalidates its cached executables.
 from cuda_fft_convolution_tpu.utils.config import register_jit_consumer  # noqa: E402
 
 register_jit_consumer(block_conv_pallas)
+register_jit_consumer(block_conv_peaks_pallas)

@@ -242,16 +242,10 @@ def fused_dispatch_auto(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "block_h", "block_w", "kh", "kw", "out_h", "out_w", "use_pallas"
-    ),
-)
-def conv_blocks(
-    d_re: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc) f32
+def _conv_blocks_unfused(
+    d_re: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc)
     d_im: jnp.ndarray,
-    k_re: jnp.ndarray,  # (N, F, Lh, Lwc) f32 — at the BLOCK fft size
+    k_re: jnp.ndarray,  # (N, F, Lh, Lwc)
     k_im: jnp.ndarray,
     block_h: int,
     block_w: int,
@@ -261,14 +255,16 @@ def conv_blocks(
     out_w: int,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Spectral MAC per block + inverse FFT + overlap-save reassembly →
-    (B, N, out_h, out_w) linear-convolution maps ('full' window). All
-    spectra are split (re, im) f32 planes — complex never exists."""
+    """The unfused three-stage pipeline (MAC → windowed inverse →
+    reassembly) — plain jnp end to end. Serves two roles: the dispatch
+    fallback when the fused Pallas kernel is off/illegal, and the VJP
+    *definition* of the fused kernel (``fused_block_conv``'s backward is
+    this function's transpose — the same pattern as the Pallas MAC,
+    ops/spectral_mac.py `_mac_pallas_ad`)."""
     from cuda_fft_convolution_tpu.ops.conv import (
         _inverse_precision,
         _use_matmul_fft,
     )
-    from cuda_fft_convolution_tpu.utils.config import get_config
 
     b, nbh, nbw, f, lh, lwc = d_re.shape
     n = k_re.shape[0]
@@ -276,33 +272,6 @@ def conv_blocks(
     # Fold (B, nbh, nbw) into one batch axis for the MAC.
     dflat_re = d_re.reshape(b * nbh * nbw, f, lh, lwc)
     dflat_im = d_im.reshape(b * nbh * nbw, f, lh, lwc)
-    fused = get_config().use_fused_block_conv
-    if fused is None:
-        # auto: see fused_dispatch_auto (single-sourced with the autotuner)
-        fused = fused_dispatch_auto(f, block_h, block_w, vh, vw, d_re.dtype)
-    if fused and jax.default_backend() == "tpu" and (
-        vh % 8 != 0 or vw % 128 != 0
-    ):
-        # Mosaic requires the output block's trailing dims to be
-        # (8, 128)-aligned; choose_block_fft picks aligned valid windows,
-        # but explicit user blocks may not — fall back to the unfused path.
-        fused = False
-    if fused:
-        # Single Pallas kernel: MAC + windowed inverse-DFT matmuls + direct
-        # clipped writes into the final map layout — nothing between stages
-        # touches HBM and there is no reassembly pass (ops/block_conv.py).
-        # The radix-2 H-stage variant (v4) runs whenever the block/window
-        # geometry allows it — every MXU dot dimension 128-native.
-        from cuda_fft_convolution_tpu.ops.block_conv import (
-            block_conv_pallas,
-            radix_h_legal,
-        )
-
-        return block_conv_pallas(
-            d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
-            interpret=jax.default_backend() != "tpu",
-            radix_h=radix_h_legal(block_h, vh),
-        )
     p_re, p_im = spectral_mac_auto_planes(
         dflat_re, dflat_im, k_re, k_im, use_pallas=use_pallas
     )
@@ -334,7 +303,194 @@ def conv_blocks(
     return out[:, :, :out_h, :out_w]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_block_conv(
+    d_re: jnp.ndarray,
+    d_im: jnp.ndarray,
+    k_re: jnp.ndarray,
+    k_im: jnp.ndarray,
+    block_h: int,
+    block_w: int,
+    kh: int,
+    kw: int,
+    out_h: int,
+    out_w: int,
+) -> jnp.ndarray:
+    """The fused Pallas block-conv (ops/block_conv.py) made differentiable.
+
+    The forward is bilinear in the (data, kernel) spectra planes; its VJP
+    is *defined* to be the unfused pipeline's (``_conv_blocks_unfused`` —
+    the same linear map computed in plain jnp), so ``jax.grad`` through the
+    auto/tiled engine works on TPU at every fused-dispatch geometry and the
+    gradient agrees with the unfused engine bit-for-fp32. Without this,
+    `jax.grad` would hit an un-differentiable `pallas_call` exactly where
+    production dispatch engages the kernel."""
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        block_conv_pallas,
+        radix_h_legal,
+    )
+
+    vh = block_h - kh + 1
+    return block_conv_pallas(
+        d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
+        interpret=jax.default_backend() != "tpu",
+        radix_h=radix_h_legal(block_h, vh),
+    )
+
+
+def _fused_block_conv_fwd(
+    d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+):
+    out = fused_block_conv(
+        d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+    )
+    return out, (d_re, d_im, k_re, k_im)
+
+
+def _fused_block_conv_bwd(block_h, block_w, kh, kw, out_h, out_w, res, g):
+    d_re, d_im, k_re, k_im = res
+    _, vjp = jax.vjp(
+        lambda a, bb, c, d: _conv_blocks_unfused(
+            a, bb, c, d, block_h, block_w, kh, kw, out_h, out_w
+        ),
+        d_re, d_im, k_re, k_im,
+    )
+    return vjp(g)
+
+
+fused_block_conv.defvjp(_fused_block_conv_fwd, _fused_block_conv_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_h", "block_w", "kh", "kw", "out_h", "out_w", "use_pallas"
+    ),
+)
+def conv_blocks(
+    d_re: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc) f32
+    d_im: jnp.ndarray,
+    k_re: jnp.ndarray,  # (N, F, Lh, Lwc) f32 — at the BLOCK fft size
+    k_im: jnp.ndarray,
+    block_h: int,
+    block_w: int,
+    kh: int,
+    kw: int,
+    out_h: int,
+    out_w: int,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Spectral MAC per block + inverse FFT + overlap-save reassembly →
+    (B, N, out_h, out_w) linear-convolution maps ('full' window). All
+    spectra are split (re, im) f32 planes — complex never exists.
+    Differentiable on BOTH dispatch branches: the fused Pallas kernel runs
+    under a custom VJP whose backward is the unfused pipeline's transpose
+    (``fused_block_conv``)."""
+    from cuda_fft_convolution_tpu.utils.config import get_config
+
+    b, nbh, nbw, f, lh, lwc = d_re.shape
+    vh, vw = block_h - kh + 1, block_w - kw + 1
+    fused = get_config().use_fused_block_conv
+    if fused is None:
+        # auto: see fused_dispatch_auto (single-sourced with the autotuner)
+        fused = fused_dispatch_auto(f, block_h, block_w, vh, vw, d_re.dtype)
+    if fused and jax.default_backend() == "tpu" and (
+        vh % 8 != 0 or vw % 128 != 0
+    ):
+        # Mosaic requires the output block's trailing dims to be
+        # (8, 128)-aligned; choose_block_fft picks aligned valid windows,
+        # but explicit user blocks may not — fall back to the unfused path.
+        fused = False
+    if fused:
+        # Single Pallas kernel: MAC + windowed inverse-DFT matmuls + direct
+        # clipped writes into the final map layout — nothing between stages
+        # touches HBM and there is no reassembly pass (ops/block_conv.py).
+        # The radix-2 H-stage variant (v4) runs whenever the block/window
+        # geometry allows it — every MXU dot dimension 128-native.
+        return fused_block_conv(
+            d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+        )
+    return _conv_blocks_unfused(
+        d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
+        use_pallas=use_pallas,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_w_hint",))
+def peaks_from_maps(
+    maps: jnp.ndarray, out_w_hint: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(B, N, H, W) maps → per-kernel top-1 ``(vals, ys, xs)`` each (B, N).
+    The XLA fallback detection head: under jit the reduction fuses into the
+    producer's epilogue, so even the unfused pipeline usually avoids a
+    separate maps round-trip."""
+    b, n, h, w = maps.shape
+    flat = maps.reshape(b, n, h * w)
+    idx = jnp.argmax(flat, axis=-1)
+    vals = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    return vals, (idx // w).astype(jnp.int32), (idx % w).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w"),
+)
+def conv_blocks_peaks(
+    d_re: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc)
+    d_im: jnp.ndarray,
+    k_re: jnp.ndarray,  # (N, F, Lh, Lwc)
+    k_im: jnp.ndarray,
+    block_h: int,
+    block_w: int,
+    kh: int,
+    kw: int,
+    out_h: int,
+    out_w: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detection head over the overlap-save engine: per-kernel top-1
+    ``(vals, ys, xs)`` each (B, N), positions in the output window's frame.
+
+    At fused-dispatch geometries the maps are never written to HBM: the
+    peaks variant of the fused kernel (block_conv_peaks_pallas) reduces
+    each output cell in VMEM to a (max, argmax) pair, and only the
+    (B, N, gbh, gbw) block-max pyramid crosses HBM (~vh·vw/2 fewer output
+    bytes). Elsewhere it reduces the assembled maps in XLA."""
+    from cuda_fft_convolution_tpu.utils.config import get_config
+
+    b, nbh, nbw, f, lh, lwc = d_re.shape
+    vh, vw = block_h - kh + 1, block_w - kw + 1
+    fused = get_config().use_fused_block_conv
+    if fused is None:
+        fused = fused_dispatch_auto(f, block_h, block_w, vh, vw, d_re.dtype)
+    if fused and jax.default_backend() == "tpu" and (
+        vh % 8 != 0 or vw % 128 != 0
+    ):
+        fused = False
+    if fused:
+        from cuda_fft_convolution_tpu.ops.block_conv import (
+            block_conv_peaks_pallas,
+        )
+
+        vals, idxs = block_conv_peaks_pallas(
+            d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
+            interpret=jax.default_backend() != "tpu",
+        )
+        n = vals.shape[1]
+        cells = vals.reshape(b, n, -1)
+        ci = jnp.argmax(cells, axis=-1)
+        v = jnp.take_along_axis(cells, ci[..., None], axis=-1)[..., 0]
+        flat = jnp.take_along_axis(
+            idxs.reshape(b, n, -1), ci[..., None], axis=-1
+        )[..., 0]
+        return v, flat // out_w, flat % out_w
+    maps = _conv_blocks_unfused(
+        d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+    )
+    return peaks_from_maps(maps)
+
+
 # These jitted workers read the global config (transform-engine dispatch)
 # at trace time; register so set_config can invalidate their caches.
 register_jit_consumer(fft_data_blocks)
 register_jit_consumer(conv_blocks)
+register_jit_consumer(conv_blocks_peaks)

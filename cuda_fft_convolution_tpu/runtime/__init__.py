@@ -25,6 +25,8 @@ from cuda_fft_convolution_tpu.runtime.plan import FftConvPlan, make_plan
 from cuda_fft_convolution_tpu.runtime.stream import (
     ConvFuture,
     ConvStream,
+    RaggedConvFuture,
+    RaggedConvStream,
     ShardedConvStream,
 )
 from cuda_fft_convolution_tpu.runtime.autotune import (
@@ -46,5 +48,7 @@ __all__ = [
     "make_plan",
     "ConvFuture",
     "ConvStream",
+    "RaggedConvFuture",
+    "RaggedConvStream",
     "ShardedConvStream",
 ]

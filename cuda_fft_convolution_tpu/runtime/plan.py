@@ -82,6 +82,7 @@ def make_plan(
     algorithm: str = "direct",
     mode: str = "fftmap",
     store_dtype: str = "float32",
+    same_offset: str = "scipy",
 ) -> FftConvPlan:
     """AOT-compile a plan for channel-last ``data_shape`` ((H, W, F) or
     (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F).
@@ -89,7 +90,9 @@ def make_plan(
     ``algorithm='tiled'`` compiles the overlap-save engine instead (block
     spectra); ``mode`` picks the output window baked into the compiled
     program — 'fftmap' bakes the direct engine's FFT canvas so the tiled
-    program emits reference-parity raw circular maps.
+    program emits reference-parity raw circular maps; the linear windows
+    ('full'/'same'/'valid', with ``same_offset`` convention) compile their
+    static trim slice into the program on both engines.
 
     ``store_dtype='bfloat16'``: the bf16 serving tier (see api.fft_data) —
     plan spectra stored/exchanged bf16 with f32 accumulation; the plan's
@@ -176,7 +179,10 @@ def make_plan(
                 re=k_re, im=k_im, fft_h=block_h, fft_w=block_w,
                 kernel_hs=(kh,) * n, kernel_ws=(kw,) * n,
             )
-            return _api.conv_spectral(sd, sk, mode=mode, use_pallas=use_pallas)
+            return _api.conv_spectral(
+                sd, sk, mode=mode, use_pallas=use_pallas,
+                same_offset=same_offset,
+            )
 
         data_aval = jax.ShapeDtypeStruct(data_shape, jnp.float32)
         kern_aval = jax.ShapeDtypeStruct(kernel_shape, jnp.float32)
@@ -199,7 +205,32 @@ def make_plan(
 
     fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
     wc = fft_w // 2 + 1
-    validate(mode == "fftmap", "direct plans currently compile 'fftmap' maps")
+    validate(
+        mode in ("fftmap", "full", "same", "valid"),
+        "mode must be 'fftmap', 'full', 'same', or 'valid'",
+    )
+    validate(
+        same_offset in ("scipy", "matlab"),
+        "same_offset must be 'scipy' or 'matlab'",
+    )
+    # Linear windows are static for a uniform bank — bake the trim slice
+    # into the compiled program (offsets follow api._trim exactly).
+    if mode == "full":
+        win = (0, 0, h + kh - 1, w + kw - 1)
+    elif mode == "same":
+        off = (kh // 2, kw // 2) if same_offset == "matlab" else (
+            (kh - 1) // 2, (kw - 1) // 2
+        )
+        win = (off[0], off[1], h, w)
+    elif mode == "valid":
+        validate(
+            h >= kh and w >= kw,
+            f"mode='valid' needs data >= kernel; got data ({h},{w}), "
+            f"kernel ({kh},{kw})",
+        )
+        win = (kh - 1, kw - 1, h - kh + 1, w - kw + 1)
+    else:
+        win = None
 
     def _data_fft(data):
         x = (
@@ -225,7 +256,11 @@ def make_plan(
             d_re, d_im, k_re, k_im, use_pallas=use_pallas
         )
         p_re, p_im = p_re.astype(store_t), p_im.astype(store_t)
-        return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+        maps = irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+        if win is not None:
+            r0, c0, rh, rw = win
+            maps = maps[:, :, r0 : r0 + rh, c0 : c0 + rw]
+        return maps
 
     f32 = jnp.float32
     data_aval = jax.ShapeDtypeStruct(data_shape, f32)

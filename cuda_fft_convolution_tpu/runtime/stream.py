@@ -210,6 +210,118 @@ class ConvStream:
         self.flush()
 
 
+class RaggedConvFuture:
+    """Joined handle over the per-group futures of one
+    :class:`RaggedConvStream` submission. ``result()`` resolves every
+    group and returns the per-kernel maps in the ORIGINAL cell order —
+    the contract of the reference's heterogeneous cell-array loop
+    (src/cudaConvFFTDataStreams.cu:353-360), which emits one map per cell
+    in cell order."""
+
+    __slots__ = ("_futures", "_groups", "_n")
+
+    def __init__(self, futures, groups, n):
+        self._futures = futures  # one ConvFuture per shape group
+        self._groups = groups  # per-group original-cell index lists
+        self._n = n
+
+    def done(self) -> bool:
+        return all(f.done() for f in self._futures)
+
+    def result(self) -> list:
+        out: list = [None] * self._n
+        for fut, idx in zip(self._futures, self._groups):
+            stacked = fut.result()  # (N_g, out_h, out_w) / (B, N_g, ...)
+            kdim = 0 if stacked.ndim == 3 else 1
+            for pos, i in enumerate(idx):
+                out[i] = jnp.take(stacked, pos, axis=kdim)
+        return out
+
+
+class RaggedConvStream:
+    """Bounded-depth serving for a HETEROGENEOUS kernel cell array — the
+    composition the reference's streams loop does in one pass
+    (src/cudaConvFFTDataStreams.cu:338-469: round-robin over a cell array
+    of mixed kernel sizes) and that ``fft_conv`` reproduces one-shot via
+    size bucketing (api._bucket_ragged). Here the same bucketing is fused
+    with the serving runtime: kernels are grouped by exact spatial shape,
+    each group gets its own AOT :class:`ConvStream` (its own FFT/block
+    geometry — small kernels never pay the giant kernel's FFT size), and a
+    ``submit`` fans the frame out to every group while
+    :class:`RaggedConvFuture` joins the results back into cell order.
+
+        stream = fc.RaggedConvStream(frame_shape, cell_bank, depth=3)
+        futures = [stream.submit(f) for f in frames]
+        maps = [f.result() for f in futures]      # list, cell order
+
+    ``depth`` bounds in-flight work PER GROUP (each group holds its own
+    output working set; total in-flight HBM is depth × Σ group outputs).
+    Kernels sharing a shape must also share the feature dim (they stack
+    into one bank; fft_conv has the same requirement)."""
+
+    def __init__(
+        self,
+        data_shape: tuple,
+        kernels: Sequence,
+        *,
+        depth: int = 3,
+        **plan_kwargs,
+    ):
+        validate(
+            isinstance(kernels, (list, tuple)) and len(kernels) >= 1,
+            "RaggedConvStream takes a non-empty kernel cell list",
+        )
+        ks = [jnp.asarray(k, jnp.float32) for k in kernels]
+        for k in ks:
+            validate(
+                k.ndim == 3,
+                f"each cell kernel must be (Kh, Kw, F), got {tuple(k.shape)}",
+            )
+        groups: dict = {}
+        for i, k in enumerate(ks):
+            groups.setdefault(tuple(k.shape), []).append(i)
+        self._groups = list(groups.values())
+        self._n = len(ks)
+        self._streams = [
+            ConvStream.create(
+                tuple(data_shape),
+                jnp.stack([ks[i] for i in idx]),
+                depth=depth,
+                **plan_kwargs,
+            )
+            for idx in self._groups
+        ]
+
+    @property
+    def num_groups(self) -> int:
+        return len(self._streams)
+
+    @property
+    def plans(self) -> list:
+        """Per-group plans (one FFT/block geometry per kernel shape)."""
+        return [s.plan for s in self._streams]
+
+    def submit(self, frame) -> RaggedConvFuture:
+        """Fan the frame out to every shape group's stream; returns a
+        joined future resolving to per-kernel maps in cell order."""
+        futs = [s.submit(frame) for s in self._streams]
+        return RaggedConvFuture(futs, self._groups, self._n)
+
+    def map(self, frames: Sequence) -> list:
+        futures = [self.submit(f) for f in frames]
+        return [f.result() for f in futures]
+
+    def flush(self) -> None:
+        for s in self._streams:
+            s.flush()
+
+    def __enter__(self) -> "RaggedConvStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.flush()
+
+
 class ShardedConvStream:
     """Bounded-depth serving over a device MESH — the composed equivalent
     of the reference's full streams design: a stream pool for latency

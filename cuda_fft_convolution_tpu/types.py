@@ -32,6 +32,7 @@ users holding a raw packed spectrum.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,28 @@ def combine_planes(re, im) -> jnp.ndarray:
     return jax.jit(jax.lax.complex)(
         jnp.asarray(re, jnp.float32), jnp.asarray(im, jnp.float32)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("fft_h", "fft_w"))
+def _unpack_h_to_w(g_re, g_im, fft_h: int, fft_w: int):
+    """H-packed half-spectrum planes (F, FFT_H//2+1, FFT_W) → this
+    library's W-packed layout (F, FFT_H, FFT_W//2+1) via Hermitian
+    symmetry (gather + sign flip — no transform is recomputed)."""
+    cfft_h = fft_h // 2 + 1
+    wc = fft_w // 2 + 1
+    u = jnp.arange(fft_h)
+    v = jnp.arange(wc)
+    mirror = u >= cfft_h  # rows recovered by conjugate symmetry
+    u_src = jnp.where(mirror, fft_h - u, u)
+    # (FFT_H, Wc) source column index: direct for stored rows, W-negated
+    # for mirrored rows
+    v_src = jnp.where(
+        mirror[:, None], (fft_w - v[None, :]) % fft_w, v[None, :]
+    )
+    sign = jnp.where(mirror, -1.0, 1.0).astype(jnp.float32)
+    re = g_re[:, u_src[:, None], v_src]  # (F, FFT_H, Wc)
+    im = g_im[:, u_src[:, None], v_src] * sign[None, :, None]
+    return re, im
 
 
 @jax.tree_util.register_dataclass
@@ -153,6 +176,54 @@ class SpectralData:
             raise ValueError(
                 f"fft_w={fft_w} inconsistent with packed width {wc}"
             )
+        return cls(re=re, im=im, fft_h=fft_h, fft_w=fft_w,
+                   data_h=data_h, data_w=data_w)
+
+    @classmethod
+    def from_reference_packed(
+        cls, fft, data_h: int, data_w: int, *, fft_h: int | None = None
+    ) -> "SpectralData":
+        """Build from a spectrum in the REFERENCE's packed layout — the
+        actual gpuArray `cudaFFTData` returns (src/cudaFFTData.cu:90-101):
+        MATLAB dims (CFFT_H, FFT_W, F) with CFFT_H = FFT_H/2+1, i.e.
+        Hermitian-packed along **H** (cuFFT R2C runs over the column-major
+        innermost axis). This converter lets migrated reference/MATLAB
+        state — or any `fft2`-convention H-packed half-spectrum — load
+        directly: it transposes the axis roles and re-derives the missing
+        H rows / packs W via Hermitian symmetry,
+
+            S[u, v] = G[u, v]                         for u < CFFT_H
+            S[u, v] = conj(G[FFT_H−u, (FFT_W−v) % FFT_W])  otherwise,
+
+        reproducing the reference's dim recovery FFT_H = (dim0−1)·2
+        (src/cudaConvFFTData.cu:92-98; pass ``fft_h`` for odd sizes).
+
+        Accepts complex or (re, im)-tuple input, shaped (CFFT_H, FFT_W, F)
+        (MATLAB channel-last, like this library's API boundary) or
+        (CFFT_H, FFT_W) for single-channel."""
+        if isinstance(fft, (tuple, list)):
+            g_re, g_im = (jnp.asarray(fft[0], jnp.float32),
+                          jnp.asarray(fft[1], jnp.float32))
+        else:
+            g_re, g_im = split_planes(fft)
+        if g_re.ndim == 2:
+            g_re, g_im = g_re[..., None], g_im[..., None]
+        if g_re.ndim != 3:
+            raise ValueError(
+                "reference-packed spectrum must be (CFFT_H, FFT_W[, F]) "
+                f"(got shape {g_re.shape})"
+            )
+        cfft_h, fft_w, _f = (int(s) for s in g_re.shape)
+        if fft_h is None:
+            fft_h = (cfft_h - 1) * 2  # the reference's even-size recovery
+        if fft_h // 2 + 1 != cfft_h:
+            raise ValueError(
+                f"fft_h={fft_h} inconsistent with packed height {cfft_h}"
+            )
+        # (CFFT_H, FFT_W, F) → channel-leading (F, CFFT_H, FFT_W)
+        g_re = jnp.moveaxis(g_re, -1, 0)
+        g_im = jnp.moveaxis(g_im, -1, 0)
+        re, im = _unpack_h_to_w(g_re, g_im, fft_h, fft_w)
         return cls(re=re, im=im, fft_h=fft_h, fft_w=fft_w,
                    data_h=data_h, data_w=data_w)
 

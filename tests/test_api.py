@@ -258,6 +258,47 @@ def test_from_packed_dim_recovery(rng):
         fc.SpectralData.from_packed(raw, 20, 24, fft_w=sd_ref.fft_w + 2)
 
 
+def test_from_reference_packed_roundtrip(rng):
+    """SpectralData.from_reference_packed loads spectra in the reference's
+    ACTUAL gpuArray layout — Hermitian-packed along H in MATLAB column-major
+    dims (CFFT_H, FFT_W, F), src/cudaFFTData.cu:90-101 — and convolving
+    from the converted state matches convolving from fft_data natively."""
+    data = rng.standard_normal((20, 24, 3)).astype(np.float32)
+    kern = rng.standard_normal((5, 7, 3)).astype(np.float32)
+    sd_ref = fc.fft_data(data, 5, 7, policy="multiple16")
+    fft_h, fft_w = sd_ref.fft_h, sd_ref.fft_w
+    # numpy emulation of the reference's packing: full fft2 of the padded
+    # data, keep rows 0..FFT_H/2, logical dims (CFFT_H, FFT_W, F)
+    padded = np.zeros((fft_h, fft_w, 3), np.float64)
+    padded[:20, :24] = data
+    full = np.fft.fft2(padded, axes=(0, 1))
+    ref_packed = full[: fft_h // 2 + 1].astype(np.complex64)
+    sd = fc.SpectralData.from_reference_packed(
+        jnp.asarray(ref_packed), data_h=20, data_w=24
+    )
+    assert (sd.fft_h, sd.fft_w) == (fft_h, fft_w)
+    got = np.array(fc.conv_spectral(sd, [kern], mode="full")[0])
+    want = np.array(fc.conv_spectral(sd_ref, [kern], mode="full")[0])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # plane-pair input and single-channel 2-D input work too
+    sd2 = fc.SpectralData.from_reference_packed(
+        (ref_packed.real, ref_packed.imag), 20, 24
+    )
+    np.testing.assert_allclose(
+        np.array(fc.conv_spectral(sd2, [kern], mode="full")[0]), want,
+        atol=1e-4,
+    )
+    sd1 = fc.SpectralData.from_reference_packed(
+        jnp.asarray(ref_packed[..., 0]), 20, 24
+    )
+    assert sd1.feature_dim == 1 and sd1.fft_h == fft_h
+    # inconsistent explicit fft_h is rejected
+    with pytest.raises(ValueError):
+        fc.SpectralData.from_reference_packed(
+            jnp.asarray(ref_packed), 20, 24, fft_h=fft_h + 2
+        )
+
+
 def test_linear_mode_rejects_aliasing_kernel(rng):
     """ADVICE round-1: a kernel larger than the maxK used to size fft_data
     (but still <= FFT dims) must raise for linear modes instead of silently

@@ -1,0 +1,115 @@
+"""Detection-head tests: models.detect_peaks must be peak-parity with
+argmaxing the trimmed maps on every engine/dispatch path (the reference
+demo's validation is exactly a peak-location check,
+demoCudaConvolutionFFT.m:58-61)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import cuda_fft_convolution_tpu as fc
+from cuda_fft_convolution_tpu.models import detect_peaks
+
+
+def _oracle_peaks(maps):
+    """argmax over trimmed maps: (N, H, W) → (vals, (N,2) positions)."""
+    m = np.asarray(maps)
+    n = m.shape[0]
+    flat = m.reshape(n, -1)
+    idx = flat.argmax(axis=1)
+    vals = flat[np.arange(n), idx]
+    ys, xs = np.unravel_index(idx, m.shape[1:])
+    return vals, np.stack([ys, xs], axis=-1)
+
+
+@pytest.mark.parametrize("mode", ["same", "valid", "full"])
+@pytest.mark.parametrize("algorithm", ["direct", "tiled"])
+def test_detect_peaks_parity(rng, mode, algorithm):
+    data = rng.standard_normal((60, 70, 2)).astype(np.float32)
+    bank = rng.standard_normal((3, 5, 7, 2)).astype(np.float32)
+    maps = fc.fft_conv(
+        data, kernels=bank, mode=mode, correlation=True, algorithm="direct"
+    )
+    want_v, want_p = _oracle_peaks(maps)
+    vals, pos = detect_peaks(
+        data, bank, mode=mode, correlation=True, algorithm=algorithm
+    )
+    np.testing.assert_array_equal(np.asarray(pos), want_p)
+    np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-4)
+
+
+def test_detect_peaks_planted_template(rng):
+    """A template planted in noise must be found at the planted location
+    (the demo's acceptance check, demoCudaConvolutionFFT.m:58-61)."""
+    templ = rng.standard_normal((9, 9, 1)).astype(np.float32)
+    data = 0.05 * rng.standard_normal((64, 64, 1)).astype(np.float32)
+    y0, x0 = 23, 41
+    data[y0 : y0 + 9, x0 : x0 + 9] += templ
+    vals, pos = detect_peaks(
+        data, templ[None], mode="same", correlation=True
+    )
+    # 'same' scipy offset: peak at planted center
+    assert tuple(np.asarray(pos)[0]) == (y0 + 4, x0 + 4)
+
+
+def test_detect_peaks_fused_kernel_path(rng):
+    """Force the fused Pallas peaks kernel (interpret mode off-TPU; the
+    compiled Mosaic kernel under FFTCONV_TEST_TPU=1) at an aligned
+    geometry and check peak parity against the trimmed maps."""
+    data = rng.standard_normal((64, 300, 2)).astype(np.float32)
+    bank = rng.standard_normal((3, 5, 129, 2)).astype(np.float32)
+    sd = fc.fft_data_tiled(
+        data, 5, 129, block_h=36, block_w=256, trim_mode="same",
+        trim_kernel_h=5, trim_kernel_w=129,
+    )
+    maps = fc.conv_spectral(sd, bank, mode="same", correlation=True)
+    want_v, want_p = _oracle_peaks(maps)
+    fc.set_config(use_fused_block_conv=True)
+    try:
+        vals, pos = detect_peaks(sd, bank, mode="same", correlation=True)
+    finally:
+        fc.set_config(use_fused_block_conv=None)
+    np.testing.assert_array_equal(np.asarray(pos), want_p)
+    np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-4)
+    # unfused dispatch agrees too
+    vals_u, pos_u = detect_peaks(sd, bank, mode="same", correlation=True)
+    np.testing.assert_array_equal(np.asarray(pos_u), want_p)
+
+
+def test_detect_peaks_batched_and_bf16(rng):
+    data = rng.standard_normal((2, 40, 40, 1)).astype(np.float32)
+    bank = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)
+    vals, pos = detect_peaks(data, bank, mode="same", correlation=True)
+    assert vals.shape == (2, 2) and pos.shape == (2, 2, 2)
+    for b in range(2):
+        maps = fc.fft_conv(
+            data[b], kernels=bank, mode="same", correlation=True,
+            algorithm="direct",
+        )
+        want_v, want_p = _oracle_peaks(maps)
+        np.testing.assert_array_equal(np.asarray(pos)[b], want_p)
+    # bf16 serving tier: same peak locations at tier accuracy
+    vals16, pos16 = detect_peaks(
+        data, bank, mode="same", correlation=True, store_dtype="bfloat16"
+    )
+    np.testing.assert_array_equal(np.asarray(pos16), np.asarray(pos))
+    np.testing.assert_allclose(
+        np.asarray(vals16), np.asarray(vals), rtol=2e-2
+    )
+
+
+def test_detect_peaks_spectral_kernels_and_validation(rng):
+    data = rng.standard_normal((50, 50, 1)).astype(np.float32)
+    bank = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)
+    sd = fc.fft_data_tiled(
+        data, 5, 5, trim_mode="same", trim_kernel_h=5, trim_kernel_w=5
+    )
+    sk = fc.fft_kernels(bank, spectral=sd, correlation=True, storage="planar")
+    vals, pos = detect_peaks(sd, sk, mode="same")
+    maps = fc.conv_spectral(sd, sk, mode="same")
+    want_v, want_p = _oracle_peaks(maps)
+    np.testing.assert_array_equal(np.asarray(pos), want_p)
+    with pytest.raises(fc.InvalidInputError):
+        detect_peaks(data, bank, mode="fftmap")
+    with pytest.raises(fc.InvalidInputError):
+        detect_peaks(data, [bank[0], bank[1][:3]], mode="same")

@@ -380,3 +380,27 @@ def test_native_loader_stale_abi_falls_back(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "_TRIED", False)
     monkeypatch.setattr(native, "_LIB", None)
     assert native.load() is None
+
+
+def test_plan_direct_linear_modes(rng):
+    """Direct plans compile linear windows too (static trim baked into the
+    program): parity vs fft_conv for every mode × same_offset convention."""
+    import jax.numpy as jnp
+
+    import cuda_fft_convolution_tpu as fc
+
+    data = rng.standard_normal((20, 22, 2)).astype(np.float32)
+    bank = rng.standard_normal((3, 4, 5, 2)).astype(np.float32)
+    for mode in ("full", "same", "valid"):
+        for off in ("scipy", "matlab"):
+            plan = fc.make_plan(
+                (20, 22, 2), (3, 4, 5, 2), algorithm="direct", mode=mode,
+                same_offset=off,
+            )
+            got = np.asarray(plan.execute(jnp.asarray(data), jnp.asarray(bank)))
+            want = np.asarray(
+                fc.fft_conv(data, kernels=bank, mode=mode,
+                            algorithm="direct", same_offset=off)
+            )
+            assert got.shape == want.shape, (mode, off)
+            np.testing.assert_allclose(got, want, atol=1e-4)

@@ -281,3 +281,57 @@ def test_sharded_stream_tiled_fftmap(rng):
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ragged_stream_matches_fft_conv_buckets(rng):
+    """RaggedConvStream composes the serving runtime with fft_conv's size
+    bucketing: a mixed 8²/64² cell bank served through per-shape-group
+    plans must match fft_conv's bucketed one-shot output, in cell order
+    (the reference's heterogeneous cell-array round-robin contract,
+    src/cudaConvFFTDataStreams.cu:353-360)."""
+    cells = [
+        rng.standard_normal((8, 8, 1)).astype(np.float32),
+        rng.standard_normal((64, 64, 1)).astype(np.float32),
+        rng.standard_normal((8, 8, 1)).astype(np.float32),
+        rng.standard_normal((5, 5, 1)).astype(np.float32),
+    ]
+    frames = [
+        rng.standard_normal((80, 80, 1)).astype(np.float32) for _ in range(3)
+    ]
+    with fc.RaggedConvStream(
+        (80, 80, 1), cells, depth=2, algorithm="direct", mode="same"
+    ) as stream:
+        got = stream.map(frames)
+        assert stream.num_groups == 3  # 8², 64², 5² shape groups
+    for f, maps in zip(frames, got):
+        want = fc.fft_conv(f, kernels=cells, mode="same", algorithm="direct")
+        assert isinstance(maps, list) and len(maps) == len(cells)
+        for g, w in zip(maps, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-4
+            )
+
+
+def test_ragged_stream_future_join_and_validation(rng):
+    """Joined futures resolve per-group exactly once; bad cells raise."""
+    cells = [
+        rng.standard_normal((4, 4, 2)).astype(np.float32),
+        rng.standard_normal((16, 16, 2)).astype(np.float32),
+    ]
+    stream = fc.RaggedConvStream((30, 30, 2), cells, depth=1, mode="full")
+    frame = rng.standard_normal((30, 30, 2)).astype(np.float32)
+    fut = stream.submit(frame)
+    maps = fut.result()
+    assert fut.done()
+    # 'full' windows differ per kernel size
+    assert maps[0].shape == (33, 33) and maps[1].shape == (45, 45)
+    want = fc.fft_conv(frame, kernels=cells, mode="full", algorithm="direct")
+    for g, w in zip(maps, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-4)
+    stream.flush()
+    with pytest.raises(fc.InvalidInputError):
+        fc.RaggedConvStream((30, 30, 2), [], depth=1)
+    with pytest.raises(fc.InvalidInputError):
+        fc.RaggedConvStream(
+            (30, 30, 2), [rng.standard_normal((4, 4)).astype(np.float32)]
+        )
