@@ -242,41 +242,9 @@ def main() -> None:
     v_bigk = v_bigk_stream = v_dpm_direct = v_dpm = None
     v_dpm_direct_stream = None
     v_dpm_stream = None
+    v_peaks = v_peaks_stream = peaks_stream_ms = None
     if not quick:
-        # BASELINE configs[2]: large-kernel regime, 2048² × a bank of 16
-        # 512² kernels (FFT-vs-direct crossover). The auto engine tiles at
-        # (1023, 1024) blocks (measured 66.8 ms vs direct-CT 85.2 and
-        # direct-XLA-FFT 100.8 on v5e); the direct fallback at the 2560²
-        # FFT size runs the two-stage Cooley–Tukey MXU transform
-        # (ops/dft.py) — beyond round 2's 2304-axis cap. Measured EARLY in
-        # the run: this config peaks ~8 GB of transform/product
-        # temporaries and this runtime's allocator degrades it ~4× late in
-        # the sequence (deterministic 225 vs 55-65 ms; bisects to no single
-        # predecessor — perf/bisect_bigk*.py), an allocator artifact, not
-        # an algorithmic cost.
         import gc as _gc
-
-        kbig = jnp.asarray(
-            rng.standard_normal((NB, BIGK, BIGK, F)).astype(np.float32)
-        )
-        bigk_shot = _probed(
-            lambda d, k: fc.fft_conv(d, BIGK, BIGK, k, mode="same")
-        )
-        t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
-        v_bigk = H * W * NB / 1e9 / t_bigk
-        # serving counterpart: data spectra amortized, dispatch pipelined
-        # (sync every 8th call) — the one-shot number is ~55% tunnel RTT
-        # (depth sweep perf/diag_stream_depth2.py: sync8 27.6 ms/call =
-        # 2.43 vs sync2 39.1 = 1.72)
-        sdbk = fc.fft_data_tiled(data, BIGK, BIGK, trim_mode="same")
-        skbk = fc.fft_kernels(kbig, spectral=sdbk)
-        jax.block_until_ready((sdbk.re, skbk.re))
-        conv_bk = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
-        t_bigks = _time_fn(conv_bk, sdbk, skbk, iters=16, sync_every=8)
-        v_bigk_stream = H * W * NB / 1e9 / t_bigks
-        del kbig, sdbk, skbk
-        _gc.collect()
-        np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
 
         # reference-parity one-shot: raw circular fftmaps. 'auto' routes
         # these through the tiled engine since round 3f — the baked FFT
@@ -438,6 +406,70 @@ def main() -> None:
         v_dpm_stream = dpm_gpixf / t_dpms
         del sdd, skd, feats, dpm_bank
 
+        # Detection head (round 4): per-kernel top-1 peaks over the
+        # headline config at the bf16 serving tier. At the fused roofline
+        # the OUTPUT MAPS are the dominant HBM traffic (~1.68 GB/call ≈
+        # 6 ms write floor); the peaks variant of the fused kernel
+        # reduces each output cell in VMEM and writes only the block-max
+        # pyramid — the row reports equivalent GPix·F/s against the same
+        # work the maps rows do (peak-parity pinned in tests/test_detect).
+        from cuda_fft_convolution_tpu.models import detect_peaks as _dp
+
+        _gc.collect()
+        np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
+        sdp = fc.fft_data_tiled(
+            data, KH, KW, trim_mode="same", store_dtype="bfloat16"
+        )
+        skp = fc.fft_kernels(
+            kernels, spectral=sdp, store_dtype="bfloat16",
+            storage="planar", correlation=True,
+        )
+        jax.block_until_ready((sdp.re, skp.re))
+        peaks_fn = _probed(lambda s, k: _dp(s, k, mode="same"))
+        t_pk = _time_fn(peaks_fn, sdp, skp, iters=3)
+        v_peaks = gpix_filters / t_pk
+        t_pks = _time_fn(peaks_fn, sdp, skp, iters=18, sync_every=9)
+        v_peaks_stream = gpix_filters / t_pks
+        peaks_stream_ms = t_pks * 1e3
+        del sdp, skp
+
+        # BASELINE configs[2]: large-kernel regime, 2048² × a bank of 16
+        # 512² kernels (FFT-vs-direct crossover). The auto engine tiles at
+        # (1023, 1024) blocks (measured 66.8 ms vs direct-CT 85.2 and
+        # direct-XLA-FFT 100.8 on v5e); the direct fallback at the 2560²
+        # FFT size runs the two-stage Cooley–Tukey MXU transform
+        # (ops/dft.py) — beyond round 2's 2304-axis cap. Measured LAST in
+        # the run SINCE ROUND 4: rounds 2-3 saw a deterministic ~4×
+        # allocator degradation when this ~8 GB-peak config ran late
+        # (225 vs 55-65 ms, bisecting to no single predecessor —
+        # perf/bisect_bigk*.py) and the bench hid it by running bigk
+        # first; perf/bigk_late_mitigations.py (round 4, 2026-08-19)
+        # measured the degradation GONE on the current runtime (48-61 ms
+        # after a bench-shaped prefix). Keeping the config in its natural
+        # late position makes this row the regression sentinel users
+        # actually experience.
+        _gc.collect()
+        np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
+        kbig = jnp.asarray(
+            rng.standard_normal((NB, BIGK, BIGK, F)).astype(np.float32)
+        )
+        bigk_shot = _probed(
+            lambda d, k: fc.fft_conv(d, BIGK, BIGK, k, mode="same")
+        )
+        t_bigk = _time_fn(bigk_shot, data, kbig, iters=3)
+        v_bigk = H * W * NB / 1e9 / t_bigk
+        # serving counterpart: data spectra amortized, dispatch pipelined
+        # (sync every 8th call) — the one-shot number is ~55% tunnel RTT
+        # (depth sweep perf/diag_stream_depth2.py: sync8 27.6 ms/call =
+        # 2.43 vs sync2 39.1 = 1.72)
+        sdbk = fc.fft_data_tiled(data, BIGK, BIGK, trim_mode="same")
+        skbk = fc.fft_kernels(kbig, spectral=sdbk)
+        jax.block_until_ready((sdbk.re, skbk.re))
+        conv_bk = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+        t_bigks = _time_fn(conv_bk, sdbk, skbk, iters=16, sync_every=8)
+        v_bigk_stream = H * W * NB / 1e9 / t_bigks
+        del kbig, sdbk, skbk
+
     # --- algorithm-independent HBM floor: any implementation must at least
     # read the image, read the bank, and write N 'same' maps.
     floor_bytes = (
@@ -487,6 +519,15 @@ def main() -> None:
             "dpm_hog_bf16_1024f_GPixF_s": None if v_dpm is None else round(v_dpm, 3),
             "dpm_hog_streaming_GPixF_s": (
                 None if v_dpm_stream is None else round(v_dpm_stream, 3)
+            ),
+            "detect_peaks_bf16_GPixF_s": (
+                None if v_peaks is None else round(v_peaks, 3)
+            ),
+            "detect_peaks_bf16_stream_GPixF_s": (
+                None if v_peaks_stream is None else round(v_peaks_stream, 3)
+            ),
+            "detect_peaks_bf16_stream_ms_frame": (
+                None if peaks_stream_ms is None else round(peaks_stream_ms, 2)
             ),
             "dpm_direct_giantbank_GPixF_s": (
                 None if v_dpm_direct is None else round(v_dpm_direct, 3)

@@ -671,7 +671,8 @@ def fft_data_tiled(
     b, f, h, w = data_cf.shape
     if block_h is None or block_w is None:
         plan = choose_block_plan(
-            h, w, max_kernel_h, max_kernel_w, feature_dim=f
+            h, w, max_kernel_h, max_kernel_w, feature_dim=f,
+            store_dtype=store_dtype,
         )
         if plan is None:
             # Caller forced tiling where the planner declines — still honor
@@ -1679,6 +1680,7 @@ def fft_conv(
         plan = choose_block_plan(
             h, w, max_kernel_h, max_kernel_w,
             feature_dim=int(data_arr.shape[-1]),
+            store_dtype=store_dtype,
         )
         if algorithm == "tiled" or plan is not None:
             # Uniform banks with a windowed mode: bake the window into the

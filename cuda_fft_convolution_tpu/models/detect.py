@@ -83,7 +83,8 @@ def detect_peaks(
     kh, kw = _kernel_hw(kernels)
     if algorithm != "direct":
         plan = choose_block_plan(
-            h, w, kh, kw, feature_dim=int(arr.shape[-1])
+            h, w, kh, kw, feature_dim=int(arr.shape[-1]),
+            store_dtype=store_dtype,
         )
         if algorithm == "tiled" or plan is not None:
             if plan is None:

@@ -358,6 +358,45 @@ def block_conv_fits_vmem(
     ) < _vmem_limit(spec_bytes)
 
 
+# Measured (MBH, MBW) overrides: (lh, wc, vh, vw, f, spec_bytes) →
+# (mbh, mbw). The analytic _choose_group heuristic was tuned at HIGHEST
+# and carried on faith to the bf16x3/BF16IO tiers (round-3 VERDICT weak
+# #5); autotune_block_geometry's group sweep writes measured winners here
+# so dispatch reproduces them. Registration clears block_conv_pallas's
+# jit cache (the group is a trace-time choice).
+_GROUP_TABLE: dict = {}
+
+# Measured builtin groups (perf/r4_autotune.py group sweeps, v5e
+# 2026-08-19) — the user-level _GROUP_TABLE overlays these.
+_BUILTIN_GROUPS: dict = {
+    (128, 256, 64, 384, 8, 4): (1, 1),   # F=8 f32 @ (128,511)
+    (256, 256, 192, 384, 8, 2): (1, 1),  # F=8 bf16 @ (256,511)
+    (128, 256, 64, 384, 1, 2): (2, 1),   # F=1 bf16 @ (128,511)
+    (128, 256, 96, 384, 1, 2): (8, 1),   # F=1 bf16 @ (128,511) K=32
+}
+
+
+def register_fused_group(
+    lh: int, wc: int, vh: int, vw: int, f: int, spec_bytes: int,
+    mbh: int, mbw: int,
+) -> None:
+    """Pin a measured (MBH, MBW) block group for a fused-kernel geometry
+    at a storage tier (spec_bytes: 4 = f32, 2 = bf16)."""
+    _GROUP_TABLE[(lh, wc, vh, vw, f, spec_bytes)] = (int(mbh), int(mbw))
+    for fn in (block_conv_pallas, block_conv_peaks_pallas):
+        try:
+            fn.clear_cache()
+        except Exception:
+            pass
+
+
+def lookup_fused_group(
+    lh: int, wc: int, vh: int, vw: int, f: int, spec_bytes: int
+) -> tuple[int, int] | None:
+    key = (lh, wc, vh, vw, f, spec_bytes)
+    return _GROUP_TABLE.get(key, _BUILTIN_GROUPS.get(key))
+
+
 def _choose_group(
     nbh: int, nbw: int, f: int, lh: int, wc: int, vh: int, vw: int,
     wstack: bool = True, spec_bytes: int = 4,
@@ -391,7 +430,7 @@ def _choose_group(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
                      "interpret", "precision", "karatsuba", "mbh", "mbw",
-                     "wstack", "radix_h"),
+                     "wstack", "radix_h", "radix_w"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
@@ -412,6 +451,7 @@ def block_conv_pallas(
     mbw: int | None = None,
     wstack: bool = True,
     radix_h: bool = False,
+    radix_w: bool = False,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
     assembled in place by clipped block writes, normalization folded in.
@@ -466,14 +506,21 @@ def block_conv_pallas(
     if karatsuba is None:
         karatsuba = wstack or radix_h
     if mbh is None and mbw is None:
-        # Group choice uses the f32 byte model even at the bf16 tier:
-        # crediting the halved spectra bytes picks LARGER groups, measured
-        # SLOWER (stream9 10.6 vs 9.0 ms on the headline bf16io plan —
-        # VMEM pressure beats the extra kernel-fetch amortization). The
-        # tier's halved bytes still widen the fits_vmem legality gate.
-        mbh, mbw = _choose_group(
-            nbh, nbw, f, lh, wc, vh, vw, wstack or radix_h
+        hit = lookup_fused_group(
+            lh, wc, vh, vw, f, 2 if tier_bf16 else 4
         )
+        if hit is not None:
+            mbh, mbw = min(hit[0], nbh), min(hit[1], nbw)
+        else:
+            # Group choice uses the f32 byte model even at the bf16 tier:
+            # crediting the halved spectra bytes picks LARGER groups,
+            # measured SLOWER (stream9 10.6 vs 9.0 ms on the headline
+            # bf16io plan — VMEM pressure beats the extra kernel-fetch
+            # amortization). The tier's halved bytes still widen the
+            # fits_vmem legality gate.
+            mbh, mbw = _choose_group(
+                nbh, nbw, f, lh, wc, vh, vw, wstack or radix_h
+            )
     if mbh is None:
         mbh = 1
     if mbw is None:
@@ -507,6 +554,111 @@ def block_conv_pallas(
         di = jnp.take(di, perm, axis=4)
         kr = jnp.take(kr, perm, axis=2)
         ki = jnp.take(ki, perm, axis=2)
+
+    if radix_w:
+        # v5: radix-2 DIT W stage on top of the v4 H stage. Lane layout:
+        # the Nyquist-fold endpoint (packed entry L4 = W/4) is carved out
+        # as a 1-lane sliver, and the remaining 2·L4 lanes are permuted to
+        # [entries 0..L4−1 | entries 2·L4..L4+1] so the fold pairs
+        # (k, W/2−k) are two ALIGNED lane-block slices. The elementwise MAC
+        # commutes with any fixed lane permutation, so permuting inputs
+        # once outside the kernel is exact (the production layout folds
+        # this permutation into the forward DFT matrix columns — zero
+        # cost; here jnp.take keeps the prototype self-contained).
+        assert radix_h and radix_w_legal(block_w, kw, vw), (
+            f"radix_w requires radix_h and the v5 W alignment "
+            f"(block_w={block_w}, kw={kw}, vw={vw})"
+        )
+        l4 = block_w // 4
+        dslr, dsli = dr[..., l4 : l4 + 1], di[..., l4 : l4 + 1]
+        kslr, ksli = kr[..., l4 : l4 + 1], ki[..., l4 : l4 + 1]
+        perm_w = jnp.concatenate([jnp.arange(l4), 2 * l4 - jnp.arange(l4)])
+        dr = jnp.take(dr, perm_w, axis=5)
+        di = jnp.take(di, perm_w, axis=5)
+        kr = jnp.take(kr, perm_w, axis=3)
+        ki = jnp.take(ki, perm_w, axis=3)
+        mat_t5 = jnp.bfloat16 if precision == BF16IO else jnp.float32
+        ur_np, ui_np = _radix_mats(block_h)
+        ur_m = jnp.asarray(ur_np, mat_t5)
+        ui_m = jnp.asarray(ui_np, mat_t5)
+        er_np, ei_np = _radix_w_mats(block_w, kw, vw)
+        er_m = jnp.asarray(er_np, mat_t5)
+        ei_m = jnp.asarray(ei_np, mat_t5)
+        m_h = block_h // 2
+        wc2 = 2 * l4
+        grid = (b, gbh, gbw, n)
+        spec_d = pl.BlockSpec(
+            (1, mbh, mbw, f, lh, wc2),
+            lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_dsl = pl.BlockSpec(
+            (1, mbh, mbw, f, lh, 1),
+            lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_k5 = pl.BlockSpec(
+            (1, f, lh, wc2),
+            lambda bi, gh, gw, ni: (ni, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_ksl = pl.BlockSpec(
+            (1, f, lh, 1),
+            lambda bi, gh, gw, ni: (ni, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_c2 = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda bi, gh, gw, ni: (0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec5 = pl.BlockSpec(
+            (1, 1, mbh * vh, mbw * vw),
+            lambda bi, gh, gw, ni: (bi, ni, gh, gw),
+            memory_space=pltpu.VMEM,
+        )
+        kern = _make_kernel_v5(
+            mbh, mbw, f, vh, vw, lh, lh - vh, block_w, precision, karatsuba
+        )
+        rows = mbh * vh
+        scratch = [
+            pltpu.VMEM((rows, wc2), jnp.float32),  # xr
+            pltpu.VMEM((rows, wc2), jnp.float32),  # xi
+            pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),  # slr
+            pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),  # sli
+            pltpu.VMEM((2 * rows, l4), jnp.float32),  # yzr
+            pltpu.VMEM((2 * rows, l4), jnp.float32),  # yzi
+        ]
+        flops = (
+            8 * f * lh * wc2  # MAC
+            + 16 * m_h * m_h * wc2 + 8 * m_h * wc2  # H radix
+            + 8 * (2 * vh) * l4 * (vw // 2) + 16 * vh * l4  # W radix
+        )
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            scratch_shapes=scratch,
+            in_specs=[
+                spec_d, spec_d, spec_k5, spec_k5,
+                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
+                spec_c2((l4, vw // 2)), spec_c2((l4, vw // 2)),
+                spec_dsl, spec_dsl, spec_ksl, spec_ksl,
+            ],
+            out_specs=out_spec5,
+            out_shape=jax.ShapeDtypeStruct(
+                (b, n, out_h, out_w), jnp.float32
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=b * nbh * nbw * n * flops,
+                bytes_accessed=(
+                    2 * dr.dtype.itemsize * f * lh * wc2 * (b * nbh * nbw)
+                    + 2 * dr.dtype.itemsize * f * lh * wc2
+                    * (b * gbh * gbw * n)
+                    + 4 * b * n * out_h * out_w
+                ),
+                transcendentals=4 * (m_h + l4),
+            ),
+            interpret=interpret,
+        )(dr, di, kr, ki, ur_m, ui_m, er_m, ei_m, dslr, dsli, kslr, ksli)
+
     mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32
     if radix_h:
         ur_np, ui_np = _radix_mats(block_h)
@@ -609,6 +761,188 @@ def block_conv_pallas(
     return out
 
 
+def radix_w_legal(block_w: int, kw: int, vw: int) -> bool:
+    """Whether the v5 radix-2 W-stage applies: the fold pairs lane blocks
+    of block_w//4 entries, so lane slices stay 128-aligned only when
+    block_w is a multiple of 512; the even/odd output split needs an even
+    window start (kw−1) and even width."""
+    return (
+        block_w % 512 == 0 and (kw - 1) % 2 == 0 and vw % 2 == 0
+        and vw >= 2
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _radix_w_mats(block_w: int, kw: int, vw: int) -> tuple:
+    """Half-length packed-synthesis matrices for the v5 W stage.
+
+    The radix-2 DIT output split of the length-W packed-real inverse:
+        x[2t]   = synth_{W/2}(Y)[t],  Y[k] = S[k] + conj(S[W/2−k])
+        x[2t+1] = synth_{W/2}(Z)[t],  Z[k] = (S[k] − conj(S[W/2−k]))·e^{2πik/W}
+    Both syntheses share the same t-columns (t = (kw−1)/2 + a), so ONE
+    (W/4, vw/2) matrix pair serves both — contraction W/4 (half of Wc) and
+    half the output columns: 2× fewer MACs than the dense windowed M. The
+    m = W/4 fold endpoint row is excluded (handled as a VPU rank-1 update
+    from the Nyquist sliver); the 1/W normalization is folded (×0.5 on the
+    1/(W/2) packed mats)."""
+    import numpy as np
+
+    l2 = block_w // 2
+    mr, mi = _inv_packed_mats(l2)  # (L2//2+1, L2)
+    t0 = (kw - 1) // 2
+    cols = [(t0 + a) % l2 for a in range(vw // 2)]
+    er = 0.5 * mr[: l2 // 2, cols].astype(np.float64)
+    ei = 0.5 * mi[: l2 // 2, cols].astype(np.float64)
+    return er.astype(np.float32), ei.astype(np.float32)
+
+
+def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
+                    lh: int, w0: int, block_w: int, precision, karatsuba):
+    """v5: the v4 radix-2 H stage + a radix-2 DIT W stage.
+
+    Operand layout (prepared by block_conv_pallas): spectra lanes are
+    W-PERMUTED to [entries 0..Q−1 | entries 2Q..Q+1 reversed], Q = W/4·2 =
+    W/2/2... concretely lanes [0..L4) hold packed entries 0..L4−1 and
+    lanes [L4..2·L4) hold entries 2·L4−j (j = lane−L4), L4 = block_w//4 —
+    so the radix fold Y = A + conj(B) / Z-twiddle pairs are plain ALIGNED
+    lane-block slices, no in-kernel shuffle. The fold endpoint (packed
+    entry L4... i.e. W/4) rides separately as a 1-lane Nyquist SLIVER
+    (extra operands), synthesized through the H stage by VPU matvecs and
+    applied as a rank-1 (−1)^t update.
+
+    Per-pixel W-stage MACs drop from 2·Wc ≈ W to W/2 (the two half-length
+    syntheses share their t-columns and stack into one (2R, L4) dot pair
+    at full MXU rows)."""
+    m = lh // 2
+    c1 = m - w0  # v4 H window chunk split
+    l4 = block_w // 4  # fold-pair block length (lanes per A/B block)
+    wc2 = 2 * l4  # permuted lane count (= block_w // 2)
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, er_ref,
+                ei_ref, dslr_ref, dsli_ref, kslr_ref, ksli_ref, out_ref,
+                xr_ref, xi_ref, slr_ref, sli_ref, yzr_ref, yzi_ref):
+        kr = kr_ref[0].astype(jnp.float32)  # (F, 2M, Wc2) H+W permuted
+        ki = ki_ref[0].astype(jnp.float32)
+        # load-then-reshape: integer indexing of a loaded >2D value
+        # lowers to an unsupported gather in Mosaic; the squeeze of the
+        # 1-lane axis must be a reshape
+        kslr = kslr_ref[0].reshape(f, lh).astype(jnp.float32)  # (F, 2M)
+        ksli = ksli_ref[0].reshape(f, lh).astype(jnp.float32)
+        ur, ui = ur_ref[...], ui_ref[...]  # (M, M) H sub-transforms
+        er, ei = er_ref[...], ei_ref[...]  # (L4, vw/2) W half-synthesis
+        dot = _make_dot(precision)
+        rows = mbh * vh
+        # H twiddle (v4)
+        u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
+            jnp.float32
+        )
+        twr = jnp.cos(jnp.pi * u_row / m)
+        twi = jnp.sin(jnp.pi * u_row / m)
+        # W twiddle over fold lanes k = 0..L4−1: e^{2πik/W}
+        k_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (1, l4), 1
+        ).astype(jnp.float32)
+        wtr = jnp.cos(2.0 * jnp.pi * k_lane / block_w)
+        wti = jnp.sin(2.0 * jnp.pi * k_lane / block_w)
+        # (−1)^t over the window's t-columns (t = w0w/2 + a)
+        t_col = jax.lax.broadcasted_iota(
+            jnp.int32, (1, vw // 2), 1
+        ) + (block_w - vw) // 2
+        parity = jnp.where(
+            t_col % 2 == 0, 1.0, -1.0
+        ).astype(jnp.float32) / (block_w // 2)
+
+        def csub(sr, si):  # (M, M) @ (M, N) complex
+            if karatsuba:
+                t1 = dot(ur, sr)
+                t2 = dot(ui, si)
+                t3 = dot(ur + ui, sr + si)
+                return t1 - t2, t3 - t1 - t2
+            return (dot(ur, sr) - dot(ui, si),
+                    dot(ur, si) + dot(ui, sr))
+
+        def matvec(mat_r, mat_i, v_r, v_i):
+            # (M, M) complex sub-transform applied to an (2M? → M,)-lane
+            # VECTOR via lane-broadcast + lane reduction (VPU): U @ v.
+            # v arrives as (1, M) rows; returns (M, 1) pairs.
+            rr = jnp.sum(mat_r * v_r, axis=1, keepdims=True) - jnp.sum(
+                mat_i * v_i, axis=1, keepdims=True
+            )
+            ii = jnp.sum(mat_r * v_i, axis=1, keepdims=True) + jnp.sum(
+                mat_i * v_r, axis=1, keepdims=True
+            )
+            return rr, ii
+
+        for j in range(mbw):  # static unroll over W-columns of the group
+            for i in range(mbh):  # static unroll over H-rows
+                dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, 2M, Wc2)
+                di = di_ref[0, i, j].astype(jnp.float32)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (2M, Wc2)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                # main-plane H radix (v4)
+                e_r, e_i = csub(s_r[:m], s_i[:m])
+                o_r, o_i = csub(s_r[m:], s_i[m:])
+                t_r = twr * o_r - twi * o_i
+                t_i = twr * o_i + twi * o_r
+                xr_ref[i * vh:i * vh + c1, :] = (e_r + t_r)[w0:, :]
+                xi_ref[i * vh:i * vh + c1, :] = (e_i + t_i)[w0:, :]
+                xr_ref[i * vh + c1:(i + 1) * vh, :] = (e_r - t_r)[: vh - c1, :]
+                xi_ref[i * vh + c1:(i + 1) * vh, :] = (e_i - t_i)[: vh - c1, :]
+                # Nyquist-sliver MAC + H radix via VPU matvecs
+                dslr = dslr_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
+                dsli = dsli_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
+                # keep everything 2-D: 1-D values force gather/reshape
+                # paths Mosaic does not lower
+                pslr = jnp.sum(
+                    kslr * dslr - ksli * dsli, axis=0, keepdims=True
+                )  # (1, 2M)
+                psli = jnp.sum(
+                    kslr * dsli + ksli * dslr, axis=0, keepdims=True
+                )
+                pse_r, pse_i = pslr[:, :m], psli[:, :m]  # (1, M)
+                pso_r, pso_i = pslr[:, m:], psli[:, m:]
+                se_r, se_i = matvec(ur, ui, pse_r, pse_i)  # (M, 1)
+                so_r, so_i = matvec(ur, ui, pso_r, pso_i)
+                st_r = twr * so_r - twi * so_i
+                st_i = twr * so_i + twi * so_r
+                slr_ref[i * vh:i * vh + c1, :] = jnp.broadcast_to(
+                    (se_r + st_r)[w0:, :], (c1, _SLIVER_LANES)
+                )
+                sli_ref[i * vh:i * vh + c1, :] = jnp.broadcast_to(
+                    (se_i + st_i)[w0:, :], (c1, _SLIVER_LANES)
+                )
+                slr_ref[i * vh + c1:(i + 1) * vh, :] = jnp.broadcast_to(
+                    (se_r - st_r)[: vh - c1, :], (vh - c1, _SLIVER_LANES)
+                )
+                sli_ref[i * vh + c1:(i + 1) * vh, :] = jnp.broadcast_to(
+                    (se_i - st_i)[: vh - c1, :], (vh - c1, _SLIVER_LANES)
+                )
+            # ---- W radix-2 DIT ----
+            ar = xr_ref[:, :l4]
+            br = xr_ref[:, l4:wc2]
+            ai = xi_ref[:, :l4]
+            bi = xi_ref[:, l4:wc2]
+            yzr_ref[:rows, :] = ar + br  # Yr
+            yzi_ref[:rows, :] = ai - bi  # Yi
+            fr = ar - br
+            fi = ai + bi
+            yzr_ref[rows:, :] = fr * wtr - fi * wti  # Zr
+            yzi_ref[rows:, :] = fr * wti + fi * wtr  # Zi
+            t_all = dot(yzr_ref[...], er) + dot(yzi_ref[...], ei)  # (2R, vw/2)
+            sl_r = slr_ref[:, 0:1]  # (R, 1) H-synthesized Nyquist sliver
+            sl_i = sli_ref[:, 0:1]
+            x_even = t_all[:rows, :] + sl_r * parity
+            x_odd = t_all[rows:, :] - sl_i * parity
+            out_ref[0, 0, :, j * vw:(j + 1) * vw] = jnp.stack(
+                [x_even, x_odd], axis=-1
+            ).reshape(rows, vw)
+
+    return _kernel
+
+
+_SLIVER_LANES = 128  # sliver scratch lane width (min VMEM tile)
+
+
 def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
                           wc: int, out_h: int, out_w: int, precision,
                           karatsuba):
@@ -672,8 +1006,12 @@ def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
             else:
                 best_i = jnp.where(v > best_v, cand, best_i)
                 best_v = jnp.maximum(v, best_v)
-        val_ref[0, 0, 0, 0] = best_v
-        idx_ref[0, 0, 0, 0] = best_i
+        # Mosaic requires (8, 128)-divisible output blocks: each cell's
+        # (max, argmax) pair is written as a broadcast (8, 128) tile and
+        # the caller strides it back out ([..., ::8, ::128]) — the padded
+        # pyramid is still ~3000× smaller than the maps it replaces.
+        val_ref[0, 0] = jnp.full((8, 128), best_v, jnp.float32)
+        idx_ref[0, 0] = jnp.full((8, 128), best_i, jnp.int32)
 
     return _kernel
 
@@ -739,7 +1077,13 @@ def block_conv_peaks_pallas(
     if karatsuba is None:
         karatsuba = True
     if mbh is None and mbw is None:
-        mbh, mbw = _choose_group(nbh, nbw, f, lh, wc, vh, vw, True)
+        hit = lookup_fused_group(
+            lh, wc, vh, vw, f, 2 if tier_bf16 else 4
+        )
+        if hit is not None:
+            mbh, mbw = min(hit[0], nbh), min(hit[1], nbw)
+        else:
+            mbh, mbw = _choose_group(nbh, nbw, f, lh, wc, vh, vw, True)
     mbh = min(mbh or 1, nbh)
     mbw = min(mbw or 1, nbw)
     gbh = -(-nbh // mbh)
@@ -768,9 +1112,9 @@ def block_conv_peaks_pallas(
         shape, lambda bi, gh, gw, ni: (0, 0), memory_space=pltpu.VMEM
     )
     cell_spec = pl.BlockSpec(
-        (1, 1, 1, 1),
+        (1, 1, 8, 128),
         lambda bi, gh, gw, ni: (bi, ni, gh, gw),
-        memory_space=pltpu.SMEM,
+        memory_space=pltpu.VMEM,
     )
     kern = _make_kernel_v3_peaks(
         mbh, mbw, f, vh, vw, wc, out_h, out_w, precision, karatsuba
@@ -778,7 +1122,7 @@ def block_conv_peaks_pallas(
     flops_mac = 8 * f * lh * wc
     flops_h = 8 * vh * lh * wc
     flops_w = 4 * vh * wc * vw
-    vals, idxs = pl.pallas_call(
+    vals8, idxs8 = pl.pallas_call(
         kern,
         grid=grid,
         scratch_shapes=[
@@ -805,21 +1149,21 @@ def block_conv_peaks_pallas(
         ],
         out_specs=(cell_spec, cell_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, gbh, gbw), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, gbh, gbw), jnp.int32),
+            jax.ShapeDtypeStruct((b, n, gbh * 8, gbw * 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, gbh * 8, gbw * 128), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * nbh * nbw * n * (flops_mac + flops_h + flops_w),
             bytes_accessed=(
                 2 * dr.dtype.itemsize * f * lh * wc * (b * nbh * nbw)
                 + 2 * dr.dtype.itemsize * f * lh * wc * (b * gbh * gbw * n)
-                + 8 * b * n * gbh * gbw
+                + 8 * b * n * gbh * gbw * 8 * 128
             ),
             transcendentals=0,
         ),
         interpret=interpret,
     )(dr, di, kr, ki, gr, gi, mr, mi)
-    return vals, idxs
+    return vals8[:, :, ::8, ::128], idxs8[:, :, ::8, ::128]
 
 
 # block_conv_pallas reads the global config (fused_precision /

@@ -43,6 +43,7 @@ def choose_block_plan(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
     *, min_ratio: int | None = None, max_block: int = 1024,
     matmul_engine: bool | None = None, feature_dim: int = 1,
+    store_dtype: str = "float32",
 ) -> tuple[int, int, int, int] | None:
     """Like ``choose_block_fft`` but returns the full overlap-save plan
     (block_h, block_w, plan_kh, plan_kw) where (plan_kh, plan_kw) is the
@@ -54,7 +55,7 @@ def choose_block_plan(
     blk = choose_block_fft(
         data_h, data_w, max_kh, max_kw, min_ratio=min_ratio,
         max_block=max_block, matmul_engine=matmul_engine,
-        feature_dim=feature_dim, _with_plan=True,
+        feature_dim=feature_dim, store_dtype=store_dtype, _with_plan=True,
     )
     return blk
 
@@ -63,7 +64,7 @@ def choose_block_fft(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
     *, min_ratio: int | None = None, max_block: int = 1024,
     matmul_engine: bool | None = None, feature_dim: int = 1,
-    _with_plan: bool = False,
+    store_dtype: str = "float32", _with_plan: bool = False,
 ) -> tuple | None:
     """Pick the overlap-save block FFT size, or None when tiling won't pay.
 
@@ -88,7 +89,9 @@ def choose_block_fft(
             lookup_tuned_geometry,
         )
 
-        tuned = lookup_tuned_geometry(max_kh, max_kw, feature_dim)
+        tuned = lookup_tuned_geometry(
+            max_kh, max_kw, feature_dim, store_dtype
+        )
         if tuned is not None:
             vh, vw = tuned[0], tuned[1]
             if len(tuned) >= 5:
@@ -202,6 +205,22 @@ def fft_data_blocks(
     return rfft2_padded_planes(xb, block_h, block_w)
 
 
+# Measured fused-LOSER geometries (round-4 perf/sweep_f8_fused.py on v5e,
+# full F × K × tier sweep): (block_h, block_w, F, spec_bytes) where the
+# fused kernel compiled, passed every legality gate, and still measured
+# SLOWER than the unfused pipeline — dispatch must not route them fused.
+#   (63, 287, 16, 4): f32 F=16, vh=32 — 45.5 vs 35.9 ms unfused (the
+#       narrow-cell + high-F combination starves the MXU; F=8 at the same
+#       blocks WINS 30.8 vs 41.4, so an F-cap can't express this).
+#   (127, 447, 8, 2): bf16 F=8 — 44.4 vs 43.2 ms (marginal; the tier's
+#       VPU upcast bill at 8 planes/block erases the dot savings; bf16
+#       F=16 at the SAME blocks wins 33.9 vs 46.2).
+_FUSED_DENY = {
+    (63, 287, 16, 4),
+    (127, 447, 8, 2),
+}
+
+
 def fused_dispatch_auto(
     f: int, block_h: int, block_w: int, vh: int, vw: int,
     spec_dtype=jnp.float32,
@@ -212,18 +231,23 @@ def fused_dispatch_auto(
     both call this; keep it single-sourced so registered entries always
     record what actually runs).
 
-    The scratch-variant fused kernels beat the unfused pipeline at EVERY
-    legal geometry measured on v5e at F ≤ 16 (perf/bench_fused_v3.py,
-    perf/sweep_f8_fused.py), so legality — TPU matmul-transform path,
-    (8,128)-aligned valid window, wide-enough dots, VMEM fit — is the
-    condition, plus the F cap: at F=31 the kernel-spectra refetch bill
-    makes fused LOSE where it even compiles (54.6 vs 38.9 ms at blocks
-    (63,287), N=64 — PERF.md's closed F=31 argument)."""
+    The scratch-variant fused kernels beat the unfused pipeline at almost
+    every legal geometry measured on v5e at F ≤ 16 (perf/bench_fused_v3.py,
+    perf/sweep_f8_fused.py — the round-4 full F × K × tier sweep), so
+    legality — TPU matmul-transform path, (8,128)-aligned valid window,
+    wide-enough dots, VMEM fit — is the condition, plus the F cap (at F=31
+    the kernel-spectra refetch bill makes fused LOSE where it even
+    compiles: 54.6 vs 38.9 ms f32, 54.4 vs 42.2 bf16 at blocks (63,287) —
+    PERF.md's closed F=31 argument) and the measured ``_FUSED_DENY``
+    geometries where the sweep caught fused losing inside the legal
+    envelope."""
     from cuda_fft_convolution_tpu.ops.block_conv import block_conv_fits_vmem
     from cuda_fft_convolution_tpu.ops.conv import _use_matmul_fft
 
     lwc = block_w // 2 + 1
     dt = jnp.dtype(spec_dtype)
+    if (block_h, block_w, f, dt.itemsize) in _FUSED_DENY:
+        return False
     return (
         jax.default_backend() == "tpu"
         # f32 AND the bf16 serving tier (BF16IO single-pass dots)

@@ -20,9 +20,14 @@ import json
 import os
 import time
 
-# (kh_env, kw_env, f_bucket) -> (valid_h, valid_w, use_fused[, block_h,
-# block_w]). Envelopes are pow-2 round-ups; f_bucket: 1 for F < 8, 8 for
-# F >= 8. ``use_fused`` routes the shape through the fused Pallas
+# (kh_env, kw_env, f_bucket, dtype_tag) -> (valid_h, valid_w,
+# use_fused[, block_h, block_w]). Envelopes are pow-2 round-ups; f_bucket:
+# 1 for F < 8, 8 for F >= 8; dtype_tag: 'f32' | 'bf16' (the serving tier
+# changes both the VMEM legality gate and the measured winner — round-3
+# VERDICT weak #5). Lookups for the bf16 tier FALL BACK to the f32 entry
+# when no tier-specific measurement exists (the f32 geometry is the
+# best-known prior; dispatch stays dtype-aware through fused_dispatch_auto
+# regardless). ``use_fused`` routes the shape through the fused Pallas
 # block-conv kernel (ops/block_conv.py) when its alignment/VMEM constraints
 # hold. Optional explicit (block_h, block_w) override the derived
 # vh+kh_env-1 block — used by plans whose effective kernel envelope is
@@ -42,18 +47,34 @@ _BUILTIN: dict = {
     # the radix-2 v4 plan — blocks (256, 511), valid (192, 384), effective
     # envelope (65, 128), every MXU dot dimension 128-native — measured
     # 59–61 ms vs 61.8 (v3 (64,384)), 77.8 (v2 (64,512)), 75–90 (unfused).
-    (64, 64, 1): (192, 384, True, 256, 511),
+    (64, 64, 1, "f32"): (192, 384, True, 256, 511),
     # 32² kernels (perf/sweep_envelopes.py): v4 plan blocks (128, 511),
     # valid (96, 384) — amortized 'same' 56.9 ms vs 84.3 analytic-auto.
     # (128² kernels: the analytic (255, 895) v3 plan WINS (76.6 ms) over
     # v4 at M=256 (121 ms — sub-transform cost grows as 2M²); no entry.)
-    (32, 32, 1): (96, 384, True, 128, 511),
+    (32, 32, 1, "f32"): (96, 384, True, 128, 511),
     # DPM/HOG envelope: 12² kernels, F=31, 512² features (perf/tune_dpm.py,
     # r3, N=256 bank): the analytic valid (16, 128) (blocks (27, 139)) WON
     # at 43.6 ms vs Wc-dense/taller alternatives (58.6–105.2) — pinned so
     # future analytic-formula changes can't regress the measured choice.
     # Unfused (the F=31 VMEM economics reject the fused kernel; PERF.md).
-    (16, 16, 8): (16, 128, False, 27, 139),
+    (16, 16, 8, "f32"): (16, 128, False, 27, 139),
+    # ---- round-4 on-chip autotune (perf/r4_autotune.py, v5e 2026-08-19;
+    # amortized 'same', group sweep included — winning (MBH, MBW) pinned
+    # in ops/block_conv._BUILTIN_GROUPS) ----
+    # 64² kernels, F=8 f32 (1024²×64 bank): the v4-family (128,511) plan
+    # at 44.3 ms vs analytic (64,192)-class 50.9-65.6.
+    (64, 64, 8, "f32"): (64, 384, True, 128, 511),
+    # 64² kernels, F=8 bf16: the FULL v4 (256,511) plan wins (33.0 vs
+    # 36.4 at (128,511)) — unlike f32, whose VMEM gate rejects it.
+    (64, 64, 8, "bf16"): (192, 384, True, 256, 511),
+    # 64² kernels, F=1 bf16 (the headline config's serving tier): the
+    # HALF-HEIGHT v4 plan (128,511) at 40.0 vs 45.8 at the f32-tuned
+    # (256,511) — the tier's winner differs from f32's.
+    (64, 64, 1, "bf16"): (64, 384, True, 128, 511),
+    # 32² kernels, F=1 bf16: (128,511) blocks, valid (96,384): 33.6 vs
+    # 39.7 at the f32-tuned family's (64,511).
+    (32, 32, 1, "bf16"): (96, 384, True, 128, 511),
 }
 _MEASURED: dict = {}
 
@@ -64,33 +85,44 @@ def _envelope(n: int) -> int:
     return max(1 << (int(n) - 1).bit_length(), 8)
 
 
-def _key(kh: int, kw: int, f: int) -> tuple:
-    return (_envelope(kh), _envelope(kw), 8 if f >= 8 else 1)
+def _dtype_tag(store_dtype) -> str:
+    return "bf16" if str(store_dtype) in ("bfloat16", "bf16") else "f32"
+
+
+def _key(kh: int, kw: int, f: int, store_dtype="float32") -> tuple:
+    return (
+        _envelope(kh), _envelope(kw), 8 if f >= 8 else 1,
+        _dtype_tag(store_dtype),
+    )
 
 
 def register_tuned_geometry(
     kh: int, kw: int, valid_h: int, valid_w: int, *, f: int = 1,
     fused: bool = False, block_h: int | None = None,
-    block_w: int | None = None,
+    block_w: int | None = None, store_dtype="float32",
 ) -> None:
     """Record a measured-best geometry (and whether the fused Pallas
-    block-conv won) for kernels in (kh, kw)'s envelope. Explicit
-    ``block_h/block_w`` pin the block beyond the derived vh+kh-1 (plans
-    with an enlarged effective kernel envelope)."""
+    block-conv won) for kernels in (kh, kw)'s envelope at the given
+    storage tier. Explicit ``block_h/block_w`` pin the block beyond the
+    derived vh+kh-1 (plans with an enlarged effective kernel envelope)."""
     entry = [int(valid_h), int(valid_w), bool(fused)]
     if block_h is not None and block_w is not None:
         entry += [int(block_h), int(block_w)]
-    _MEASURED[_key(kh, kw, f)] = tuple(entry)
+    _MEASURED[_key(kh, kw, f, store_dtype)] = tuple(entry)
 
 
 def lookup_tuned_geometry(
-    kh: int, kw: int, f: int = 1
+    kh: int, kw: int, f: int = 1, store_dtype="float32"
 ) -> tuple | None:
     """Best-known (valid_h, valid_w, use_fused[, block_h, block_w]) for
-    this kernel envelope, or None."""
+    this kernel envelope at this storage tier, or None. bf16 lookups fall
+    back to the f32 entry when the tier has no measurement of its own."""
     _load_user_cache()
-    key = _key(kh, kw, f)
+    key = _key(kh, kw, f, store_dtype)
     hit = _MEASURED.get(key, _BUILTIN.get(key))
+    if hit is None and key[3] != "f32":
+        key32 = key[:3] + ("f32",)
+        hit = _MEASURED.get(key32, _BUILTIN.get(key32))
     if hit is None:
         return None
     if len(hit) == 2:  # legacy 2-tuple cache entries
@@ -111,8 +143,11 @@ def _load_user_cache() -> None:
         try:
             with open(path) as fh:
                 for k, v in json.load(fh).items():
-                    env_h, env_w, fb = (int(x) for x in k.split(","))
-                    _MEASURED[(env_h, env_w, fb)] = tuple(
+                    parts = k.split(",")
+                    env_h, env_w, fb = (int(x) for x in parts[:3])
+                    # legacy 3-part keys load as the f32 tier
+                    tag = parts[3] if len(parts) > 3 else "f32"
+                    _MEASURED[(env_h, env_w, fb, tag)] = tuple(
                         bool(x) if i == 2 else int(x)
                         for i, x in enumerate(v)
                     )
@@ -127,7 +162,10 @@ def save_user_cache() -> None:
         return
     with open(path, "w") as fh:
         json.dump(
-            {f"{k[0]},{k[1]},{k[2]}": list(v) for k, v in _MEASURED.items()},
+            {
+                f"{k[0]},{k[1]},{k[2]},{k[3]}": list(v)
+                for k, v in _MEASURED.items()
+            },
             fh,
         )
 
@@ -174,6 +212,8 @@ def autotune_block_geometry(
     candidates: list[tuple] | None = None,
     iters: int = 3,
     register: bool = True,
+    store_dtype: str = "float32",
+    sweep_groups: bool = True,
 ) -> tuple[tuple, dict]:
     """Measure candidate block plans ON THIS DEVICE for the given workload
     shape and return (best, {plan: seconds}). Plans are (valid_h, valid_w)
@@ -184,6 +224,14 @@ def autotune_block_geometry(
     The winning plan is registered with FULL fidelity: explicit blocks and
     whether the fused Pallas block-conv engaged for it, so the later
     lookup→dispatch reproduces exactly the measured configuration.
+
+    ``store_dtype='bfloat16'`` tunes the bf16 serving tier: candidates run
+    with bf16 spectra (BF16IO dots where fused) and the winner registers
+    under the tier's own table key, so bf16 dispatch stops inheriting
+    f32-measured geometry on faith. When the winning plan engages the
+    fused kernel and ``sweep_groups`` is set, the (MBH, MBW) block group is
+    ALSO swept and the measured winner pinned via ``register_fused_group``
+    (the analytic group heuristic was tuned at HIGHEST only).
 
     Timing uses the probe-fetch barrier (utils.profiling.device_sync
     semantics) so it is honest on tunneled runtimes. Each candidate costs
@@ -228,9 +276,13 @@ def autotune_block_geometry(
             continue
         try:
             sd = _api.fft_data_tiled(
-                data, pkh, pkw, block_h=bh, block_w=bw
+                data, pkh, pkw, block_h=bh, block_w=bw,
+                store_dtype=store_dtype,
             )
-            sk = _api.fft_kernels(kerns, spectral=sd)
+            sk = _api.fft_kernels(
+                kerns, spectral=sd, store_dtype=store_dtype,
+                storage="planar",
+            )
             jax.block_until_ready((sd.re, sk.re))
             conv = probed(
                 lambda s, k: _api.conv_spectral(s, k, mode="same")
@@ -242,30 +294,104 @@ def autotune_block_geometry(
                 p, _ = conv(sd, sk)
                 np.asarray(p)
             timings[cand] = (time.perf_counter() - t0) / iters
-            fused_flags[cand] = _fused_gate(f, bh, bw, vh, vw)
+            fused_flags[cand] = _fused_gate(f, bh, bw, vh, vw, store_dtype)
             del sd, sk
         except Exception:
             continue
     if not timings:
         raise RuntimeError("no autotune candidate ran successfully")
     best = min(timings, key=timings.get)
+    if len(best) == 4:
+        vh, vw, bh, bw = best
+    else:
+        vh, vw = best
+        bh, bw = vh + kh - 1, vw + kw - 1
     if register:
-        if len(best) == 4:
-            vh, vw, bh, bw = best
-        else:
-            vh, vw = best
-            bh, bw = vh + kh - 1, vw + kw - 1
         register_tuned_geometry(
             kh, kw, vh, vw, f=f, fused=fused_flags[best],
-            block_h=bh, block_w=bw,
+            block_h=bh, block_w=bw, store_dtype=store_dtype,
+        )
+    if sweep_groups and fused_flags[best]:
+        _sweep_groups(
+            data, kerns, kh, kw, vh, vw, bh, bw, f, store_dtype, iters,
+            register,
         )
     return best, timings
 
 
-def _fused_gate(f: int, bh: int, bw: int, vh: int, vw: int) -> bool:
+def _sweep_groups(
+    data, kerns, kh, kw, vh, vw, bh, bw, f, store_dtype, iters, register
+):
+    """Measure (MBH, MBW) block-group candidates for the winning fused plan
+    at its storage tier and pin the best via register_fused_group."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuda_fft_convolution_tpu import api as _api
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        block_conv_vmem_bytes,
+        register_fused_group,
+    )
+
+    spec_bytes = 2 if _dtype_tag(store_dtype) == "bf16" else 4
+    wc = bw // 2 + 1
+    pkh, pkw = bh - vh + 1, bw - vw + 1
+    sd = _api.fft_data_tiled(
+        data, pkh, pkw, block_h=bh, block_w=bw, store_dtype=store_dtype
+    )
+    sk = _api.fft_kernels(
+        kerns, spectral=sd, store_dtype=store_dtype, storage="planar"
+    )
+    jax.block_until_ready((sd.re, sk.re))
+
+    def probed(fn):
+        def wrapped(*args):
+            out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.ravel(leaf)[:4], out
+
+        return jax.jit(wrapped)
+
+    results: dict = {}
+    for mbh, mbw in (
+        (1, 1), (2, 1), (2, 2), (4, 1), (4, 2), (1, 2), (8, 1),
+    ):
+        if block_conv_vmem_bytes(
+            f, bh, wc, vh, vw, mbh, True, mbw, spec_bytes
+        ) >= (12 << 20):
+            continue
+        register_fused_group(bh, wc, vh, vw, f, spec_bytes, mbh, mbw)
+        conv = probed(lambda s, k: _api.conv_spectral(s, k, mode="same"))
+        try:
+            p, _ = conv(sd, sk)
+            np.asarray(p)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p, _ = conv(sd, sk)
+                np.asarray(p)
+            results[(mbh, mbw)] = (time.perf_counter() - t0) / iters
+        except Exception:
+            continue
+    if results:
+        best = min(results, key=results.get)
+        if register:
+            register_fused_group(
+                bh, wc, vh, vw, f, spec_bytes, best[0], best[1]
+            )
+    return results
+
+
+def _fused_gate(
+    f: int, bh: int, bw: int, vh: int, vw: int,
+    store_dtype: str = "float32",
+) -> bool:
     """conv_blocks' auto fused-dispatch condition, evaluated for a measured
     plan so the registered entry records what actually ran — delegates to
     the single-sourced predicate (ops/tiled.py fused_dispatch_auto)."""
+    import jax.numpy as jnp
+
     from cuda_fft_convolution_tpu.ops.tiled import fused_dispatch_auto
 
-    return fused_dispatch_auto(f, bh, bw, vh, vw)
+    dt = jnp.bfloat16 if _dtype_tag(store_dtype) == "bf16" else jnp.float32
+    return fused_dispatch_auto(f, bh, bw, vh, vw, dt)

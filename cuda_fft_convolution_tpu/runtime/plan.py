@@ -124,7 +124,8 @@ def make_plan(
 
         # static block geometry, resolved once on host (the plan may
         # enlarge the effective kernel envelope — aligned valid window)
-        plan = choose_block_plan(h, w, kh, kw, feature_dim=f)
+        plan = choose_block_plan(h, w, kh, kw, feature_dim=f,
+                                 store_dtype=store_dtype)
         if plan is None:
             block_h, block_w = fallback_block_fft(kh, kw)
             pkh, pkw = kh, kw

@@ -218,19 +218,20 @@ def test_autotune_table_lookup_and_registration():
     from cuda_fft_convolution_tpu.runtime import autotune
 
     try:
-        autotune.register_tuned_geometry(64, 64, 48, 192, f=1)
-        assert autotune.lookup_tuned_geometry(64, 64, 1) == (48, 192, False)
-        # same pow-2 envelope (33..64 -> 64) shares the entry
-        assert autotune.lookup_tuned_geometry(40, 50, 1) == (48, 192, False)
+        # use the 256-envelope: no _BUILTIN entry can shadow the test
+        autotune.register_tuned_geometry(200, 200, 48, 192, f=1)
+        assert autotune.lookup_tuned_geometry(200, 200, 1) == (48, 192, False)
+        # same pow-2 envelope (129..256 -> 256) shares the entry
+        assert autotune.lookup_tuned_geometry(140, 250, 1) == (48, 192, False)
         # different feature bucket and envelope are distinct
-        assert autotune.lookup_tuned_geometry(64, 64, 31) is None
-        assert autotune.lookup_tuned_geometry(128, 128, 1) is None
+        assert autotune.lookup_tuned_geometry(200, 200, 31) is None
+        assert autotune.lookup_tuned_geometry(512, 512, 1) is None
         # matmul-engine choose_block_fft returns the tuned geometry
-        blk = choose_block_fft(2048, 2048, 64, 64, matmul_engine=True)
-        assert blk == (48 + 63, 192 + 63)
+        blk = choose_block_fft(4096, 4096, 200, 200, matmul_engine=True)
+        assert blk == (48 + 199, 192 + 199)
         # ...but declines when the tuned block doesn't fit the image
-        blk_small = choose_block_fft(64, 64, 64, 64, matmul_engine=True)
-        assert blk_small != (48 + 63, 192 + 63)
+        blk_small = choose_block_fft(200, 200, 200, 200, matmul_engine=True)
+        assert blk_small != (48 + 199, 192 + 199)
     finally:
         autotune._MEASURED.clear()
 
@@ -404,3 +405,86 @@ def test_plan_direct_linear_modes(rng):
             )
             assert got.shape == want.shape, (mode, off)
             np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_autotune_dtype_keys_and_fallback(tmp_path, monkeypatch):
+    """Round-4: table keys carry the storage tier. A bf16 registration is
+    distinct from f32; bf16 lookups FALL BACK to the f32 entry when no
+    tier measurement exists; the cache file round-trips dtype keys and
+    loads legacy 3-part keys as f32."""
+    import json
+
+    from cuda_fft_convolution_tpu.runtime import autotune
+
+    try:
+        # 256-envelope: free of _BUILTIN entries at both tiers
+        autotune.register_tuned_geometry(200, 200, 48, 192, f=1)
+        # bf16 falls back to the f32 measurement
+        assert autotune.lookup_tuned_geometry(200, 200, 1, "bfloat16") == (
+            48, 192, False,
+        )
+        autotune.register_tuned_geometry(
+            200, 200, 96, 384, f=1, fused=True, block_h=160, block_w=511,
+            store_dtype="bfloat16",
+        )
+        assert autotune.lookup_tuned_geometry(200, 200, 1, "bfloat16") == (
+            96, 384, True, 160, 511,
+        )
+        # f32 entry unchanged
+        assert autotune.lookup_tuned_geometry(200, 200, 1) == (
+            48, 192, False,
+        )
+        # cache round-trip
+        path = tmp_path / "tune.json"
+        monkeypatch.setenv("FFTCONV_AUTOTUNE_CACHE", str(path))
+        autotune.save_user_cache()
+        autotune._MEASURED.clear()
+        autotune._user_cache_loaded = False
+        assert autotune.lookup_tuned_geometry(200, 200, 1, "bfloat16") == (
+            96, 384, True, 160, 511,
+        )
+        # legacy 3-part key loads as the f32 tier
+        autotune._MEASURED.clear()
+        autotune._user_cache_loaded = False
+        path.write_text(json.dumps({"512,512,1": [64, 256, False]}))
+        assert autotune.lookup_tuned_geometry(512, 512, 1) == (
+            64, 256, False,
+        )
+    finally:
+        autotune._MEASURED.clear()
+        autotune._user_cache_loaded = False
+
+
+def test_fused_group_override_dispatch(rng):
+    """A registered (MBH, MBW) group override is honored by the fused
+    kernel's dispatch (trace-time choice, cache invalidated on
+    registration) and preserves exactness."""
+    import jax.numpy as jnp
+
+    import cuda_fft_convolution_tpu as fc
+    from cuda_fft_convolution_tpu.ops import block_conv as bc
+    from cuda_fft_convolution_tpu.ops.tiled import (
+        fft_data_blocks,
+        fused_block_conv,
+    )
+
+    bh, bw, kh, kw = 36, 256, 5, 129
+    wc = bw // 2 + 1
+    vh, vw = bh - kh + 1, bw - kw + 1
+    data = jnp.asarray(rng.standard_normal((1, 1, 70, 300)).astype(np.float32))
+    d_re, d_im = fft_data_blocks(data, bh, bw, kh, kw)
+    k_re = jnp.asarray(rng.standard_normal((2, 1, bh, wc)).astype(np.float32))
+    k_im = jnp.asarray(rng.standard_normal((2, 1, bh, wc)).astype(np.float32))
+    base = fused_block_conv(d_re, d_im, k_re, k_im, bh, bw, kh, kw, 74, 428)
+    try:
+        bc.register_fused_group(bh, wc, vh, vw, 1, 4, 1, 1)
+        assert bc.lookup_fused_group(bh, wc, vh, vw, 1, 4) == (1, 1)
+        forced = fused_block_conv(
+            d_re, d_im, k_re, k_im, bh, bw, kh, kw, 74, 428
+        )
+        np.testing.assert_allclose(
+            np.asarray(forced), np.asarray(base), atol=1e-5
+        )
+    finally:
+        bc._GROUP_TABLE.clear()
+        fc.set_config(use_fused_block_conv=None)  # clears jit caches

@@ -2,6 +2,7 @@
 direct engine and the float64 oracle — tiling is a pure performance
 transform and must be bit-level fp32-equivalent on linear windows."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -599,3 +600,47 @@ def test_fftmap_auto_honors_pinned_policy(rng):
     )
     assert got.shape == want.shape
     assert rel_err(got, want) < TOL
+
+
+def test_block_conv_v5_radix_w_parity(rng):
+    """The v5 kernel (radix-2 H stage + radix-2 DIT W stage with the
+    Nyquist-sliver lane layout) is EXACT against the v3 windowed kernel —
+    interpret mode off-TPU, the compiled Mosaic kernel under
+    FFTCONV_TEST_TPU=1."""
+    import jax.numpy as jnp
+
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        block_conv_pallas,
+        radix_h_legal,
+        radix_w_legal,
+    )
+    from cuda_fft_convolution_tpu.ops.tiled import fft_data_blocks
+
+    bh, bw, kh, kw = 256, 512, 65, 129
+    vh, vw = bh - kh + 1, bw - kw + 1
+    assert radix_h_legal(bh, vh) and radix_w_legal(bw, kw, vw)
+    out_h, out_w = 300, 500
+    data = jnp.asarray(
+        rng.standard_normal((1, 2, 300, 500)).astype(np.float32)
+    )
+    d_re, d_im = fft_data_blocks(
+        data, bh, bw, kh, kw, origin_h=kh // 2, origin_w=kw // 2,
+        win_h=out_h, win_w=out_w,
+    )
+    k_re = jnp.asarray(
+        rng.standard_normal((2, 2, bh, bw // 2 + 1)).astype(np.float32)
+    )
+    k_im = jnp.asarray(
+        rng.standard_normal((2, 2, bh, bw // 2 + 1)).astype(np.float32)
+    )
+    interp = jax.default_backend() != "tpu"
+    ref = block_conv_pallas(
+        d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+        interpret=interp, radix_h=False, wstack=True,
+    )
+    v5 = block_conv_pallas(
+        d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+        interpret=interp, radix_h=True, radix_w=True,
+    )
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(v5 - ref))) / scale < 2e-5
