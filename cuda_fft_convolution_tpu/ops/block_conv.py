@@ -556,23 +556,32 @@ def block_conv_pallas(
         ki = jnp.take(ki, perm, axis=2)
 
     if radix_w:
-        # v5: radix-2 DIT W stage on top of the v4 H stage. Lane layout:
-        # the Nyquist-fold endpoint (packed entry L4 = W/4) is carved out
-        # as a 1-lane sliver, and the remaining 2·L4 lanes are permuted to
-        # [entries 0..L4−1 | entries 2·L4..L4+1] so the fold pairs
-        # (k, W/2−k) are two ALIGNED lane-block slices. The elementwise MAC
-        # commutes with any fixed lane permutation, so permuting inputs
-        # once outside the kernel is exact (the production layout folds
-        # this permutation into the forward DFT matrix columns — zero
-        # cost; here jnp.take keeps the prototype self-contained).
+        # v5: radix-2 DIF (halves-split) W stage on top of the v4 H stage.
+        # Lane layout: the packed entries are permuted to [even bins
+        # 0,2,..,W/2−2 | odd bins 1,3,..,W/2−1] and the Nyquist entry
+        # m=W/2 is carved out as a 1-lane sliver. With P = half-length
+        # packed synthesis of the even bins (+ the sliver's (−1)^t rank-1
+        # term) and Q = the twiddle-folded synthesis of the odd bins,
+        #     x[t] = P[t] + Q[t],   x[t + W/2] = P[t] − Q[t]
+        # — output stores are CONTIGUOUS lane slices (the earlier
+        # output-parity DIT split needed an even/odd lane interleave that
+        # Mosaic cannot lower: "infer-vector-layout: unsupported shape
+        # cast"). The elementwise MAC commutes with any fixed lane
+        # permutation, so permuting inputs once outside the kernel is
+        # exact (the production layout folds this permutation into the
+        # forward DFT matrix columns — zero cost; here jnp.take keeps the
+        # prototype self-contained).
         assert radix_h and radix_w_legal(block_w, kw, vw), (
             f"radix_w requires radix_h and the v5 W alignment "
             f"(block_w={block_w}, kw={kw}, vw={vw})"
         )
         l4 = block_w // 4
-        dslr, dsli = dr[..., l4 : l4 + 1], di[..., l4 : l4 + 1]
-        kslr, ksli = kr[..., l4 : l4 + 1], ki[..., l4 : l4 + 1]
-        perm_w = jnp.concatenate([jnp.arange(l4), 2 * l4 - jnp.arange(l4)])
+        wc_full = block_w // 2 + 1
+        dslr, dsli = dr[..., wc_full - 1 :], di[..., wc_full - 1 :]
+        kslr, ksli = kr[..., wc_full - 1 :], ki[..., wc_full - 1 :]
+        perm_w = jnp.concatenate(
+            [jnp.arange(0, 2 * l4, 2), jnp.arange(1, 2 * l4, 2)]
+        )
         dr = jnp.take(dr, perm_w, axis=5)
         di = jnp.take(di, perm_w, axis=5)
         kr = jnp.take(kr, perm_w, axis=3)
@@ -581,9 +590,12 @@ def block_conv_pallas(
         ur_np, ui_np = _radix_mats(block_h)
         ur_m = jnp.asarray(ur_np, mat_t5)
         ui_m = jnp.asarray(ui_np, mat_t5)
-        er_np, ei_np = _radix_w_mats(block_w, kw, vw)
-        er_m = jnp.asarray(er_np, mat_t5)
-        ei_m = jnp.asarray(ei_np, mat_t5)
+        epr_np, epi_np, oqr_np, oqi_np = _dif_w_mats(block_w, kw, vw)
+        epr_m = jnp.asarray(epr_np, mat_t5)
+        epi_m = jnp.asarray(epi_np, mat_t5)
+        oqr_m = jnp.asarray(oqr_np, mat_t5)
+        oqi_m = jnp.asarray(oqi_np, mat_t5)
+        tn = epr_np.shape[1]
         m_h = block_h // 2
         wc2 = 2 * l4
         grid = (b, gbh, gbw, n)
@@ -616,21 +628,19 @@ def block_conv_pallas(
             memory_space=pltpu.VMEM,
         )
         kern = _make_kernel_v5(
-            mbh, mbw, f, vh, vw, lh, lh - vh, block_w, precision, karatsuba
+            mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, precision,
+            karatsuba
         )
         rows = mbh * vh
         scratch = [
             pltpu.VMEM((rows, wc2), jnp.float32),  # xr
             pltpu.VMEM((rows, wc2), jnp.float32),  # xi
             pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),  # slr
-            pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),  # sli
-            pltpu.VMEM((2 * rows, l4), jnp.float32),  # yzr
-            pltpu.VMEM((2 * rows, l4), jnp.float32),  # yzi
         ]
         flops = (
             8 * f * lh * wc2  # MAC
             + 16 * m_h * m_h * wc2 + 8 * m_h * wc2  # H radix
-            + 8 * (2 * vh) * l4 * (vw // 2) + 16 * vh * l4  # W radix
+            + 8 * vh * l4 * tn + 16 * vh * tn  # W DIF (4 dots + combine)
         )
         return pl.pallas_call(
             kern,
@@ -639,7 +649,8 @@ def block_conv_pallas(
             in_specs=[
                 spec_d, spec_d, spec_k5, spec_k5,
                 spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
-                spec_c2((l4, vw // 2)), spec_c2((l4, vw // 2)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
                 spec_dsl, spec_dsl, spec_ksl, spec_ksl,
             ],
             out_specs=out_spec5,
@@ -657,7 +668,8 @@ def block_conv_pallas(
                 transcendentals=4 * (m_h + l4),
             ),
             interpret=interpret,
-        )(dr, di, kr, ki, ur_m, ui_m, er_m, ei_m, dslr, dsli, kslr, ksli)
+        )(dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m, oqr_m, oqi_m,
+          dslr, dsli, kslr, ksli)
 
     mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32
     if radix_h:
@@ -762,65 +774,107 @@ def block_conv_pallas(
 
 
 def radix_w_legal(block_w: int, kw: int, vw: int) -> bool:
-    """Whether the v5 radix-2 W-stage applies: the fold pairs lane blocks
-    of block_w//4 entries, so lane slices stay 128-aligned only when
-    block_w is a multiple of 512; the even/odd output split needs an even
-    window start (kw−1) and even width."""
+    """Whether the v5 radix-2 DIF W-stage applies: the even/odd bin split
+    pairs lane blocks of block_w//4 entries, so lane slices stay
+    128-aligned only when block_w is a multiple of 512; the halves-split
+    store boundary s1 = W/2−(kw−1) must land on a lane-tile edge (or past
+    the window) and the window start must sit in the first half; and the
+    4·(W/4)·min(vw, W/2) DIF MACs must undercut the dense windowed
+    2·pad128(Wc)·vw (no profit at narrow windows — fall back to v4)."""
+    l2 = block_w // 2
+    t0 = kw - 1
+    s1 = l2 - t0
     return (
-        block_w % 512 == 0 and (kw - 1) % 2 == 0 and vw % 2 == 0
-        and vw >= 2
+        block_w % 512 == 0
+        and vw >= 1
+        and 0 < s1
+        and (s1 % 128 == 0 or s1 >= vw)
+        and block_w * min(vw, l2) < 2 * _pad128(l2 + 1) * vw
     )
 
 
 @functools.lru_cache(maxsize=32)
-def _radix_w_mats(block_w: int, kw: int, vw: int) -> tuple:
-    """Half-length packed-synthesis matrices for the v5 W stage.
+def _dif_w_mats(block_w: int, kw: int, vw: int) -> tuple:
+    """Half-length synthesis matrices for the v5 DIF W stage.
 
-    The radix-2 DIT output split of the length-W packed-real inverse:
-        x[2t]   = synth_{W/2}(Y)[t],  Y[k] = S[k] + conj(S[W/2−k])
-        x[2t+1] = synth_{W/2}(Z)[t],  Z[k] = (S[k] − conj(S[W/2−k]))·e^{2πik/W}
-    Both syntheses share the same t-columns (t = (kw−1)/2 + a), so ONE
-    (W/4, vw/2) matrix pair serves both — contraction W/4 (half of Wc) and
-    half the output columns: 2× fewer MACs than the dense windowed M. The
-    m = W/4 fold endpoint row is excluded (handled as a VPU rank-1 update
-    from the Nyquist sliver); the 1/W normalization is folded (×0.5 on the
-    1/(W/2) packed mats)."""
+    The radix-2 halves split of the length-W packed-real inverse: with
+    t' = t mod W/2 and P/Q the even/odd spectral-bin syntheses,
+        P[t'] = Σ_u w_{2u}/W (Sr[2u] cos(2πut'/(W/2)) − Si[2u] sin(·))
+              = 0.5 · packed-synth_{W/2}(S[0::2])[t']     (+ Nyquist sliver)
+        Q[t'] = (2/W) Σ_v (Sr[2v+1] cos θ − Si[2v+1] sin θ),
+                θ = 2π(2v+1)t'/W
+        x[t'] = P[t'] + Q[t'],   x[t' + W/2] = P[t'] − Q[t']
+    Both matrix pairs are (W/4, Tn) with Tn = min(vw, W/2) — the output
+    halves REUSE the same t'-columns, so the W-stage contraction is W/4
+    at ≤ W/2 columns vs the dense windowed pad128(Wc)×vw: ≥2× fewer MACs
+    whenever vw > W/2·(pad-ratio). The m = W/2 Nyquist row is excluded
+    (a VPU (−1)^t rank-1 update from the 1-lane sliver); normalizations
+    are folded (×0.5 on the 1/(W/2) packed mats; 2/W on the odd bins —
+    odd m never hits the w=1 endpoints since W ≡ 0 mod 4)."""
     import numpy as np
 
-    l2 = block_w // 2
-    mr, mi = _inv_packed_mats(l2)  # (L2//2+1, L2)
-    t0 = (kw - 1) // 2
-    cols = [(t0 + a) % l2 for a in range(vw // 2)]
-    er = 0.5 * mr[: l2 // 2, cols].astype(np.float64)
-    ei = 0.5 * mi[: l2 // 2, cols].astype(np.float64)
-    return er.astype(np.float32), ei.astype(np.float32)
+    l2, l4 = block_w // 2, block_w // 4
+    t0 = kw - 1
+    tn = min(vw, l2)
+    tcols = (t0 + np.arange(tn)) % l2
+    mr, mi = _inv_packed_mats(l2)  # (L4+1, L2), 1/(L2) + weights folded
+    epr = 0.5 * mr[:l4, tcols].astype(np.float64)
+    epi = 0.5 * mi[:l4, tcols].astype(np.float64)
+    v = np.arange(l4)[:, None].astype(np.float64)
+    th = 2.0 * np.pi * (2.0 * v + 1.0) * tcols[None, :] / block_w
+    oqr = (2.0 / block_w) * np.cos(th)
+    oqi = (-2.0 / block_w) * np.sin(th)
+    return (
+        epr.astype(np.float32), epi.astype(np.float32),
+        oqr.astype(np.float32), oqi.astype(np.float32),
+    )
 
 
 def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
-                    lh: int, w0: int, block_w: int, precision, karatsuba):
-    """v5: the v4 radix-2 H stage + a radix-2 DIT W stage.
+                    lh: int, w0: int, block_w: int, kw: int, precision,
+                    karatsuba):
+    """v5: the v4 radix-2 H stage + a radix-2 DIF (halves-split) W stage.
 
     Operand layout (prepared by block_conv_pallas): spectra lanes are
-    W-PERMUTED to [entries 0..Q−1 | entries 2Q..Q+1 reversed], Q = W/4·2 =
-    W/2/2... concretely lanes [0..L4) hold packed entries 0..L4−1 and
-    lanes [L4..2·L4) hold entries 2·L4−j (j = lane−L4), L4 = block_w//4 —
-    so the radix fold Y = A + conj(B) / Z-twiddle pairs are plain ALIGNED
-    lane-block slices, no in-kernel shuffle. The fold endpoint (packed
-    entry L4... i.e. W/4) rides separately as a 1-lane Nyquist SLIVER
-    (extra operands), synthesized through the H stage by VPU matvecs and
-    applied as a rank-1 (−1)^t update.
+    W-PERMUTED to [even bins 0,2,..,W/2−2 | odd bins 1,3,..,W/2−1]
+    (L4 = block_w//4 lanes each), so the even/odd bin groups are plain
+    ALIGNED lane-block slices — no in-kernel shuffle. The Nyquist entry
+    m = W/2 rides separately as a 1-lane SLIVER (extra operands),
+    synthesized through the H stage by VPU matvecs; only its REAL part
+    matters (sin(πt) = 0 at Nyquist), applied as a rank-1 (−1)^t update.
 
-    Per-pixel W-stage MACs drop from 2·Wc ≈ W to W/2 (the two half-length
-    syntheses share their t-columns and stack into one (2R, L4) dot pair
-    at full MXU rows)."""
+    With P = half-length packed synthesis of the even bins (+ sliver) and
+    Q = the twiddle-folded synthesis of the odd bins,
+        x[t'] = P[t'] + Q[t'],   x[t' + W/2] = P[t'] − Q[t']
+    — both OUTPUT halves reuse the same Tn = min(vw, W/2) t'-columns, so
+    the W stage is 4 (R, L4) @ (L4, Tn) dots + slice combines: per-pixel
+    MACs drop from 2·pad128(Wc) to ≤ W (vw ≤ W/2) or W/2·(W/vw) amortized
+    (vw > W/2), and every store is a CONTIGUOUS lane slice (the earlier
+    output-parity DIT split needed an even/odd lane interleave Mosaic
+    cannot lower)."""
     m = lh // 2
     c1 = m - w0  # v4 H window chunk split
-    l4 = block_w // 4  # fold-pair block length (lanes per A/B block)
+    l4 = block_w // 4  # even/odd bin block length (lanes per group)
+    l2 = block_w // 2
     wc2 = 2 * l4  # permuted lane count (= block_w // 2)
+    t0 = kw - 1  # window start (first valid output column)
+    s1 = l2 - t0  # columns of the window inside the first half-period
+    tn = min(vw, l2)
+    # static output-store segments: (dst_lo, dst_hi, src_lo, sign). Window
+    # column c holds x[t0 + c]: first-half columns (c < s1) take P + Q at
+    # t'-column k = c; second-half columns take P − Q at k = c mod L2
+    # (legality pins s1 to a lane-tile edge when the window spans halves).
+    if s1 >= vw:
+        segs = [(0, vw, 0, 1.0)]
+    else:
+        segs = [(0, s1, 0, 1.0), (s1, min(vw, l2), s1, -1.0)]
+        if vw > l2:
+            segs.append((l2, vw, 0, -1.0))
+    segs = [s for s in segs if s[1] > s[0]]  # kw=1 → empty middle segment
 
-    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, er_ref,
-                ei_ref, dslr_ref, dsli_ref, kslr_ref, ksli_ref, out_ref,
-                xr_ref, xi_ref, slr_ref, sli_ref, yzr_ref, yzi_ref):
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, epr_ref,
+                epi_ref, oqr_ref, oqi_ref, dslr_ref, dsli_ref, kslr_ref,
+                ksli_ref, out_ref, xr_ref, xi_ref, slr_ref):
         kr = kr_ref[0].astype(jnp.float32)  # (F, 2M, Wc2) H+W permuted
         ki = ki_ref[0].astype(jnp.float32)
         # load-then-reshape: integer indexing of a loaded >2D value
@@ -829,28 +883,21 @@ def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
         kslr = kslr_ref[0].reshape(f, lh).astype(jnp.float32)  # (F, 2M)
         ksli = ksli_ref[0].reshape(f, lh).astype(jnp.float32)
         ur, ui = ur_ref[...], ui_ref[...]  # (M, M) H sub-transforms
-        er, ei = er_ref[...], ei_ref[...]  # (L4, vw/2) W half-synthesis
+        epr, epi = epr_ref[...], epi_ref[...]  # (L4, Tn) even-bin synth
+        oqr, oqi = oqr_ref[...], oqi_ref[...]  # (L4, Tn) odd-bin synth
         dot = _make_dot(precision)
-        rows = mbh * vh
         # H twiddle (v4)
         u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
             jnp.float32
         )
         twr = jnp.cos(jnp.pi * u_row / m)
         twi = jnp.sin(jnp.pi * u_row / m)
-        # W twiddle over fold lanes k = 0..L4−1: e^{2πik/W}
-        k_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (1, l4), 1
-        ).astype(jnp.float32)
-        wtr = jnp.cos(2.0 * jnp.pi * k_lane / block_w)
-        wti = jnp.sin(2.0 * jnp.pi * k_lane / block_w)
-        # (−1)^t over the window's t-columns (t = w0w/2 + a)
-        t_col = jax.lax.broadcasted_iota(
-            jnp.int32, (1, vw // 2), 1
-        ) + (block_w - vw) // 2
+        # Nyquist rank-1 term: (1/W)·Sr[W/2]·(−1)^{t'} over the shared
+        # t'-columns t' ≡ t0 + k (mod L2); L2 even → (−1)^{t'} = (−1)^{t0+k}
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
         parity = jnp.where(
-            t_col % 2 == 0, 1.0, -1.0
-        ).astype(jnp.float32) / (block_w // 2)
+            (k_col + t0) % 2 == 0, 1.0, -1.0
+        ).astype(jnp.float32) / block_w
 
         def csub(sr, si):  # (M, M) @ (M, N) complex
             if karatsuba:
@@ -888,7 +935,9 @@ def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
                 xi_ref[i * vh:i * vh + c1, :] = (e_i + t_i)[w0:, :]
                 xr_ref[i * vh + c1:(i + 1) * vh, :] = (e_r - t_r)[: vh - c1, :]
                 xi_ref[i * vh + c1:(i + 1) * vh, :] = (e_i - t_i)[: vh - c1, :]
-                # Nyquist-sliver MAC + H radix via VPU matvecs
+                # Nyquist-sliver MAC + H radix via VPU matvecs; only the
+                # REAL part of the synthesized row value survives (the
+                # Nyquist basis is cos(πt), sin ≡ 0)
                 dslr = dslr_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
                 dsli = dsli_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
                 # keep everything 2-D: 1-D values force gather/reshape
@@ -904,38 +953,29 @@ def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
                 se_r, se_i = matvec(ur, ui, pse_r, pse_i)  # (M, 1)
                 so_r, so_i = matvec(ur, ui, pso_r, pso_i)
                 st_r = twr * so_r - twi * so_i
-                st_i = twr * so_i + twi * so_r
                 slr_ref[i * vh:i * vh + c1, :] = jnp.broadcast_to(
                     (se_r + st_r)[w0:, :], (c1, _SLIVER_LANES)
-                )
-                sli_ref[i * vh:i * vh + c1, :] = jnp.broadcast_to(
-                    (se_i + st_i)[w0:, :], (c1, _SLIVER_LANES)
                 )
                 slr_ref[i * vh + c1:(i + 1) * vh, :] = jnp.broadcast_to(
                     (se_r - st_r)[: vh - c1, :], (vh - c1, _SLIVER_LANES)
                 )
-                sli_ref[i * vh + c1:(i + 1) * vh, :] = jnp.broadcast_to(
-                    (se_i - st_i)[: vh - c1, :], (vh - c1, _SLIVER_LANES)
-                )
-            # ---- W radix-2 DIT ----
-            ar = xr_ref[:, :l4]
-            br = xr_ref[:, l4:wc2]
-            ai = xi_ref[:, :l4]
-            bi = xi_ref[:, l4:wc2]
-            yzr_ref[:rows, :] = ar + br  # Yr
-            yzi_ref[:rows, :] = ai - bi  # Yi
-            fr = ar - br
-            fi = ai + bi
-            yzr_ref[rows:, :] = fr * wtr - fi * wti  # Zr
-            yzi_ref[rows:, :] = fr * wti + fi * wtr  # Zi
-            t_all = dot(yzr_ref[...], er) + dot(yzi_ref[...], ei)  # (2R, vw/2)
+            # ---- W radix-2 DIF (halves split) ----
+            p_r = (
+                dot(xr_ref[:, :l4], epr) + dot(xi_ref[:, :l4], epi)
+            )  # (R, Tn) even-bin half synthesis
+            q_r = (
+                dot(xr_ref[:, l4:wc2], oqr) + dot(xi_ref[:, l4:wc2], oqi)
+            )  # (R, Tn) odd-bin twiddled synthesis
             sl_r = slr_ref[:, 0:1]  # (R, 1) H-synthesized Nyquist sliver
-            sl_i = sli_ref[:, 0:1]
-            x_even = t_all[:rows, :] + sl_r * parity
-            x_odd = t_all[rows:, :] - sl_i * parity
-            out_ref[0, 0, :, j * vw:(j + 1) * vw] = jnp.stack(
-                [x_even, x_odd], axis=-1
-            ).reshape(rows, vw)
+            p_r = p_r + sl_r * parity
+            for d0, d1, k0, sg in segs:
+                seg = (
+                    p_r[:, k0:k0 + (d1 - d0)] + q_r[:, k0:k0 + (d1 - d0)]
+                    if sg > 0
+                    else p_r[:, k0:k0 + (d1 - d0)]
+                    - q_r[:, k0:k0 + (d1 - d0)]
+                )
+                out_ref[0, 0, :, j * vw + d0:j * vw + d1] = seg
 
     return _kernel
 
@@ -1016,10 +1056,93 @@ def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
     return _kernel
 
 
+def _make_kernel_v4_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
+                          wc: int, lh: int, w0: int, out_h: int, out_w: int,
+                          precision, karatsuba):
+    """Peaks variant of the v4 kernel: the radix-2 H stage (two (M, M)
+    sub-transform dots + VPU twiddle combine, spectra H-rows pre-permuted
+    even-then-odd) with the in-VMEM (max, argmax) reduction epilogue of
+    :func:`_make_kernel_v3_peaks` — the detection head at the maps
+    kernel's MXU bill (on-chip the v3-based peaks kernel measured SLOWER
+    than the v4 maps it replaces: 43.7 vs 38.9 ms bf16io at the DPM plan,
+    perf/r4_peaks_grad.py)."""
+    m = lh // 2
+    c1 = m - w0  # window rows below the period boundary
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, mr_ref,
+                mi_ref, val_ref, idx_ref, xr_ref, xi_ref):
+        gh = pl.program_id(1)
+        gw = pl.program_id(2)
+        kr = kr_ref[0].astype(jnp.float32)  # (F, 2M, Wc), even-then-odd
+        ki = ki_ref[0].astype(jnp.float32)
+        ur, ui = ur_ref[...], ui_ref[...]  # (M, M) sub-transforms
+        dot = _make_dot(precision)
+        u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
+            jnp.float32
+        )
+        twr = jnp.cos(jnp.pi * u_row / m)
+        twi = jnp.sin(jnp.pi * u_row / m)
+        row0 = gh * (mbh * vh)
+        gy = (
+            jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 0) + row0
+        )
+        best_v = None
+        best_i = None
+
+        def csub(sr, si):  # complex (M,M)@(M,Wc) with U = ur + i·ui
+            if karatsuba:
+                t1 = dot(ur, sr)
+                t2 = dot(ui, si)
+                t3 = dot(ur + ui, sr + si)
+                return t1 - t2, t3 - t1 - t2
+            return (dot(ur, sr) - dot(ui, si),
+                    dot(ur, si) + dot(ui, sr))
+
+        for j in range(mbw):  # static unroll over W-columns of the group
+            for i in range(mbh):  # static unroll over H-rows
+                dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, 2M, Wc)
+                di = di_ref[0, i, j].astype(jnp.float32)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (2M, Wc)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                er, ei = csub(s_r[:m], s_i[:m])
+                orr, oi = csub(s_r[m:], s_i[m:])
+                tr = twr * orr - twi * oi
+                ti = twr * oi + twi * orr
+                xr_ref[i * vh:i * vh + c1, :] = (er + tr)[w0:, :]
+                xi_ref[i * vh:i * vh + c1, :] = (ei + ti)[w0:, :]
+                xr_ref[i * vh + c1:(i + 1) * vh, :] = (er - tr)[: vh - c1, :]
+                xi_ref[i * vh + c1:(i + 1) * vh, :] = (ei - ti)[: vh - c1, :]
+            tile = dot(xr_ref[...], mr_ref[...]) + dot(
+                xi_ref[...], mi_ref[...]
+            )  # (MBH·Vh, Vw)
+            col0 = (gw * mbw + j) * vw
+            gx = (
+                jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 1)
+                + col0
+            )
+            ok = (gy < out_h) & (gx < out_w)
+            tile = jnp.where(ok, tile, -jnp.inf)
+            v = jnp.max(tile)
+            flat = gy * out_w + gx
+            cand = jnp.min(
+                jnp.where(tile >= v, flat, jnp.int32(2147483647))
+            )
+            if best_v is None:
+                best_v, best_i = v, cand
+            else:
+                best_i = jnp.where(v > best_v, cand, best_i)
+                best_v = jnp.maximum(v, best_v)
+        val_ref[0, 0] = jnp.full((8, 128), best_v, jnp.float32)
+        idx_ref[0, 0] = jnp.full((8, 128), best_i, jnp.int32)
+
+    return _kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
-                     "interpret", "precision", "karatsuba", "mbh", "mbw"),
+                     "interpret", "precision", "karatsuba", "mbh", "mbw",
+                     "radix_h"),
 )
 def block_conv_peaks_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
@@ -1038,6 +1161,7 @@ def block_conv_peaks_pallas(
     karatsuba: bool | None = None,
     mbh: int | None = None,
     mbw: int | None = None,
+    radix_h: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """→ per-cell block-max pyramid: ``(vals, idxs)`` of shape
     (B, N, gbh, gbw) — the max response and its GLOBAL flat position
@@ -1054,9 +1178,10 @@ def block_conv_peaks_pallas(
     (every cell max is exact), or `lax.top_k` over cells for approximate
     top-k (one candidate per cell region).
 
-    Same operand/precision contract as :func:`block_conv_pallas` (v3
-    scratch variant; radix-H does not apply — the peaks epilogue replaces
-    the output stores, not the transform)."""
+    Same operand/precision contract as :func:`block_conv_pallas`.
+    ``radix_h=None`` auto-selects the v4-based kernel (radix-2 H stage)
+    whenever ``radix_h_legal(block_h, vh)`` — the peaks epilogue replaces
+    only the output stores, so the transform upgrade carries over."""
     b, nbh, nbw, f, lh, wc = dr.shape
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
@@ -1094,10 +1219,32 @@ def block_conv_peaks_pallas(
                (0, 0), (0, 0), (0, 0))
         dr = jnp.pad(dr, pad)
         di = jnp.pad(di, pad)
+    if radix_h is None:
+        radix_h = radix_h_legal(block_h, vh)
+    if radix_h:
+        assert radix_h_legal(block_h, vh), (
+            "radix_h requires the v4 window/period alignment "
+            f"(block_h={block_h}, vh={vh})"
+        )
+        # even/odd H-row permutation (the MAC commutes with it)
+        perm = jnp.concatenate(
+            [jnp.arange(0, lh, 2), jnp.arange(1, lh, 2)]
+        )
+        dr = jnp.take(dr, perm, axis=4)
+        di = jnp.take(di, perm, axis=4)
+        kr = jnp.take(kr, perm, axis=2)
+        ki = jnp.take(ki, perm, axis=2)
     mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32
-    gr_np, gi_np = _inv_full_mats(block_h)
-    gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh], mat_t)  # (Vh, Lh)
-    gi = jnp.asarray(gi_np[kh - 1 : kh - 1 + vh], mat_t)
+    if radix_h:
+        ur_np, ui_np = _radix_mats(block_h)
+        gr = jnp.asarray(ur_np, mat_t)  # (M, M) sub-transforms
+        gi = jnp.asarray(ui_np, mat_t)
+        h_mat_shape = (block_h // 2, block_h // 2)
+    else:
+        gr_np, gi_np = _inv_full_mats(block_h)
+        gr = jnp.asarray(gr_np[kh - 1 : kh - 1 + vh], mat_t)  # (Vh, Lh)
+        gi = jnp.asarray(gi_np[kh - 1 : kh - 1 + vh], mat_t)
+        h_mat_shape = (vh, lh)
     mr_np, mi_np = _inv_packed_mats(block_w)
     mr = jnp.asarray(mr_np[:, kw - 1 : kw - 1 + vw], mat_t)  # (Wc, Vw)
     mi = jnp.asarray(mi_np[:, kw - 1 : kw - 1 + vw], mat_t)
@@ -1116,11 +1263,19 @@ def block_conv_peaks_pallas(
         lambda bi, gh, gw, ni: (bi, ni, gh, gw),
         memory_space=pltpu.VMEM,
     )
-    kern = _make_kernel_v3_peaks(
-        mbh, mbw, f, vh, vw, wc, out_h, out_w, precision, karatsuba
-    )
+    if radix_h:
+        kern = _make_kernel_v4_peaks(
+            mbh, mbw, f, vh, vw, wc, lh, lh - vh, out_h, out_w, precision,
+            karatsuba
+        )
+        m_half = lh // 2
+        flops_h = 16 * m_half * m_half * wc + 8 * m_half * wc
+    else:
+        kern = _make_kernel_v3_peaks(
+            mbh, mbw, f, vh, vw, wc, out_h, out_w, precision, karatsuba
+        )
+        flops_h = 8 * vh * lh * wc
     flops_mac = 8 * f * lh * wc
-    flops_h = 8 * vh * lh * wc
     flops_w = 4 * vh * wc * vw
     vals8, idxs8 = pl.pallas_call(
         kern,
@@ -1142,8 +1297,8 @@ def block_conv_peaks_pallas(
             ),
             spec_k,
             spec_k,
-            spec_const2((vh, lh)),
-            spec_const2((vh, lh)),
+            spec_const2(h_mat_shape),
+            spec_const2(h_mat_shape),
             spec_const2((wc, vw)),
             spec_const2((wc, vw)),
         ],

@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Round-4 item 5 (fp32 MXU lever): measure the v5 radix-2-DIT W stage on
+"""Round-4 item 5 (fp32 MXU lever): measure the v5 radix-2 DIF W stage on
 the real chip at the headline geometry.
 
-Per-pixel W-stage MACs drop from ~2·Wc (≈ block_w) to ~block_w/2 (plus a
-192-lane output-pad penalty → ~1.5× net on W, ~1.25× on the whole kernel
-MXU bill by the padding-true model). This script answers (a) does Mosaic
-compile the v5 constructs (lane-block folds, stack-interleave store, VPU
-sliver matvecs), (b) is it actually faster than v4 at the same plan, for
-the fp32 (bf16x3) tier and the bf16io tier.
+The DIF halves-split (even/odd spectral bins pre-permuted outside the
+kernel; P = half synthesis of even bins + Nyquist sliver, Q = twiddled
+odd-bin synthesis; x[t'] = P+Q, x[t'+W/2] = P−Q as contiguous slice
+stores) cuts W-stage MACs from 2·pad128(Wc)·vw to 4·(W/4)·min(vw, W/2):
+at the 512-block/129-pad plan that is 131k vs 295k per row — ~2.25× on W,
+~1.25× on the whole kernel MXU bill. This script answers (a) does Mosaic
+compile the v5 constructs (lane-block bin splits, segment slice stores,
+VPU sliver matvecs), (b) is it actually faster than v4 at the same plan,
+for the fp32 (bf16x3) tier and the bf16io tier.
 
 First-of-a-kind Mosaic kernel: the v5 compile may take 30-60 min.
 """

@@ -113,3 +113,48 @@ def test_detect_peaks_spectral_kernels_and_validation(rng):
         detect_peaks(data, bank, mode="fftmap")
     with pytest.raises(fc.InvalidInputError):
         detect_peaks(data, [bank[0], bank[1][:3]], mode="same")
+
+
+def test_peaks_kernel_v4_radix_parity(rng):
+    """The v4-based peaks kernel (radix-2 H stage + in-VMEM (max, argmax)
+    epilogue) agrees exactly with the v3-based one at a radix-legal
+    geometry — interpret mode off-TPU, compiled Mosaic under
+    FFTCONV_TEST_TPU=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        block_conv_peaks_pallas,
+        radix_h_legal,
+    )
+    from cuda_fft_convolution_tpu.ops.tiled import fft_data_blocks
+
+    bh, bw, kh, kw = 256, 512, 65, 129
+    vh = bh - kh + 1
+    assert radix_h_legal(bh, vh)
+    out_h, out_w = 300, 700
+    data = jnp.asarray(
+        rng.standard_normal((1, 2, out_h, out_w)).astype(np.float32)
+    )
+    d_re, d_im = fft_data_blocks(
+        data, bh, bw, kh, kw, origin_h=kh // 2, origin_w=kw // 2,
+        win_h=out_h, win_w=out_w,
+    )
+    k_re = jnp.asarray(
+        rng.standard_normal((3, 2, bh, bw // 2 + 1)).astype(np.float32)
+    )
+    k_im = jnp.asarray(
+        rng.standard_normal((3, 2, bh, bw // 2 + 1)).astype(np.float32)
+    )
+    interp = jax.default_backend() != "tpu"
+    v3 = block_conv_peaks_pallas(
+        d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+        interpret=interp, radix_h=False,
+    )
+    v4 = block_conv_peaks_pallas(
+        d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+        interpret=interp, radix_h=True,
+    )
+    scale = float(jnp.max(jnp.abs(v3[0])))
+    assert float(jnp.max(jnp.abs(v3[0] - v4[0]))) / scale < 2e-5
+    assert bool(jnp.all(v3[1] == v4[1]))

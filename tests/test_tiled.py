@@ -602,10 +602,18 @@ def test_fftmap_auto_honors_pinned_policy(rng):
     assert rel_err(got, want) < TOL
 
 
-def test_block_conv_v5_radix_w_parity(rng):
-    """The v5 kernel (radix-2 H stage + radix-2 DIT W stage with the
-    Nyquist-sliver lane layout) is EXACT against the v3 windowed kernel —
-    interpret mode off-TPU, the compiled Mosaic kernel under
+@pytest.mark.parametrize(
+    "bh,bw,kh,kw",
+    [
+        (256, 512, 65, 129),  # three-segment store (the production shape)
+        (256, 512, 65, 1),  # s1 = L2: empty middle segment (kw=1)
+        (256, 1024, 65, 257),  # wider block, same alignment class
+    ],
+)
+def test_block_conv_v5_radix_w_parity(rng, bh, bw, kh, kw):
+    """The v5 kernel (radix-2 H stage + radix-2 DIF halves-split W stage
+    with the Nyquist-sliver lane layout) is EXACT against the v3 windowed
+    kernel — interpret mode off-TPU, the compiled Mosaic kernel under
     FFTCONV_TEST_TPU=1."""
     import jax.numpy as jnp
 
@@ -615,8 +623,6 @@ def test_block_conv_v5_radix_w_parity(rng):
         radix_w_legal,
     )
     from cuda_fft_convolution_tpu.ops.tiled import fft_data_blocks
-
-    bh, bw, kh, kw = 256, 512, 65, 129
     vh, vw = bh - kh + 1, bw - kw + 1
     assert radix_h_legal(bh, vh) and radix_w_legal(bw, kw, vw)
     out_h, out_w = 300, 500
