@@ -417,9 +417,22 @@ def main() -> None:
 
         _gc.collect()
         np.asarray(_probed(lambda x: x + 1.0)(jnp.ones((8, 128)))[0])
-        sdp = fc.fft_data_tiled(
-            data, KH, KW, trim_mode="same", store_dtype="bfloat16"
+        # peaks-head plan (taller cells than the tier's conv plan:
+        # runtime/autotune.py "peaks" entries, perf/r4b_peaks.py)
+        from cuda_fft_convolution_tpu.ops.tiled import (
+            choose_block_plan as _cbp,
         )
+
+        _pk_plan = _cbp(H, W, KH, KW, store_dtype="bfloat16", head="peaks")
+        _pkh_kw = dict(trim_mode="same", store_dtype="bfloat16")
+        if _pk_plan is not None:
+            _lh, _lw, _pkh, _pkw = _pk_plan
+            sdp = fc.fft_data_tiled(
+                data, _pkh, _pkw, block_h=_lh, block_w=_lw,
+                trim_kernel_h=KH, trim_kernel_w=KW, **_pkh_kw
+            )
+        else:
+            sdp = fc.fft_data_tiled(data, KH, KW, **_pkh_kw)
         skp = fc.fft_kernels(
             kernels, spectral=sdp, store_dtype="bfloat16",
             storage="planar", correlation=True,

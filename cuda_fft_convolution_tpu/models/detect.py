@@ -84,7 +84,7 @@ def detect_peaks(
     if algorithm != "direct":
         plan = choose_block_plan(
             h, w, kh, kw, feature_dim=int(arr.shape[-1]),
-            store_dtype=store_dtype,
+            store_dtype=store_dtype, head="peaks",
         )
         if algorithm == "tiled" or plan is not None:
             if plan is None:

@@ -376,6 +376,48 @@ _BUILTIN_GROUPS: dict = {
 }
 
 
+# Measured-winning v5 (radix-2 DIF W stage) plans: {(block_h, block_w,
+# kw, spec_bytes)}. The v5 stage only pays where measurement says so (the
+# F=31/fused-deny lesson: legality ≠ profit), so production dispatch
+# (fused_block_conv) turns radix_w on ONLY for registered plans; the
+# default empty set keeps v4 everywhere until a sweep registers winners.
+_RADIX_W_TABLE: set = set()
+
+# Measured on v5e (perf/r4_v5w.py, 2026-08-19): the fp32 v5 plan at
+# blocks (256, 512) / envelope (65, 129) one-shot 35.7 ms vs 44.4 at the
+# v4-tuned (256, 511) and 52.6 for v4 at the same 512 blocks (parity
+# 2.4e-7 on-chip). bf16io measured LOSING (39.5 vs 30.9 at the tier's
+# tuned plan — single-pass dots shrink the W-stage share while the DIF's
+# extra VPU work stays), so the tier stays v4: fp32 entries only.
+_BUILTIN_RADIX_W: set = {
+    (256, 512, 129, 4),
+}
+
+
+def register_radix_w_plan(
+    block_h: int, block_w: int, kw: int, spec_bytes: int = 4
+) -> None:
+    """Pin a measured-winning v5 DIF plan (see _RADIX_W_TABLE)."""
+    _RADIX_W_TABLE.add((block_h, block_w, kw, int(spec_bytes)))
+    for fn in (block_conv_pallas, block_conv_peaks_pallas):
+        try:
+            fn.clear_cache()
+        except Exception:
+            pass
+
+
+def radix_w_enabled(
+    block_h: int, block_w: int, kh: int, kw: int, spec_bytes: int = 4
+) -> bool:
+    """Whether production dispatch should run the v5 DIF W stage for this
+    plan: registered as measured-winning AND structurally legal."""
+    key = (block_h, block_w, kw, int(spec_bytes))
+    if key not in _RADIX_W_TABLE and key not in _BUILTIN_RADIX_W:
+        return False
+    vh, vw = block_h - kh + 1, block_w - kw + 1
+    return radix_h_legal(block_h, vh) and radix_w_legal(block_w, kw, vw)
+
+
 def register_fused_group(
     lh: int, wc: int, vh: int, vw: int, f: int, spec_bytes: int,
     mbh: int, mbw: int,
@@ -983,15 +1025,56 @@ def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
 _SLIVER_LANES = 128  # sliver scratch lane width (min VMEM tile)
 
 
+def _peaks_reducer(mbh: int, mbw: int, vh: int, vw: int, out_h: int,
+                   out_w: int):
+    """Shared (max, argmax) tile-reduction epilogue for the peaks kernels.
+
+    Out-of-window positions (edge tiles extending past out_h/out_w) are
+    masked by ADDING broadcast −inf row/column masks — two elementwise
+    passes vs the compare+and+select form's four — and the global flat
+    index y·out_w + x is built ONCE per cell (column group j shifts it by
+    the scalar j·vw instead of re-deriving a fresh 2-D iota). Tie-break is
+    first occurrence (min flat index), identical to argmaxing the maps."""
+    rows = mbh * vh
+
+    def setup(gh, gw):
+        row_i = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + gh * rows
+        )
+        col_i0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, vw), 1)
+            + gw * (mbw * vw)
+        )
+        rm = jnp.where(row_i < out_h, 0.0, -jnp.inf).astype(jnp.float32)
+        flat0 = row_i * out_w + col_i0  # (rows, vw) global flat indices
+        return col_i0, rm, flat0
+
+    def reduce_tile(state, tile, j, best):
+        col_i0, rm, flat0 = state
+        cm = jnp.where(
+            col_i0 + j * vw < out_w, 0.0, -jnp.inf
+        ).astype(jnp.float32)
+        t = tile + rm + cm
+        v = jnp.max(t)
+        cand = jnp.min(
+            jnp.where(t >= v, flat0 + j * vw, jnp.int32(2147483647))
+        )
+        if best is None:
+            return v, cand
+        bv, bi = best
+        return jnp.maximum(v, bv), jnp.where(v > bv, cand, bi)
+
+    return setup, reduce_tile
+
+
 def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
                           wc: int, out_h: int, out_w: int, precision,
                           karatsuba):
     """Peaks variant of the v3 kernel: identical MAC + windowed inverse
     compute, but instead of writing the (MBH·Vh, MBW·Vw) output tile to
     HBM it reduces the tile IN VMEM to one (max, argmax) pair per
-    (batch, kernel, cell) — the detection head. Out-of-window positions
-    (edge tiles extending past out_h/out_w) are masked to −inf; the argmax
-    is the GLOBAL flat index y·out_w + x, first-occurrence tie-break."""
+    (batch, kernel, cell) — the detection head (see _peaks_reducer)."""
+    setup, reduce_tile = _peaks_reducer(mbh, mbw, vh, vw, out_h, out_w)
 
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, gr_ref, gi_ref, mr_ref,
                 mi_ref, val_ref, idx_ref, xr_ref, xi_ref):
@@ -1001,12 +1084,8 @@ def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
         ki = ki_ref[0].astype(jnp.float32)
         gr, gi = gr_ref[...], gi_ref[...]  # (Vh, Lh)
         dot = _make_dot(precision)
-        row0 = gh * (mbh * vh)
-        gy = (
-            jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 0) + row0
-        )
-        best_v = None
-        best_i = None
+        state = setup(gh, gw)
+        best = None
         for j in range(mbw):  # static unroll over W-columns of the group
             for i in range(mbh):  # static unroll over H-rows of the group
                 dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, Lh, Wc)
@@ -1029,29 +1108,13 @@ def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
             tile = dot(xr_ref[...], mr_ref[...]) + dot(
                 xi_ref[...], mi_ref[...]
             )  # (MBH·Vh, Vw)
-            col0 = (gw * mbw + j) * vw
-            gx = (
-                jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 1)
-                + col0
-            )
-            ok = (gy < out_h) & (gx < out_w)
-            tile = jnp.where(ok, tile, -jnp.inf)
-            v = jnp.max(tile)
-            flat = gy * out_w + gx
-            cand = jnp.min(
-                jnp.where(tile >= v, flat, jnp.int32(2147483647))
-            )
-            if best_v is None:
-                best_v, best_i = v, cand
-            else:
-                best_i = jnp.where(v > best_v, cand, best_i)
-                best_v = jnp.maximum(v, best_v)
+            best = reduce_tile(state, tile, j, best)
         # Mosaic requires (8, 128)-divisible output blocks: each cell's
         # (max, argmax) pair is written as a broadcast (8, 128) tile and
         # the caller strides it back out ([..., ::8, ::128]) — the padded
         # pyramid is still ~3000× smaller than the maps it replaces.
-        val_ref[0, 0] = jnp.full((8, 128), best_v, jnp.float32)
-        idx_ref[0, 0] = jnp.full((8, 128), best_i, jnp.int32)
+        val_ref[0, 0] = jnp.full((8, 128), best[0], jnp.float32)
+        idx_ref[0, 0] = jnp.full((8, 128), best[1], jnp.int32)
 
     return _kernel
 
@@ -1068,6 +1131,7 @@ def _make_kernel_v4_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
     perf/r4_peaks_grad.py)."""
     m = lh // 2
     c1 = m - w0  # window rows below the period boundary
+    setup, reduce_tile = _peaks_reducer(mbh, mbw, vh, vw, out_h, out_w)
 
     def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, mr_ref,
                 mi_ref, val_ref, idx_ref, xr_ref, xi_ref):
@@ -1082,12 +1146,8 @@ def _make_kernel_v4_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
         )
         twr = jnp.cos(jnp.pi * u_row / m)
         twi = jnp.sin(jnp.pi * u_row / m)
-        row0 = gh * (mbh * vh)
-        gy = (
-            jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 0) + row0
-        )
-        best_v = None
-        best_i = None
+        state = setup(gh, gw)
+        best = None
 
         def csub(sr, si):  # complex (M,M)@(M,Wc) with U = ur + i·ui
             if karatsuba:
@@ -1115,25 +1175,9 @@ def _make_kernel_v4_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
             tile = dot(xr_ref[...], mr_ref[...]) + dot(
                 xi_ref[...], mi_ref[...]
             )  # (MBH·Vh, Vw)
-            col0 = (gw * mbw + j) * vw
-            gx = (
-                jax.lax.broadcasted_iota(jnp.int32, (mbh * vh, vw), 1)
-                + col0
-            )
-            ok = (gy < out_h) & (gx < out_w)
-            tile = jnp.where(ok, tile, -jnp.inf)
-            v = jnp.max(tile)
-            flat = gy * out_w + gx
-            cand = jnp.min(
-                jnp.where(tile >= v, flat, jnp.int32(2147483647))
-            )
-            if best_v is None:
-                best_v, best_i = v, cand
-            else:
-                best_i = jnp.where(v > best_v, cand, best_i)
-                best_v = jnp.maximum(v, best_v)
-        val_ref[0, 0] = jnp.full((8, 128), best_v, jnp.float32)
-        idx_ref[0, 0] = jnp.full((8, 128), best_i, jnp.int32)
+            best = reduce_tile(state, tile, j, best)
+        val_ref[0, 0] = jnp.full((8, 128), best[0], jnp.float32)
+        idx_ref[0, 0] = jnp.full((8, 128), best[1], jnp.int32)
 
     return _kernel
 
@@ -1220,7 +1264,12 @@ def block_conv_peaks_pallas(
         dr = jnp.pad(dr, pad)
         di = jnp.pad(di, pad)
     if radix_h is None:
-        radix_h = radix_h_legal(block_h, vh)
+        # auto-v4 for f32 only: at the bf16 tier the v4-peaks kernel
+        # measured LOSING to v3 (40.0 vs 32.0 ms at the (256,511) plan,
+        # perf/r4b_peaks.py v5e 2026-08-19 — single-pass bf16 dots shrink
+        # the H-stage share the radix split saves); f32 measured a tie
+        # with a slight v4 edge (48.4 vs 48.8).
+        radix_h = (not tier_bf16) and radix_h_legal(block_h, vh)
     if radix_h:
         assert radix_h_legal(block_h, vh), (
             "radix_h requires the v4 window/period alignment "

@@ -43,7 +43,7 @@ def choose_block_plan(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
     *, min_ratio: int | None = None, max_block: int = 1024,
     matmul_engine: bool | None = None, feature_dim: int = 1,
-    store_dtype: str = "float32",
+    store_dtype: str = "float32", head: str = "conv",
 ) -> tuple[int, int, int, int] | None:
     """Like ``choose_block_fft`` but returns the full overlap-save plan
     (block_h, block_w, plan_kh, plan_kw) where (plan_kh, plan_kw) is the
@@ -55,7 +55,8 @@ def choose_block_plan(
     blk = choose_block_fft(
         data_h, data_w, max_kh, max_kw, min_ratio=min_ratio,
         max_block=max_block, matmul_engine=matmul_engine,
-        feature_dim=feature_dim, store_dtype=store_dtype, _with_plan=True,
+        feature_dim=feature_dim, store_dtype=store_dtype, head=head,
+        _with_plan=True,
     )
     return blk
 
@@ -64,7 +65,8 @@ def choose_block_fft(
     data_h: int, data_w: int, max_kh: int, max_kw: int,
     *, min_ratio: int | None = None, max_block: int = 1024,
     matmul_engine: bool | None = None, feature_dim: int = 1,
-    store_dtype: str = "float32", _with_plan: bool = False,
+    store_dtype: str = "float32", head: str = "conv",
+    _with_plan: bool = False,
 ) -> tuple | None:
     """Pick the overlap-save block FFT size, or None when tiling won't pay.
 
@@ -90,7 +92,7 @@ def choose_block_fft(
         )
 
         tuned = lookup_tuned_geometry(
-            max_kh, max_kw, feature_dim, store_dtype
+            max_kh, max_kw, feature_dim, store_dtype, head=head
         )
         if tuned is not None:
             vh, vw = tuned[0], tuned[1]
@@ -352,13 +354,18 @@ def fused_block_conv(
     from cuda_fft_convolution_tpu.ops.block_conv import (
         block_conv_pallas,
         radix_h_legal,
+        radix_w_enabled,
     )
 
     vh = block_h - kh + 1
+    use_w = radix_w_enabled(
+        block_h, block_w, kh, kw, jnp.dtype(d_re.dtype).itemsize
+    )
     return block_conv_pallas(
         d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
         interpret=jax.default_backend() != "tpu",
-        radix_h=radix_h_legal(block_h, vh),
+        radix_h=use_w or radix_h_legal(block_h, vh),
+        radix_w=use_w,
     )
 
 

@@ -43,11 +43,14 @@ import time
 # user-level _MEASURED overlay (register_tuned_geometry / cache file)
 # takes precedence and can be cleared without losing these.
 _BUILTIN: dict = {
-    # 2048² image × 100 kernels of 64², F=1 (perf/bench_fused_v3/v4.py, r2):
-    # the radix-2 v4 plan — blocks (256, 511), valid (192, 384), effective
-    # envelope (65, 128), every MXU dot dimension 128-native — measured
-    # 59–61 ms vs 61.8 (v3 (64,384)), 77.8 (v2 (64,512)), 75–90 (unfused).
-    (64, 64, 1, "f32"): (192, 384, True, 256, 511),
+    # 2048² image × 100 kernels of 64², F=1: the v5 DIF plan — blocks
+    # (256, 512), valid (192, 384), effective envelope (65, 129); the
+    # radix-2 DIF W stage (ops/block_conv._BUILTIN_RADIX_W) cuts W-stage
+    # MACs 2.25× — measured 35.7 ms one-shot vs 44.4 at the previous
+    # v4-tuned (256, 511) plan (perf/r4_v5w.py, v5e 2026-08-19; earlier
+    # r2 family numbers: v4@511 59-61 ms vs 61.8 v3, 77.8 v2, 75-90
+    # unfused).
+    (64, 64, 1, "f32"): (192, 384, True, 256, 512),
     # 32² kernels (perf/sweep_envelopes.py): v4 plan blocks (128, 511),
     # valid (96, 384) — amortized 'same' 56.9 ms vs 84.3 analytic-auto.
     # (128² kernels: the analytic (255, 895) v3 plan WINS (76.6 ms) over
@@ -75,6 +78,15 @@ _BUILTIN: dict = {
     # 32² kernels, F=1 bf16: (128,511) blocks, valid (96,384): 33.6 vs
     # 39.7 at the f32-tuned family's (64,511).
     (32, 32, 1, "bf16"): (96, 384, True, 128, 511),
+    # ---- detection-head ("peaks") geometries (perf/r4b_peaks.py, v5e
+    # 2026-08-19). The peaks kernel reduces cells in VMEM, so it prefers
+    # TALLER cells than conv (fewer grid steps per image: bf16 peaks at
+    # (256,511) measured 32.0 ms vs ~50 at the tier's conv-tuned
+    # (128,511)), and it has no W-radix stage, so f32 peaks KEEPS the
+    # 511-wide plan (Wc = 256 exactly) instead of conv's v5 512 plan
+    # (Wc = 257 → 384-lane tile pad on every spectra byte). ----
+    (64, 64, 1, "f32", "peaks"): (192, 384, True, 256, 511),
+    (64, 64, 1, "bf16", "peaks"): (192, 384, True, 256, 511),
 }
 _MEASURED: dict = {}
 
@@ -89,40 +101,59 @@ def _dtype_tag(store_dtype) -> str:
     return "bf16" if str(store_dtype) in ("bfloat16", "bf16") else "f32"
 
 
-def _key(kh: int, kw: int, f: int, store_dtype="float32") -> tuple:
-    return (
+def _key(
+    kh: int, kw: int, f: int, store_dtype="float32", head: str = "conv"
+) -> tuple:
+    base = (
         _envelope(kh), _envelope(kw), 8 if f >= 8 else 1,
         _dtype_tag(store_dtype),
     )
+    # conv entries keep the historical 4-tuple key; other heads (the
+    # peaks detection head) append their tag — the geometry winner can
+    # differ per head (the peaks kernel has no W-radix stage, so the v5
+    # 512-wide conv plans tile-pad its Wc; and its VMEM reduction
+    # epilogue prefers taller cells — perf/r4b_peaks.py).
+    return base if head == "conv" else base + (head,)
 
 
 def register_tuned_geometry(
     kh: int, kw: int, valid_h: int, valid_w: int, *, f: int = 1,
     fused: bool = False, block_h: int | None = None,
     block_w: int | None = None, store_dtype="float32",
+    head: str = "conv",
 ) -> None:
     """Record a measured-best geometry (and whether the fused Pallas
     block-conv won) for kernels in (kh, kw)'s envelope at the given
     storage tier. Explicit ``block_h/block_w`` pin the block beyond the
-    derived vh+kh-1 (plans with an enlarged effective kernel envelope)."""
+    derived vh+kh-1 (plans with an enlarged effective kernel envelope).
+    ``head='peaks'`` records a detection-head geometry (looked up by
+    models.detect_peaks; falls back to the conv entry when absent)."""
     entry = [int(valid_h), int(valid_w), bool(fused)]
     if block_h is not None and block_w is not None:
         entry += [int(block_h), int(block_w)]
-    _MEASURED[_key(kh, kw, f, store_dtype)] = tuple(entry)
+    _MEASURED[_key(kh, kw, f, store_dtype, head)] = tuple(entry)
+
+
+def _lookup_one(key) -> tuple | None:
+    hit = _MEASURED.get(key, _BUILTIN.get(key))
+    if hit is None and key[3] != "f32":
+        key32 = key[:3] + ("f32",) + key[4:]
+        hit = _MEASURED.get(key32, _BUILTIN.get(key32))
+    return hit
 
 
 def lookup_tuned_geometry(
-    kh: int, kw: int, f: int = 1, store_dtype="float32"
+    kh: int, kw: int, f: int = 1, store_dtype="float32",
+    head: str = "conv",
 ) -> tuple | None:
     """Best-known (valid_h, valid_w, use_fused[, block_h, block_w]) for
     this kernel envelope at this storage tier, or None. bf16 lookups fall
-    back to the f32 entry when the tier has no measurement of its own."""
+    back to the f32 entry when the tier has no measurement of its own;
+    non-conv heads fall back to the conv entry."""
     _load_user_cache()
-    key = _key(kh, kw, f, store_dtype)
-    hit = _MEASURED.get(key, _BUILTIN.get(key))
-    if hit is None and key[3] != "f32":
-        key32 = key[:3] + ("f32",)
-        hit = _MEASURED.get(key32, _BUILTIN.get(key32))
+    hit = _lookup_one(_key(kh, kw, f, store_dtype, head))
+    if hit is None and head != "conv":
+        hit = _lookup_one(_key(kh, kw, f, store_dtype))
     if hit is None:
         return None
     if len(hit) == 2:  # legacy 2-tuple cache entries
@@ -145,9 +176,11 @@ def _load_user_cache() -> None:
                 for k, v in json.load(fh).items():
                     parts = k.split(",")
                     env_h, env_w, fb = (int(x) for x in parts[:3])
-                    # legacy 3-part keys load as the f32 tier
+                    # legacy 3-part keys load as the f32 tier; a 5th
+                    # part is a non-conv head tag (e.g. "peaks")
                     tag = parts[3] if len(parts) > 3 else "f32"
-                    _MEASURED[(env_h, env_w, fb, tag)] = tuple(
+                    key = (env_h, env_w, fb, tag) + tuple(parts[4:5])
+                    _MEASURED[key] = tuple(
                         bool(x) if i == 2 else int(x)
                         for i, x in enumerate(v)
                     )
@@ -162,10 +195,8 @@ def save_user_cache() -> None:
         return
     with open(path, "w") as fh:
         json.dump(
-            {
-                f"{k[0]},{k[1]},{k[2]},{k[3]}": list(v)
-                for k, v in _MEASURED.items()
-            },
+            {",".join(str(x) for x in k): list(v)
+             for k, v in _MEASURED.items()},
             fh,
         )
 

@@ -329,12 +329,12 @@ def test_autotune_builtin_seed_v5e():
 
     autotune._MEASURED.clear()
     hit = autotune.lookup_tuned_geometry(64, 64, 1)
-    assert hit == (192, 384, True, 256, 511)
+    assert hit == (192, 384, True, 256, 512)
     # user registration overrides the builtin; clearing restores it
     autotune.register_tuned_geometry(64, 64, 32, 192, f=1, fused=False)
     assert autotune.lookup_tuned_geometry(64, 64, 1) == (32, 192, False)
     autotune._MEASURED.clear()
-    assert autotune.lookup_tuned_geometry(64, 64, 1) == (192, 384, True, 256, 511)
+    assert autotune.lookup_tuned_geometry(64, 64, 1) == (192, 384, True, 256, 512)
 
 
 def test_plan_bank_native_matches_python(monkeypatch):

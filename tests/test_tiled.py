@@ -650,3 +650,40 @@ def test_block_conv_v5_radix_w_parity(rng, bh, bw, kh, kw):
     )
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(v5 - ref))) / scale < 2e-5
+
+
+def test_fused_radix_w_registered_plan(rng):
+    """A registered v5 plan (register_radix_w_plan) flips production
+    dispatch (fused_block_conv) to the DIF W-stage kernel; output must
+    match the unregistered (v4) fused path and the unfused pipeline."""
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        _RADIX_W_TABLE,
+        radix_w_enabled,
+        register_radix_w_plan,
+    )
+
+    data = rng.standard_normal((300, 700, 1)).astype(np.float32)
+    kerns = [rng.standard_normal((65, 129, 1)).astype(np.float32)]
+    sd = fc.fft_data_tiled(data, 65, 129, block_h=256, block_w=512)
+    want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    # the measured fp32 headline plan ships builtin-registered; the bf16
+    # tier measured LOSING and must stay v4; user registration extends
+    assert radix_w_enabled(256, 512, 65, 129)
+    assert not radix_w_enabled(256, 512, 65, 129, spec_bytes=2)
+    assert not radix_w_enabled(256, 1024, 65, 257)
+    register_radix_w_plan(256, 1024, 257)
+    try:
+        assert radix_w_enabled(256, 1024, 65, 257)
+    finally:
+        _RADIX_W_TABLE.discard((256, 1024, 257, 4))
+    try:
+        fc.set_config(use_fused_block_conv=True, fused_precision="highest")
+        got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    finally:
+        fc.set_config(use_fused_block_conv=None, fused_precision="bf16x3")
+    scale = np.max(np.abs(want))
+    # the builtin-routed v5 DIF vs the unfused pipeline at the shared
+    # engine bar (~1e-6 rel at this contraction scale)
+    assert np.max(np.abs(got - want)) / scale < 1e-5
+    ref = fft_conv_full_f64(data, kerns[0])
+    assert rel_err(got[0], ref) < 1e-5
