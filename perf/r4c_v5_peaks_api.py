@@ -137,3 +137,39 @@ for label, dt in (("bf16", "bfloat16"), ("f32", "float32")):
     del sd, sk
     drain()
 emit(kind="done")
+
+# ---- 4. (MBH, MBW) group sweep at the v5 plan --------------------------
+# The analytic _choose_group was tuned for v4-family plans; the v5 DIF
+# kernel's VMEM/amortization balance may prefer a different group.
+from cuda_fft_convolution_tpu.ops.block_conv import (  # noqa: E402
+    block_conv_pallas,
+)
+from cuda_fft_convolution_tpu.ops.tiled import fft_data_blocks  # noqa: E402
+
+bh, bw, pkh, pkw = 256, 512, 65, 129
+data_cf = jnp.transpose(data_hwf, (2, 0, 1))[None]
+d_re, d_im = fft_data_blocks(data_cf, bh, bw, pkh, pkw,
+                             origin_h=pkh // 2, origin_w=pkw // 2,
+                             win_h=H, win_w=Wd)
+k_re = jnp.asarray(
+    rng.standard_normal((N, 1, bh, bw // 2 + 1)).astype(np.float32)
+)
+k_im = jnp.asarray(
+    rng.standard_normal((N, 1, bh, bw // 2 + 1)).astype(np.float32)
+)
+jax.block_until_ready((d_re, k_re))
+for mbh, mbw in ((1, 1), (2, 1), (1, 2), (2, 2), (4, 1), (4, 2)):
+    row = {"case": "v5_group", "group": [mbh, mbw]}
+    try:
+        fn = probed(lambda a, b, c, d, _h=mbh, _w=mbw: block_conv_pallas(
+            a, b, c, d, bh, bw, pkh, pkw, H, Wd,
+            radix_h=True, radix_w=True, mbh=_h, mbw=_w))
+        row["ms"] = round(tfn(fn, d_re, d_im, k_re, k_im), 1)
+        row["ms_stream"] = round(
+            tfn(fn, d_re, d_im, k_re, k_im, iters=18, sync_every=9), 2
+        )
+    except Exception as e:  # noqa: BLE001
+        row["err"] = repr(e)[:200]
+    emit(**row)
+    drain()
+emit(kind="done_groups")
