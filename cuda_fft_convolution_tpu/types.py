@@ -47,9 +47,23 @@ def _split_planes(x):
 
 
 def split_planes(x) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """complex array → (re, im) f32 planes. Under jit so runtimes with
-    boundary-only complex emulation never materialize an eager complex op
-    chain (eager complex construction is unsafe on some TPU runtimes)."""
+    """complex array → (re, im) f32 planes. HOST (numpy) complex input is
+    split on the host — transferring a complex array to the device first
+    would poison runtimes whose complex support is boundary-emulated (the
+    axon TPU runtime: eager complex H2D/D2H is UNIMPLEMENTED and fails the
+    whole process; migrated reference/MATLAB state loads are exactly this
+    path). Device complex arrays split under jit so no eager complex op
+    chain materializes."""
+    import numpy as _np
+
+    if isinstance(x, _np.ndarray):
+        if _np.issubdtype(x.dtype, _np.complexfloating):
+            return (
+                jnp.asarray(_np.ascontiguousarray(x.real), jnp.float32),
+                jnp.asarray(_np.ascontiguousarray(x.imag), jnp.float32),
+            )
+        x32 = _np.asarray(x, _np.float32)
+        return jnp.asarray(x32), jnp.zeros(x32.shape, jnp.float32)
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         return _split_planes(x)
