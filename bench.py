@@ -243,6 +243,8 @@ def main() -> None:
     v_dpm_direct_stream = None
     v_dpm_stream = None
     v_peaks = v_peaks_stream = peaks_stream_ms = None
+    peaks_fetch_ms = maps_fetch_est_ms = None
+    v_ragged = v_dpmf8_stream = None
     if not quick:
         import gc as _gc
 
@@ -444,7 +446,75 @@ def main() -> None:
         t_pks = _time_fn(peaks_fn, sdp, skp, iters=18, sync_every=9)
         v_peaks_stream = gpix_filters / t_pks
         peaks_stream_ms = t_pks * 1e3
+        # End-to-end CONSUMPTION: a detection consumer fetches results to
+        # host. Peaks fetch the full (vals, pos) tuples; the maps
+        # equivalent is estimated from ONE kernel's map × N (fetching all
+        # N maps = N·H·W·4 bytes through the tunnel takes seconds — the
+        # ×N scaling is labeled an estimate).
+        import time as _t
+
+        pprobe, (pvv, ppv) = peaks_fn(sdp, skp)
+        np.asarray(pprobe)  # true sync: compute done, fetch timed alone
+        t0f = _t.perf_counter()
+        np.asarray(pvv), np.asarray(ppv)
+        peaks_fetch_ms = (_t.perf_counter() - t0f) * 1e3
+        conv_pkplan = _probed(
+            lambda s, k: fc.conv_spectral(s, k, mode="same")
+        )
+        mprobe, maps_out = conv_pkplan(sdp, skp)
+        np.asarray(mprobe)
+        t0f = _t.perf_counter()
+        np.asarray(maps_out[0])
+        maps_fetch_est_ms = (_t.perf_counter() - t0f) * 1e3 * N
+        del maps_out, pvv, ppv
         del sdp, skp
+
+        # BASELINE configs[1]: small mixed-size filter bank sharing ONE
+        # data FFT (the reference's cell-array scenario,
+        # demoCudaConvolutionFFT.m:41-43) — 512² image × 16 kernels of 4
+        # sizes; fft_conv buckets by shape, one data FFT per bucket size.
+        rag_data = jnp.asarray(
+            rng.standard_normal((512, 512, F)).astype(np.float32)
+        )
+        rag_cells = [
+            jnp.asarray(
+                rng.standard_normal((k, k, F)).astype(np.float32)
+            )
+            for k in (9, 17, 33, 64) for _ in range(4)
+        ]
+        jax.block_until_ready(rag_data)
+        rag_fn = _probed(
+            lambda d: jnp.concatenate([
+                jnp.ravel(o) for o in fc.fft_conv(
+                    d, kernels=rag_cells, mode="same"
+                )
+            ])
+        )
+        t_rag = _time_fn(rag_fn, rag_data, iters=3)
+        v_ragged = (512 * 512 * len(rag_cells) / 1e9) / t_rag
+        del rag_data, rag_cells
+
+        # F=8 fused serving row: the round-4a sweep's admitted F≥8 bf16
+        # envelope exercised through dispatch (1024² × 64 kernels of 32²,
+        # F=8, bf16 tier — autotune entry (64,64,8,'bf16')).
+        f8_data = jnp.asarray(
+            rng.standard_normal((1024, 1024, 8)).astype(np.float32)
+        )
+        f8_bank = jnp.asarray(
+            rng.standard_normal((64, 32, 32, 8)).astype(np.float32)
+        )
+        sd8 = fc.fft_data_tiled(
+            f8_data, 32, 32, trim_mode="same", store_dtype="bfloat16"
+        )
+        sk8 = fc.fft_kernels(
+            f8_bank, spectral=sd8, store_dtype="bfloat16",
+            storage="planar",
+        )
+        jax.block_until_ready((sd8.re, sk8.re))
+        f8_fn = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
+        t_f8 = _time_fn(f8_fn, sd8, sk8, iters=18, sync_every=9)
+        v_dpmf8_stream = (1024 * 1024 * 64 / 1e9) / t_f8
+        del sd8, sk8, f8_data, f8_bank
 
         # BASELINE configs[2]: large-kernel regime, 2048² × a bank of 16
         # 512² kernels (FFT-vs-direct crossover). The auto engine tiles at
@@ -541,6 +611,23 @@ def main() -> None:
             ),
             "detect_peaks_bf16_stream_ms_frame": (
                 None if peaks_stream_ms is None else round(peaks_stream_ms, 2)
+            ),
+            # end-to-end consumption: fetching results to host (the maps
+            # figure is ONE map's fetch × N — labeled estimate)
+            "peaks_result_fetch_ms": (
+                None if peaks_fetch_ms is None else round(peaks_fetch_ms, 2)
+            ),
+            "maps_result_fetch_est_ms": (
+                None if maps_fetch_est_ms is None
+                else round(maps_fetch_est_ms, 1)
+            ),
+            # BASELINE configs[1]: 512² × 16 mixed-size cell bank
+            "ragged_bank16_GPixF_s": (
+                None if v_ragged is None else round(v_ragged, 3)
+            ),
+            # F=8 bf16 fused serving (round-4a admitted envelope)
+            "dpm_f8_bf16_stream_GPixF_s": (
+                None if v_dpmf8_stream is None else round(v_dpmf8_stream, 3)
             ),
             "dpm_direct_giantbank_GPixF_s": (
                 None if v_dpm_direct is None else round(v_dpm_direct, 3)

@@ -373,6 +373,11 @@ _BUILTIN_GROUPS: dict = {
     (256, 256, 192, 384, 8, 2): (1, 1),  # F=8 bf16 @ (256,511)
     (128, 256, 64, 384, 1, 2): (2, 1),   # F=1 bf16 @ (128,511)
     (128, 256, 96, 384, 1, 2): (8, 1),   # F=1 bf16 @ (128,511) K=32
+    # F=1 f32 @ the v5 DIF (256,512) plan: streamed sweep (2,2) 16.73
+    # ms/frame vs (1,2) 17.52, (4,1) 17.51, (2,1) 18.29, (1,1) 19.04;
+    # the analytic chooser picks (1,3), unswept ≈ (1,2)
+    # (perf/r4c_v5_peaks_api.py §4, v5e 2026-08-19).
+    (256, 257, 192, 384, 1, 4): (2, 2),
 }
 
 
@@ -983,13 +988,21 @@ def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
                 dslr = dslr_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
                 dsli = dsli_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
                 # keep everything 2-D: 1-D values force gather/reshape
-                # paths Mosaic does not lower
-                pslr = jnp.sum(
-                    kslr * dslr - ksli * dsli, axis=0, keepdims=True
-                )  # (1, 2M)
-                psli = jnp.sum(
-                    kslr * dsli + ksli * dslr, axis=0, keepdims=True
-                )
+                # paths Mosaic does not lower; the F-channel sum unrolls
+                # as (1, 2M)-slice adds — a rank-2 multi_reduction over
+                # axis 0 hits Mosaic's "unsupported output implicit
+                # dimension" at F ≥ 2 (the rank-3 main-plane reduce is
+                # fine)
+                pslr = kslr[0:1] * dslr[0:1] - ksli[0:1] * dsli[0:1]
+                psli = kslr[0:1] * dsli[0:1] + ksli[0:1] * dslr[0:1]
+                for c in range(1, f):
+                    cs = slice(c, c + 1)
+                    pslr = pslr + (
+                        kslr[cs] * dslr[cs] - ksli[cs] * dsli[cs]
+                    )  # (1, 2M)
+                    psli = psli + (
+                        kslr[cs] * dsli[cs] + ksli[cs] * dslr[cs]
+                    )
                 pse_r, pse_i = pslr[:, :m], psli[:, :m]  # (1, M)
                 pso_r, pso_i = pslr[:, m:], psli[:, m:]
                 se_r, se_i = matvec(ur, ui, pse_r, pse_i)  # (M, 1)

