@@ -39,6 +39,7 @@ from cuda_fft_convolution_tpu.ops.conv import (
 )
 from cuda_fft_convolution_tpu.parallel import (
     conv_spectral_sharded,
+    detect_peaks_sharded,
     make_mesh,
     shard_kernel_bank,
 )
@@ -80,6 +81,7 @@ __all__ = [
     "fft_conv_stack",
     "direct_conv_single",
     "conv_spectral_sharded",
+    "detect_peaks_sharded",
     "make_mesh",
     "shard_kernel_bank",
     "fetch",

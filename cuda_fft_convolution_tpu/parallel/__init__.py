@@ -10,8 +10,9 @@ sharded — and scales to multi-host over DCN with no code change.
 
 from cuda_fft_convolution_tpu.parallel.mesh import (
     conv_spectral_sharded,
+    detect_peaks_sharded,
     make_mesh,
     shard_kernel_bank,
 )
 
-__all__ = ["conv_spectral_sharded", "make_mesh", "shard_kernel_bank"]
+__all__ = ["conv_spectral_sharded", "detect_peaks_sharded", "make_mesh", "shard_kernel_bank"]

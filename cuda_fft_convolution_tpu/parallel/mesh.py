@@ -413,6 +413,138 @@ def conv_spectral_sharded(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_peaks_exec(mesh: Mesh, ndim_d: int, geom: tuple):
+    """Jitted shard_map executable for the sharded detection head: each
+    device runs the fused peaks pipeline (ops/tiled.conv_blocks_peaks) on
+    its LOCAL bank shard — per-kernel top-1 is independent per kernel, so
+    the head needs ZERO cross-device math; results come back sharded over
+    (data, kernels) and are ~10⁴× smaller than maps, so even gathering
+    them is free."""
+    from cuda_fft_convolution_tpu.ops.tiled import conv_blocks_peaks
+
+    global TRACE_COUNT
+    TRACE_COUNT += 1
+    bh, bw, mkh, mkw, oh, ow = geom
+    dspec = P(*([DATA_AXIS] + [None] * (ndim_d - 1)))
+    kspec = P(KERNEL_AXIS, None, None, None)
+
+    def _local_peaks(d_re, d_im, k_re, k_im):
+        vals, ys, xs = conv_blocks_peaks(
+            d_re, d_im, k_re, k_im, bh, bw, mkh, mkw, oh, ow
+        )
+        return vals, ys.astype(jnp.int32), xs.astype(jnp.int32)
+
+    ospec = P(DATA_AXIS, KERNEL_AXIS)
+    return jax.jit(
+        jax.shard_map(
+            _local_peaks,
+            mesh=mesh,
+            in_specs=(dspec, dspec, kspec, kspec),
+            out_specs=(ospec, ospec, ospec),
+        )
+    )
+
+
+def detect_peaks_sharded(
+    spectral: TiledSpectralData,
+    kernels,
+    mesh: Mesh,
+    *,
+    correlation: bool = True,
+):
+    """Multi-device detection head: per-kernel top-1 ``(values,
+    positions)`` with the bank sharded over ``mesh``'s kernel axis and the
+    block spectra replicated along it (batch sharded over the data axis) —
+    ``detect_peaks`` × ``conv_spectral_sharded`` composed.
+
+    The serving win compounds across devices: each device reduces its bank
+    shard's score maps IN VMEM (the maps never exist in HBM at fused
+    geometries) and contributes only a (B_local, N_local) peak tuple —
+    there is no cross-device collective at all, and the gathered result is
+    ~4 orders of magnitude smaller than the sharded maps
+    ``conv_spectral_sharded`` would return (bench: fetching one device's
+    full maps through a serving link measures in minutes; peaks in ms).
+
+    ``spectral`` must be a :class:`TiledSpectralData` with a baked
+    'same'/'valid' window (the peaks frame; fft_data_tiled
+    ``trim_mode=``) or none (→ the kernel-'full' frame). ``kernels`` is a
+    stacked uniform bank (N, Kh, Kw, F) or planar
+    :class:`SpectralKernels` at the block geometry (pre-shard with
+    ``shard_kernel_bank`` to amortize placement). Returns ``values``
+    (B, N) | (N,) and ``positions`` (..., N, 2) int32 in the window
+    frame, identical to single-device ``detect_peaks``."""
+    validate(
+        isinstance(spectral, TiledSpectralData),
+        "detect_peaks_sharded takes TiledSpectralData (the peaks head is "
+        "an overlap-save consumer; for direct spectra run "
+        "conv_spectral_sharded and argmax the sharded maps)",
+    )
+    validate(
+        not spectral.fftmap_canvas,
+        "fftmap's circular frame has no meaningful global peak position",
+    )
+    kshards = mesh.shape[KERNEL_AXIS]
+    if isinstance(kernels, SpectralKernels):
+        sk = kernels
+        validate(
+            not sk.flat and sk.fft_h == spectral.block_h
+            and sk.fft_w == spectral.block_w,
+            "SpectralKernels geometry/layout does not match the tiled "
+            "spectra (planar at the block FFT size required)",
+        )
+        validate(
+            sk.re.dtype == spectral.re.dtype,
+            "spectra store-dtype mismatch between data and kernel bank",
+        )
+    else:
+        sk = _api.fft_kernels(
+            kernels, spectral=spectral, correlation=correlation,
+            storage="planar",
+            store_dtype=(
+                "bfloat16"
+                if spectral.re.dtype == jnp.bfloat16 else "float32"
+            ),
+        )
+    validate(
+        max(sk.kernel_hs) <= spectral.max_kh
+        and max(sk.kernel_ws) <= spectral.max_kw,
+        "bank kernels exceed the tiled spectra's planned envelope",
+    )
+    batched = spectral.batched
+    d_re = spectral.re if batched else spectral.re[None]
+    d_im = spectral.im if batched else spectral.im[None]
+    b = d_re.shape[0]
+    dshards = mesh.shape[DATA_AXIS]
+    validate(
+        b % dshards == 0,
+        f"batch {b} not divisible by data-axis size {dshards}",
+    )
+    k_re, k_im, _ = _pad_bank(sk.re, sk.im, kshards)
+    n = len(sk.kernel_hs)
+    if spectral.win_h is not None:
+        out_h, out_w = spectral.out_h, spectral.out_w
+    else:
+        out_h = spectral.data_h + max(sk.kernel_hs) - 1
+        out_w = spectral.data_w + max(sk.kernel_ws) - 1
+    geom = (
+        spectral.block_h, spectral.block_w,
+        spectral.max_kh, spectral.max_kw, out_h, out_w,
+    )
+    dspec = P(*([DATA_AXIS] + [None] * (d_re.ndim - 1)))
+    dsh = NamedSharding(mesh, dspec)
+    ksh = NamedSharding(mesh, P(KERNEL_AXIS, None, None, None))
+    d_re, d_im = _placed(d_re, dsh), _placed(d_im, dsh)
+    k_re, k_im = _placed(k_re, ksh), _placed(k_im, ksh)
+    exec_fn = _sharded_peaks_exec(mesh, d_re.ndim, geom)
+    vals, ys, xs = exec_fn(d_re, d_im, k_re, k_im)
+    vals, ys, xs = vals[:, :n], ys[:, :n], xs[:, :n]
+    pos = jnp.stack([ys, xs], axis=-1)
+    if batched:
+        return vals, pos
+    return vals[0], pos[0]
+
+
 def _conv_sharded_streaming(
     spectral: SpectralData,
     kstack: jnp.ndarray,  # (N, F, Kh, Kw) spatial

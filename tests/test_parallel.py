@@ -260,3 +260,50 @@ def test_tiled_sharded_fftmap_canvas(rng):
     plain = fc.fft_data_tiled(data, 5, 5, block_h=32, block_w=32)
     with pytest.raises(InvalidInputError):
         fc.conv_spectral_sharded(plain, kerns, mesh, mode="fftmap")
+
+
+def test_detect_peaks_sharded_matches_single_device(rng):
+    """The sharded detection head (bank over the mesh's kernel axis, peaks
+    reduced per device — zero collectives) returns exactly the
+    single-device detect_peaks result, for stacked banks, pre-sharded
+    SpectralKernels, and the batched 2-D mesh."""
+    import jax.numpy as jnp
+
+    from cuda_fft_convolution_tpu.models import detect_peaks
+
+    mesh = fc.make_mesh(data=1)
+    data = rng.standard_normal((70, 64, 2)).astype(np.float32)
+    bank = rng.standard_normal((9, 7, 5, 2)).astype(np.float32)
+    sd = fc.fft_data_tiled(
+        data, 7, 5, block_h=32, block_w=32, trim_mode="same",
+        trim_kernel_h=7, trim_kernel_w=5,
+    )
+    want_v, want_p = detect_peaks(sd, jnp.asarray(bank), mode="same")
+    got_v, got_p = fc.detect_peaks_sharded(sd, jnp.asarray(bank), mesh)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-5
+    )
+    # pre-sharded bank spectra skip re-placement and agree
+    sk = fc.fft_kernels(bank, spectral=sd, correlation=True,
+                        storage="planar")
+    skd = fc.shard_kernel_bank(sk, mesh)
+    got_v2, got_p2 = fc.detect_peaks_sharded(sd, skd, mesh)
+    np.testing.assert_array_equal(np.asarray(got_p2), np.asarray(want_p))
+    # batched over a 2-D (data × kernels) mesh
+    mesh2 = fc.make_mesh(data=2, kernels=4)
+    bdata = rng.standard_normal((2, 70, 64, 2)).astype(np.float32)
+    sdb = fc.fft_data_tiled(
+        bdata, 7, 5, block_h=32, block_w=32, trim_mode="same",
+        trim_kernel_h=7, trim_kernel_w=5,
+    )
+    bw_v, bw_p = detect_peaks(sdb, jnp.asarray(bank), mode="same")
+    bg_v, bg_p = fc.detect_peaks_sharded(sdb, jnp.asarray(bank), mesh2)
+    assert bg_v.shape == (2, 9) and bg_p.shape == (2, 9, 2)
+    np.testing.assert_array_equal(np.asarray(bg_p), np.asarray(bw_p))
+    # fftmap-canvas spectra are rejected (no global peak frame)
+    canvas = fc.fft_data_tiled(
+        data, 7, 5, block_h=32, block_w=32, trim_mode="fftmap"
+    )
+    with pytest.raises(InvalidInputError):
+        fc.detect_peaks_sharded(canvas, jnp.asarray(bank), mesh)
