@@ -394,16 +394,22 @@ _RADIX_W_TABLE: set = set()
 # 2.4e-7 on-chip). bf16io measured LOSING (39.5 vs 30.9 at the tier's
 # tuned plan — single-pass dots shrink the W-stage share while the DIF's
 # extra VPU work stays), so the tier stays v4: fp32 entries only.
+# F is part of the key: at F ∈ {2, 4} the DIF stage measured LOSING too
+# (perf/r4e_v5_fmulti.py, v5e 2026-08-19: streamed F=2 11.28 ms vs 9.53
+# v4@511, F=4 17.70 vs 11.14 — the Nyquist-sliver MAC's F-unrolled
+# channel sum and the per-F halves shuffles scale with F while v4's
+# single W MAC amortizes), so the builtin plan is F=1 only.
 _BUILTIN_RADIX_W: set = {
-    (256, 512, 129, 4),
+    (256, 512, 129, 4, 1),
 }
 
 
 def register_radix_w_plan(
-    block_h: int, block_w: int, kw: int, spec_bytes: int = 4
+    block_h: int, block_w: int, kw: int, spec_bytes: int = 4, f: int = 1
 ) -> None:
-    """Pin a measured-winning v5 DIF plan (see _RADIX_W_TABLE)."""
-    _RADIX_W_TABLE.add((block_h, block_w, kw, int(spec_bytes)))
+    """Pin a measured-winning v5 DIF plan (see _RADIX_W_TABLE) for banks
+    with exactly ``f`` feature channels at the given storage tier."""
+    _RADIX_W_TABLE.add((block_h, block_w, kw, int(spec_bytes), int(f)))
     for fn in (block_conv_pallas, block_conv_peaks_pallas):
         try:
             fn.clear_cache()
@@ -412,11 +418,14 @@ def register_radix_w_plan(
 
 
 def radix_w_enabled(
-    block_h: int, block_w: int, kh: int, kw: int, spec_bytes: int = 4
+    block_h: int, block_w: int, kh: int, kw: int, spec_bytes: int = 4,
+    f: int = 1,
 ) -> bool:
     """Whether production dispatch should run the v5 DIF W stage for this
-    plan: registered as measured-winning AND structurally legal."""
-    key = (block_h, block_w, kw, int(spec_bytes))
+    plan: registered as measured-winning AND structurally legal. ``f`` is
+    the bank's feature-channel count — the DIF stage's extra VPU work
+    scales with F, so plans are measured and registered per-F."""
+    key = (block_h, block_w, kw, int(spec_bytes), int(f))
     if key not in _RADIX_W_TABLE and key not in _BUILTIN_RADIX_W:
         return False
     vh, vw = block_h - kh + 1, block_w - kw + 1

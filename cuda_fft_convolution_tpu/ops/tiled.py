@@ -359,7 +359,8 @@ def fused_block_conv(
 
     vh = block_h - kh + 1
     use_w = radix_w_enabled(
-        block_h, block_w, kh, kw, jnp.dtype(d_re.dtype).itemsize
+        block_h, block_w, kh, kw, jnp.dtype(d_re.dtype).itemsize,
+        f=d_re.shape[3],
     )
     return block_conv_pallas(
         d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,

@@ -22,7 +22,11 @@ import time
 
 # (kh_env, kw_env, f_bucket, dtype_tag) -> (valid_h, valid_w,
 # use_fused[, block_h, block_w]). Envelopes are pow-2 round-ups; f_bucket:
-# 1 for F < 8, 8 for F >= 8; dtype_tag: 'f32' | 'bf16' (the serving tier
+# 1 for F == 1, 2 for 2 <= F < 8 (falls back to bucket 1 when unmeasured
+# — the single-channel plan is the best-known prior, EXCEPT where the
+# v5 DIF plan is involved: its per-F VPU cost made the F=1 winner lose
+# at F >= 2, perf/r4e_v5_fmulti.py), 8 for F >= 8;
+# dtype_tag: 'f32' | 'bf16' (the serving tier
 # changes both the VMEM legality gate and the measured winner — round-3
 # VERDICT weak #5). Lookups for the bf16 tier FALL BACK to the f32 entry
 # when no tier-specific measurement exists (the f32 geometry is the
@@ -51,6 +55,12 @@ _BUILTIN: dict = {
     # r2 family numbers: v4@511 59-61 ms vs 61.8 v3, 77.8 v2, 75-90
     # unfused).
     (64, 64, 1, "f32"): (192, 384, True, 256, 512),
+    # Same envelope at F ∈ [2, 8): the v5 DIF stage measured LOSING
+    # (perf/r4e_v5_fmulti.py, v5e 2026-08-19, 2048²×32 streamed: F=2
+    # 9.53 ms v4@(256,511) vs 11.28 v5@512; F=4 11.14 vs 17.70 — the
+    # sliver MAC's F-unrolled channel sum + per-F halves shuffles scale
+    # with F), so multi-F banks keep the v4 radix-2 plan.
+    (64, 64, 2, "f32"): (192, 384, True, 256, 511),
     # 32² kernels (perf/sweep_envelopes.py): v4 plan blocks (128, 511),
     # valid (96, 384) — amortized 'same' 56.9 ms vs 84.3 analytic-auto.
     # (128² kernels: the analytic (255, 895) v3 plan WINS (76.6 ms) over
@@ -105,7 +115,8 @@ def _key(
     kh: int, kw: int, f: int, store_dtype="float32", head: str = "conv"
 ) -> tuple:
     base = (
-        _envelope(kh), _envelope(kw), 8 if f >= 8 else 1,
+        _envelope(kh), _envelope(kw),
+        8 if f >= 8 else (2 if f >= 2 else 1),
         _dtype_tag(store_dtype),
     )
     # conv entries keep the historical 4-tuple key; other heads (the
@@ -135,11 +146,21 @@ def register_tuned_geometry(
 
 
 def _lookup_one(key) -> tuple | None:
-    hit = _MEASURED.get(key, _BUILTIN.get(key))
-    if hit is None and key[3] != "f32":
-        key32 = key[:3] + ("f32",) + key[4:]
-        hit = _MEASURED.get(key32, _BUILTIN.get(key32))
-    return hit
+    eh, ew, fb, tag = key[:4]
+    head = key[4:]
+    # Fallback chain: exact → F-bucket 1 at the same tier (the F=1 plan
+    # is the best prior for an unmeasured 2 ≤ F < 8 bank) → the f32
+    # entries in the same order (the tier fallback predates the tiers'
+    # own measurements and stays last).
+    buckets = (fb, 1) if fb == 2 else (fb,)
+    tags = (tag, "f32") if tag != "f32" else (tag,)
+    for t in tags:
+        for b in buckets:
+            k = (eh, ew, b, t) + head
+            hit = _MEASURED.get(k, _BUILTIN.get(k))
+            if hit is not None:
+                return hit
+    return None
 
 
 def lookup_tuned_geometry(

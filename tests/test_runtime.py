@@ -340,6 +340,39 @@ def test_autotune_builtin_seed_v5e():
     assert autotune.lookup_tuned_geometry(64, 64, 1) == (192, 384, True, 256, 512)
 
 
+def test_autotune_multi_f_bucket():
+    """2 <= F < 8 is its own bucket: the 64²-envelope f32 entry keeps the
+    v4 (256, 511) plan (the v5 DIF stage measured losing at F >= 2,
+    perf/r4e_v5_fmulti.py); envelopes without a bucket-2 measurement fall
+    back to the F=1 entry, and user bucket-2 registrations override."""
+    from cuda_fft_convolution_tpu.runtime import autotune
+
+    autotune._MEASURED.clear()
+    for f in (2, 4, 7):
+        assert autotune.lookup_tuned_geometry(64, 64, f) == (
+            192, 384, True, 256, 511,
+        )
+    # F=1 keeps the v5 plan; F>=8 keeps its own bucket
+    assert autotune.lookup_tuned_geometry(64, 64, 1)[4] == 512
+    assert autotune.lookup_tuned_geometry(64, 64, 8) == (
+        64, 384, True, 128, 511,
+    )
+    # no bucket-2 measurement at the 32² envelope → F=1 fallback
+    assert autotune.lookup_tuned_geometry(32, 32, 3) == (
+        96, 384, True, 128, 511,
+    )
+    # bf16 bucket-2 falls back to the bf16 F=1 entry before any f32 one
+    assert autotune.lookup_tuned_geometry(64, 64, 2, "bfloat16") == (
+        64, 384, True, 128, 511,
+    )
+    autotune.register_tuned_geometry(64, 64, 48, 192, f=3, fused=False)
+    try:
+        assert autotune.lookup_tuned_geometry(64, 64, 5) == (48, 192, False)
+        assert autotune.lookup_tuned_geometry(64, 64, 1)[4] == 512
+    finally:
+        autotune._MEASURED.clear()
+
+
 def test_plan_bank_native_matches_python(monkeypatch):
     """csrc/planner.cpp ffc_plan_bank must agree with the Python fallback."""
     from cuda_fft_convolution_tpu.runtime import native, planner

@@ -666,16 +666,23 @@ def test_fused_radix_w_registered_plan(rng):
     kerns = [rng.standard_normal((65, 129, 1)).astype(np.float32)]
     sd = fc.fft_data_tiled(data, 65, 129, block_h=256, block_w=512)
     want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
-    # the measured fp32 headline plan ships builtin-registered; the bf16
-    # tier measured LOSING and must stay v4; user registration extends
+    # the measured fp32 F=1 headline plan ships builtin-registered; the
+    # bf16 tier AND multi-F banks measured LOSING and must stay v4
+    # (perf/r4e_v5_fmulti.py); user registration extends per-F
     assert radix_w_enabled(256, 512, 65, 129)
     assert not radix_w_enabled(256, 512, 65, 129, spec_bytes=2)
+    assert not radix_w_enabled(256, 512, 65, 129, f=2)
+    assert not radix_w_enabled(256, 512, 65, 129, f=4)
     assert not radix_w_enabled(256, 1024, 65, 257)
     register_radix_w_plan(256, 1024, 257)
+    register_radix_w_plan(256, 512, 129, f=3)
     try:
         assert radix_w_enabled(256, 1024, 65, 257)
+        assert radix_w_enabled(256, 512, 65, 129, f=3)
+        assert not radix_w_enabled(256, 1024, 65, 257, f=2)
     finally:
-        _RADIX_W_TABLE.discard((256, 1024, 257, 4))
+        _RADIX_W_TABLE.discard((256, 1024, 257, 4, 1))
+        _RADIX_W_TABLE.discard((256, 512, 129, 4, 3))
     try:
         fc.set_config(use_fused_block_conv=True, fused_precision="highest")
         got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
