@@ -26,8 +26,10 @@ from cuda_fft_convolution_tpu.models.mosse import (
 )
 from cuda_fft_convolution_tpu.models.pyramid import (
     Pyramid,
+    PyramidPeaks,
     build_pyramid,
     detect_pyramid,
+    detect_pyramid_peaks,
     top_detections,
 )
 
@@ -45,7 +47,9 @@ __all__ = [
     "train_mosse",
     "update_mosse",
     "Pyramid",
+    "PyramidPeaks",
     "build_pyramid",
     "detect_pyramid",
+    "detect_pyramid_peaks",
     "top_detections",
 ]

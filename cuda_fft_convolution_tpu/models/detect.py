@@ -27,7 +27,11 @@ from cuda_fft_convolution_tpu.ops.tiled import (
     conv_blocks_peaks,
     peaks_from_maps,
 )
-from cuda_fft_convolution_tpu.types import SpectralKernels, TiledSpectralData
+from cuda_fft_convolution_tpu.types import (
+    SpectralData,
+    SpectralKernels,
+    TiledSpectralData,
+)
 from cuda_fft_convolution_tpu.utils.errors import validate
 
 
@@ -64,6 +68,21 @@ def detect_peaks(
         "detect_peaks modes: 'same', 'valid', 'full' (fftmap's circular "
         "frame has no meaningful global peak position)",
     )
+    if isinstance(data, SpectralData):
+        # Direct-engine spectra (e.g. pyramid levels, models/pyramid.py):
+        # score with conv_spectral, reduce with the XLA head — the maps
+        # stay device-resident, only (N,)+(N,2) ever cross the link.
+        _kernel_hw(kernels)  # reject ragged banks up front
+        maps = jnp.asarray(
+            _api.conv_spectral(
+                data, kernels, mode=mode, correlation=correlation
+            )
+        )
+        if maps.ndim == 3:
+            vals, ys, xs = peaks_from_maps(maps[None])
+            return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
+        vals, ys, xs = peaks_from_maps(maps)
+        return vals, jnp.stack([ys, xs], axis=-1)
     if isinstance(data, TiledSpectralData):
         sd = data
         kh, kw = _kernel_hw(kernels)

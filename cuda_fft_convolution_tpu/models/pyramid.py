@@ -86,6 +86,77 @@ def detect_pyramid(
     ]
 
 
+@dataclasses.dataclass(frozen=True)
+class PyramidPeaks:
+    """detect_pyramid_peaks result: per-level top-1 peaks + cross-level join.
+
+    ``values`` (L, N) / ``positions`` (L, N, 2) are each level's per-kernel
+    peak response and (row, col) in that LEVEL's ``mode`` window frame
+    (exactly argmax over the corresponding detect_pyramid map). The
+    ``best_*`` fields join across levels per kernel: ``best_position`` is
+    mapped back to level-0 (base image) coordinates by the per-axis level
+    size ratio."""
+
+    values: jnp.ndarray  # (L, N) float32
+    positions: jnp.ndarray  # (L, N, 2) int32, per-level frame
+    best_level: jnp.ndarray  # (N,) int32
+    best_value: jnp.ndarray  # (N,) float32
+    best_position: jnp.ndarray  # (N, 2) int32, base-image coordinates
+
+
+def detect_pyramid_peaks(
+    pyramid: Pyramid,
+    kernels,
+    *,
+    mode: str = "same",
+    correlation: bool = True,
+) -> PyramidPeaks:
+    """Multi-scale detection without materializing score maps off-device.
+
+    ``detect_pyramid`` + ``top_detections`` fetches every level's full maps
+    to the host — through a real serving link that is seconds per map
+    (PERF.md round-4 consumption measurement: ~1.4 MB/s effective D2H,
+    ~10⁴× the bytes a detection consumer reads). This runs the round-4
+    detection head (models.detect_peaks) per pyramid level instead: each
+    level's precomputed spectrum scores the whole bank and reduces to
+    (max, argmax) on device; only (L, N) values and (L, N, 2) positions
+    ever leave the chip. The reference's own demo validates detections by
+    peak location, not map contents (demoCudaConvolutionFFT.m:58-61).
+
+    ``kernels`` is a stacked uniform bank (N, Kh, Kw, F) — ragged cells
+    must be bucketed first, like detect_peaks. ``mode='fftmap'`` is
+    rejected (its circular frame has no meaningful global peak)."""
+    from cuda_fft_convolution_tpu.models.detect import detect_peaks
+
+    import numpy as np
+
+    per_v, per_p = [], []
+    for sd in pyramid.spectra:
+        v, p = detect_peaks(sd, kernels, mode=mode, correlation=correlation)
+        per_v.append(v)
+        per_p.append(p)
+    values = jnp.stack(per_v)  # (L, N)
+    positions = jnp.stack(per_p)  # (L, N, 2)
+    v = np.asarray(values)
+    p = np.asarray(positions)
+    best_level = v.argmax(axis=0).astype(np.int32)  # (N,)
+    best_value = v.max(axis=0)
+    h0, w0 = (int(s) for s in pyramid.levels[0].shape[:2])
+    best_pos = np.empty((v.shape[1], 2), np.int32)
+    for n in range(v.shape[1]):
+        lvl = int(best_level[n])
+        lh, lw = (int(s) for s in pyramid.levels[lvl].shape[:2])
+        y, x = int(p[lvl, n, 0]), int(p[lvl, n, 1])
+        best_pos[n] = (round(y * h0 / lh), round(x * w0 / lw))
+    return PyramidPeaks(
+        values=values,
+        positions=positions,
+        best_level=jnp.asarray(best_level),
+        best_value=jnp.asarray(best_value),
+        best_position=jnp.asarray(best_pos),
+    )
+
+
 def top_detections(
     level_scores: list, k: int = 5
 ) -> list[tuple[int, int, int, int, float]]:

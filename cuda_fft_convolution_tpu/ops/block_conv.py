@@ -403,13 +403,26 @@ _BUILTIN_RADIX_W: set = {
     (256, 512, 129, 4, 1),
 }
 
+# The detection head's v5 plans are registered separately: the peaks
+# epilogue replaces the output stores with per-segment VPU reductions, so
+# the conv winner need not carry over (the v4 precedent: auto-v4 is
+# f32-only for peaks while conv runs it at both tiers). Empty until an
+# on-chip sweep registers winners (perf/r4g_v5_peaks.py) — the F=31/
+# fused-deny lesson: legality ≠ profit.
+_RADIX_W_TABLE_PEAKS: set = set()
+_BUILTIN_RADIX_W_PEAKS: set = set()
+
 
 def register_radix_w_plan(
-    block_h: int, block_w: int, kw: int, spec_bytes: int = 4, f: int = 1
+    block_h: int, block_w: int, kw: int, spec_bytes: int = 4, f: int = 1,
+    head: str = "conv",
 ) -> None:
     """Pin a measured-winning v5 DIF plan (see _RADIX_W_TABLE) for banks
-    with exactly ``f`` feature channels at the given storage tier."""
-    _RADIX_W_TABLE.add((block_h, block_w, kw, int(spec_bytes), int(f)))
+    with exactly ``f`` feature channels at the given storage tier.
+    ``head='peaks'`` registers for the detection head's kernel instead
+    (separate table — the winners can differ per head)."""
+    table = _RADIX_W_TABLE_PEAKS if head == "peaks" else _RADIX_W_TABLE
+    table.add((block_h, block_w, kw, int(spec_bytes), int(f)))
     for fn in (block_conv_pallas, block_conv_peaks_pallas):
         try:
             fn.clear_cache()
@@ -419,14 +432,21 @@ def register_radix_w_plan(
 
 def radix_w_enabled(
     block_h: int, block_w: int, kh: int, kw: int, spec_bytes: int = 4,
-    f: int = 1,
+    f: int = 1, head: str = "conv",
 ) -> bool:
     """Whether production dispatch should run the v5 DIF W stage for this
     plan: registered as measured-winning AND structurally legal. ``f`` is
     the bank's feature-channel count — the DIF stage's extra VPU work
-    scales with F, so plans are measured and registered per-F."""
+    scales with F, so plans are measured and registered per-F (and per
+    ``head``: the detection head's epilogue changes the economics)."""
     key = (block_h, block_w, kw, int(spec_bytes), int(f))
-    if key not in _RADIX_W_TABLE and key not in _BUILTIN_RADIX_W:
+    if head == "peaks":
+        if (
+            key not in _RADIX_W_TABLE_PEAKS
+            and key not in _BUILTIN_RADIX_W_PEAKS
+        ):
+            return False
+    elif key not in _RADIX_W_TABLE and key not in _BUILTIN_RADIX_W:
         return False
     vh, vw = block_h - kh + 1, block_w - kw + 1
     return radix_h_legal(block_h, vh) and radix_w_legal(block_w, kw, vw)
@@ -1089,6 +1109,156 @@ def _peaks_reducer(mbh: int, mbw: int, vh: int, vw: int, out_h: int,
     return setup, reduce_tile
 
 
+def _make_kernel_v5_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
+                          lh: int, w0: int, block_w: int, kw: int,
+                          out_h: int, out_w: int, precision, karatsuba):
+    """Peaks variant of the v5 kernel: the radix-2 DIF W stage's P+Q /
+    P−Q output segments are reduced PER SEGMENT against column-sliced
+    −inf masks instead of being stored — the maps tile never exists even
+    in VMEM (same merge semantics as the per-j tile merge in
+    :func:`_peaks_reducer`). Operand layout identical to
+    :func:`_make_kernel_v5` (W-permuted even|odd lanes + Nyquist sliver);
+    interpret-mode parity pinned in perf/proto_v5_peaks.py and
+    tests/test_detect.py."""
+    m = lh // 2
+    c1 = m - w0
+    l4 = block_w // 4
+    l2 = block_w // 2
+    wc2 = 2 * l4
+    t0 = kw - 1
+    s1 = l2 - t0
+    tn = min(vw, l2)
+    if s1 >= vw:
+        segs = [(0, vw, 0, 1.0)]
+    else:
+        segs = [(0, s1, 0, 1.0), (s1, min(vw, l2), s1, -1.0)]
+        if vw > l2:
+            segs.append((l2, vw, 0, -1.0))
+    segs = [s for s in segs if s[1] > s[0]]
+    setup, _ = _peaks_reducer(mbh, mbw, vh, vw, out_h, out_w)
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, epr_ref,
+                epi_ref, oqr_ref, oqi_ref, dslr_ref, dsli_ref, kslr_ref,
+                ksli_ref, val_ref, idx_ref, xr_ref, xi_ref, slr_ref):
+        gh = pl.program_id(1)
+        gw = pl.program_id(2)
+        kr = kr_ref[0].astype(jnp.float32)  # (F, 2M, Wc2) H+W permuted
+        ki = ki_ref[0].astype(jnp.float32)
+        kslr = kslr_ref[0].reshape(f, lh).astype(jnp.float32)  # (F, 2M)
+        ksli = ksli_ref[0].reshape(f, lh).astype(jnp.float32)
+        ur, ui = ur_ref[...], ui_ref[...]
+        epr, epi = epr_ref[...], epi_ref[...]
+        oqr, oqi = oqr_ref[...], oqi_ref[...]
+        dot = _make_dot(precision)
+        u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
+            jnp.float32
+        )
+        twr = jnp.cos(jnp.pi * u_row / m)
+        twi = jnp.sin(jnp.pi * u_row / m)
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+        parity = jnp.where(
+            (k_col + t0) % 2 == 0, 1.0, -1.0
+        ).astype(jnp.float32) / block_w
+        col_i0, rm, flat0 = setup(gh, gw)
+        best = None
+
+        def csub(sr, si):  # (M, M) @ (M, N) complex
+            if karatsuba:
+                t1 = dot(ur, sr)
+                t2 = dot(ui, si)
+                t3 = dot(ur + ui, sr + si)
+                return t1 - t2, t3 - t1 - t2
+            return (dot(ur, sr) - dot(ui, si),
+                    dot(ur, si) + dot(ui, sr))
+
+        def matvec(mat_r, mat_i, v_r, v_i):
+            rr = jnp.sum(mat_r * v_r, axis=1, keepdims=True) - jnp.sum(
+                mat_i * v_i, axis=1, keepdims=True
+            )
+            ii = jnp.sum(mat_r * v_i, axis=1, keepdims=True) + jnp.sum(
+                mat_i * v_r, axis=1, keepdims=True
+            )
+            return rr, ii
+
+        for j in range(mbw):
+            for i in range(mbh):
+                dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, 2M, Wc2)
+                di = di_ref[0, i, j].astype(jnp.float32)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                e_r, e_i = csub(s_r[:m], s_i[:m])
+                o_r, o_i = csub(s_r[m:], s_i[m:])
+                t_r = twr * o_r - twi * o_i
+                t_i = twr * o_i + twi * o_r
+                xr_ref[i * vh:i * vh + c1, :] = (e_r + t_r)[w0:, :]
+                xi_ref[i * vh:i * vh + c1, :] = (e_i + t_i)[w0:, :]
+                xr_ref[i * vh + c1:(i + 1) * vh, :] = (e_r - t_r)[: vh - c1, :]
+                xi_ref[i * vh + c1:(i + 1) * vh, :] = (e_i - t_i)[: vh - c1, :]
+                # Nyquist-sliver MAC + H radix (see _make_kernel_v5: the
+                # F-channel sum must unroll as (1, 2M)-slice adds)
+                dslr = dslr_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
+                dsli = dsli_ref[0, i, j].reshape(f, lh).astype(jnp.float32)
+                pslr = kslr[0:1] * dslr[0:1] - ksli[0:1] * dsli[0:1]
+                psli = kslr[0:1] * dsli[0:1] + ksli[0:1] * dslr[0:1]
+                for c in range(1, f):
+                    cs = slice(c, c + 1)
+                    pslr = pslr + (
+                        kslr[cs] * dslr[cs] - ksli[cs] * dsli[cs]
+                    )
+                    psli = psli + (
+                        kslr[cs] * dsli[cs] + ksli[cs] * dslr[cs]
+                    )
+                pse_r, pse_i = pslr[:, :m], psli[:, :m]
+                pso_r, pso_i = pslr[:, m:], psli[:, m:]
+                se_r, se_i = matvec(ur, ui, pse_r, pse_i)
+                so_r, so_i = matvec(ur, ui, pso_r, pso_i)
+                st_r = twr * so_r - twi * so_i
+                slr_ref[i * vh:i * vh + c1, :] = jnp.broadcast_to(
+                    (se_r + st_r)[w0:, :], (c1, _SLIVER_LANES)
+                )
+                slr_ref[i * vh + c1:(i + 1) * vh, :] = jnp.broadcast_to(
+                    (se_r - st_r)[: vh - c1, :], (vh - c1, _SLIVER_LANES)
+                )
+            # ---- W radix-2 DIF + per-segment (max, argmax) ----
+            p_r = dot(xr_ref[:, :l4], epr) + dot(xi_ref[:, :l4], epi)
+            q_r = (
+                dot(xr_ref[:, l4:wc2], oqr) + dot(xi_ref[:, l4:wc2], oqi)
+            )
+            sl_r = slr_ref[:, 0:1]
+            p_r = p_r + sl_r * parity
+            for d0, d1, k0, sg in segs:
+                seg = (
+                    p_r[:, k0:k0 + (d1 - d0)] + q_r[:, k0:k0 + (d1 - d0)]
+                    if sg > 0
+                    else p_r[:, k0:k0 + (d1 - d0)]
+                    - q_r[:, k0:k0 + (d1 - d0)]
+                )
+                cols = col_i0[:, d0:d1] + j * vw
+                cm = jnp.where(cols < out_w, 0.0, -jnp.inf).astype(
+                    jnp.float32
+                )
+                t = seg + rm + cm
+                v = jnp.max(t)
+                cand = jnp.min(
+                    jnp.where(
+                        t >= v,
+                        flat0[:, d0:d1] + j * vw,
+                        jnp.int32(2147483647),
+                    )
+                )
+                if best is None:
+                    best = (v, cand)
+                else:
+                    bv, bi = best
+                    best = (
+                        jnp.maximum(v, bv), jnp.where(v > bv, cand, bi)
+                    )
+        val_ref[0, 0] = jnp.full((8, 128), best[0], jnp.float32)
+        idx_ref[0, 0] = jnp.full((8, 128), best[1], jnp.int32)
+
+    return _kernel
+
+
 def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
                           wc: int, out_h: int, out_w: int, precision,
                           karatsuba):
@@ -1208,7 +1378,7 @@ def _make_kernel_v4_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
                      "interpret", "precision", "karatsuba", "mbh", "mbw",
-                     "radix_h"),
+                     "radix_h", "radix_w"),
 )
 def block_conv_peaks_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
@@ -1228,6 +1398,7 @@ def block_conv_peaks_pallas(
     mbh: int | None = None,
     mbw: int | None = None,
     radix_h: bool | None = None,
+    radix_w: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """→ per-cell block-max pyramid: ``(vals, idxs)`` of shape
     (B, N, gbh, gbw) — the max response and its GLOBAL flat position
@@ -1247,7 +1418,10 @@ def block_conv_peaks_pallas(
     Same operand/precision contract as :func:`block_conv_pallas`.
     ``radix_h=None`` auto-selects the v4-based kernel (radix-2 H stage)
     whenever ``radix_h_legal(block_h, vh)`` — the peaks epilogue replaces
-    only the output stores, so the transform upgrade carries over."""
+    only the output stores, so the transform upgrade carries over.
+    ``radix_w=True`` (requires ``radix_w_legal``) runs the v5 DIF W stage
+    with a per-segment reduction epilogue — production dispatch enables it
+    only for plans registered with ``register_radix_w_plan(head='peaks')``."""
     b, nbh, nbw, f, lh, wc = dr.shape
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
@@ -1285,6 +1459,8 @@ def block_conv_peaks_pallas(
                (0, 0), (0, 0), (0, 0))
         dr = jnp.pad(dr, pad)
         di = jnp.pad(di, pad)
+    if radix_w:
+        radix_h = True  # the v5 W stage builds on the v4 H stage
     if radix_h is None:
         # auto-v4 for f32 only: at the bf16 tier the v4-peaks kernel
         # measured LOSING to v3 (40.0 vs 32.0 ms at the (256,511) plan,
@@ -1305,6 +1481,116 @@ def block_conv_peaks_pallas(
         di = jnp.take(di, perm, axis=4)
         kr = jnp.take(kr, perm, axis=2)
         ki = jnp.take(ki, perm, axis=2)
+
+    if radix_w:
+        # v5-peaks: the same operand prep as block_conv_pallas's radix_w
+        # branch (W-permuted even|odd lane groups + 1-lane Nyquist
+        # sliver), with the per-segment (max, argmax) epilogue.
+        assert radix_w_legal(block_w, kw, vw), (
+            f"radix_w requires the v5 W alignment "
+            f"(block_w={block_w}, kw={kw}, vw={vw})"
+        )
+        l4 = block_w // 4
+        wc_full = block_w // 2 + 1
+        dslr, dsli = dr[..., wc_full - 1 :], di[..., wc_full - 1 :]
+        kslr, ksli = kr[..., wc_full - 1 :], ki[..., wc_full - 1 :]
+        perm_w = jnp.concatenate(
+            [jnp.arange(0, 2 * l4, 2), jnp.arange(1, 2 * l4, 2)]
+        )
+        dr = jnp.take(dr, perm_w, axis=5)
+        di = jnp.take(di, perm_w, axis=5)
+        kr = jnp.take(kr, perm_w, axis=3)
+        ki = jnp.take(ki, perm_w, axis=3)
+        mat_t5 = jnp.bfloat16 if precision == BF16IO else jnp.float32
+        ur_np, ui_np = _radix_mats(block_h)
+        ur_m = jnp.asarray(ur_np, mat_t5)
+        ui_m = jnp.asarray(ui_np, mat_t5)
+        epr_np, epi_np, oqr_np, oqi_np = _dif_w_mats(block_w, kw, vw)
+        epr_m = jnp.asarray(epr_np, mat_t5)
+        epi_m = jnp.asarray(epi_np, mat_t5)
+        oqr_m = jnp.asarray(oqr_np, mat_t5)
+        oqi_m = jnp.asarray(oqi_np, mat_t5)
+        tn = epr_np.shape[1]
+        m_h = block_h // 2
+        wc2 = 2 * l4
+        grid = (b, gbh, gbw, n)
+        spec_d = pl.BlockSpec(
+            (1, mbh, mbw, f, lh, wc2),
+            lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_dsl = pl.BlockSpec(
+            (1, mbh, mbw, f, lh, 1),
+            lambda bi, gh, gw, ni: (bi, gh, gw, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_k5 = pl.BlockSpec(
+            (1, f, lh, wc2),
+            lambda bi, gh, gw, ni: (ni, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_ksl = pl.BlockSpec(
+            (1, f, lh, 1),
+            lambda bi, gh, gw, ni: (ni, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec_c2 = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda bi, gh, gw, ni: (0, 0), memory_space=pltpu.VMEM
+        )
+        cell_spec5 = pl.BlockSpec(
+            (1, 1, 8, 128),
+            lambda bi, gh, gw, ni: (bi, ni, gh, gw),
+            memory_space=pltpu.VMEM,
+        )
+        kern = _make_kernel_v5_peaks(
+            mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, out_h, out_w,
+            precision, karatsuba,
+        )
+        rows = mbh * vh
+        flops = (
+            8 * f * lh * wc2  # MAC
+            + 16 * m_h * m_h * wc2 + 8 * m_h * wc2  # H radix
+            + 8 * vh * l4 * tn + 16 * vh * tn  # W DIF (4 dots + combine)
+        )
+        vals8, idxs8 = pl.pallas_call(
+            kern,
+            grid=grid,
+            scratch_shapes=[
+                pltpu.VMEM((rows, wc2), jnp.float32),
+                pltpu.VMEM((rows, wc2), jnp.float32),
+                pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),
+            ],
+            in_specs=[
+                spec_d, spec_d, spec_k5, spec_k5,
+                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_dsl, spec_dsl, spec_ksl, spec_ksl,
+            ],
+            out_specs=(cell_spec5, cell_spec5),
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (b, n, gbh * 8, gbw * 128), jnp.float32
+                ),
+                jax.ShapeDtypeStruct(
+                    (b, n, gbh * 8, gbw * 128), jnp.int32
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=b * nbh * nbw * n * flops,
+                bytes_accessed=(
+                    2 * dr.dtype.itemsize * f * lh * wc2 * (b * nbh * nbw)
+                    + 2 * dr.dtype.itemsize * f * lh * wc2
+                    * (b * gbh * gbw * n)
+                    + 8 * b * n * gbh * gbw * 8 * 128
+                ),
+                transcendentals=4 * (m_h + l4),
+            ),
+            interpret=interpret,
+        )(dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m, oqr_m, oqi_m,
+          dslr, dsli, kslr, ksli)
+        return vals8[:, :, ::8, ::128], idxs8[:, :, ::8, ::128]
+
     mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32
     if radix_h:
         ur_np, ui_np = _radix_mats(block_h)

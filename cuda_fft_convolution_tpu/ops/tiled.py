@@ -501,11 +501,17 @@ def conv_blocks_peaks(
     if fused:
         from cuda_fft_convolution_tpu.ops.block_conv import (
             block_conv_peaks_pallas,
+            radix_w_enabled,
         )
 
+        use_w = radix_w_enabled(
+            block_h, block_w, kh, kw, jnp.dtype(d_re.dtype).itemsize,
+            f=d_re.shape[3], head="peaks",
+        )
         vals, idxs = block_conv_peaks_pallas(
             d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
             interpret=jax.default_backend() != "tpu",
+            radix_w=use_w,
         )
         n = vals.shape[1]
         cells = vals.reshape(b, n, -1)

@@ -158,3 +158,67 @@ def test_peaks_kernel_v4_radix_parity(rng):
     scale = float(jnp.max(jnp.abs(v3[0])))
     assert float(jnp.max(jnp.abs(v3[0] - v4[0]))) / scale < 2e-5
     assert bool(jnp.all(v3[1] == v4[1]))
+
+
+@pytest.mark.parametrize(
+    "dhw,blocks,group,f",
+    [
+        ((400, 700), (256, 512), (1, 1), 1),
+        ((500, 1200), (256, 512), (2, 2), 3),  # group pad + F>1 sliver sum
+        ((256, 950), (256, 1024), (1, 1), 2),  # vw=896 > l2: 3 DIF segments
+    ],
+)
+def test_peaks_kernel_v5_radix_w_parity(rng, dhw, blocks, group, f):
+    """The v5-peaks kernel (radix-2 DIF W stage + per-segment (max, argmax)
+    reduction — the maps tile never exists even in VMEM) returns exactly
+    the v4-peaks result across cell grids, group padding, the F-unrolled
+    Nyquist-sliver sum, and the three-segment window split — interpret
+    mode off-TPU, compiled Mosaic under FFTCONV_TEST_TPU=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        block_conv_peaks_pallas,
+        radix_h_legal,
+        radix_w_legal,
+    )
+    from cuda_fft_convolution_tpu.ops.tiled import fft_data_blocks
+
+    (dh, dw), (bh, bw) = dhw, blocks
+    kh, kw = 65, 129
+    vh, vw = bh - kh + 1, bw - kw + 1
+    assert radix_h_legal(bh, vh) and radix_w_legal(bw, kw, vw)
+    out_h, out_w = dh + kh - 1, dw + kw - 1
+    data = jnp.asarray(
+        rng.standard_normal((1, f, dh, dw)).astype(np.float32)
+    )
+    d_re, d_im = fft_data_blocks(data, bh, bw, kh, kw)
+    k_re = jnp.asarray(
+        rng.standard_normal((3, f, bh, bw // 2 + 1)).astype(np.float32)
+    )
+    k_im = jnp.asarray(
+        rng.standard_normal((3, f, bh, bw // 2 + 1)).astype(np.float32)
+    )
+    interp = jax.default_backend() != "tpu"
+    mbh, mbw = group
+    v4 = block_conv_peaks_pallas(
+        d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+        interpret=interp, radix_h=True, mbh=mbh, mbw=mbw,
+    )
+    v5 = block_conv_peaks_pallas(
+        d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+        interpret=interp, radix_w=True, mbh=mbh, mbw=mbw,
+    )
+    # per-kernel top-1 over cells must agree (values to fp tolerance,
+    # positions exactly)
+    for want, got in ((v4, v5),):
+        wc_ = np.asarray(want[0]).reshape(3, -1)
+        gc = np.asarray(got[0]).reshape(3, -1)
+        wi = wc_.argmax(axis=1)
+        gi = gc.argmax(axis=1)
+        wv = wc_[np.arange(3), wi]
+        gv = gc[np.arange(3), gi]
+        np.testing.assert_allclose(gv, wv, rtol=1e-5)
+        wflat = np.asarray(want[1]).reshape(3, -1)[np.arange(3), wi]
+        gflat = np.asarray(got[1]).reshape(3, -1)[np.arange(3), gi]
+        np.testing.assert_array_equal(gflat, wflat)

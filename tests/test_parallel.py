@@ -290,17 +290,19 @@ def test_detect_peaks_sharded_matches_single_device(rng):
     skd = fc.shard_kernel_bank(sk, mesh)
     got_v2, got_p2 = fc.detect_peaks_sharded(sd, skd, mesh)
     np.testing.assert_array_equal(np.asarray(got_p2), np.asarray(want_p))
-    # batched over a 2-D (data × kernels) mesh
-    mesh2 = fc.make_mesh(data=2, kernels=4)
-    bdata = rng.standard_normal((2, 70, 64, 2)).astype(np.float32)
-    sdb = fc.fft_data_tiled(
-        bdata, 7, 5, block_h=32, block_w=32, trim_mode="same",
-        trim_kernel_h=7, trim_kernel_w=5,
-    )
-    bw_v, bw_p = detect_peaks(sdb, jnp.asarray(bank), mode="same")
-    bg_v, bg_p = fc.detect_peaks_sharded(sdb, jnp.asarray(bank), mesh2)
-    assert bg_v.shape == (2, 9) and bg_p.shape == (2, 9, 2)
-    np.testing.assert_array_equal(np.asarray(bg_p), np.asarray(bw_p))
+    # batched over a 2-D (data × kernels) mesh (simulated CPU mesh only —
+    # the attached TPU is a single chip; the 1-D sections above still run)
+    if len(jax.devices()) >= 8:
+        mesh2 = fc.make_mesh(data=2, kernels=4)
+        bdata = rng.standard_normal((2, 70, 64, 2)).astype(np.float32)
+        sdb = fc.fft_data_tiled(
+            bdata, 7, 5, block_h=32, block_w=32, trim_mode="same",
+            trim_kernel_h=7, trim_kernel_w=5,
+        )
+        bw_v, bw_p = detect_peaks(sdb, jnp.asarray(bank), mode="same")
+        bg_v, bg_p = fc.detect_peaks_sharded(sdb, jnp.asarray(bank), mesh2)
+        assert bg_v.shape == (2, 9) and bg_p.shape == (2, 9, 2)
+        np.testing.assert_array_equal(np.asarray(bg_p), np.asarray(bw_p))
     # fftmap-canvas spectra are rejected (no global peak frame)
     canvas = fc.fft_data_tiled(
         data, 7, 5, block_h=32, block_w=32, trim_mode="fftmap"

@@ -683,6 +683,20 @@ def test_fused_radix_w_registered_plan(rng):
     finally:
         _RADIX_W_TABLE.discard((256, 1024, 257, 4, 1))
         _RADIX_W_TABLE.discard((256, 512, 129, 4, 3))
+    # the detection head's plans are a SEPARATE table (head='peaks'):
+    # conv registrations never leak into peaks dispatch and vice versa
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        _RADIX_W_TABLE_PEAKS,
+    )
+
+    assert not radix_w_enabled(256, 512, 65, 129, head="peaks")
+    register_radix_w_plan(256, 512, 129, head="peaks")
+    try:
+        assert radix_w_enabled(256, 512, 65, 129, head="peaks")
+        assert not radix_w_enabled(256, 512, 65, 129, f=2, head="peaks")
+    finally:
+        _RADIX_W_TABLE_PEAKS.discard((256, 512, 129, 4, 1))
+    assert not radix_w_enabled(256, 512, 65, 129, head="peaks")
     try:
         fc.set_config(use_fused_block_conv=True, fused_precision="highest")
         got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
