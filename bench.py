@@ -243,6 +243,7 @@ def main() -> None:
     v_dpm_direct_stream = None
     v_dpm_stream = None
     v_peaks = v_peaks_stream = peaks_stream_ms = None
+    v_peaks_f32_stream = peaks_f32_stream_ms = None
     peaks_fetch_ms = maps_fetch_est_ms = None
     v_ragged = v_dpmf8_stream = None
     if not quick:
@@ -469,6 +470,28 @@ def main() -> None:
         del maps_out, pvv, ppv
         del sdp, skp
 
+        # fp32 peaks (round 4g): the default-precision detection head now
+        # runs the v5 DIF peaks kernel at its (256,512) plan
+        # (_BUILTIN_RADIX_W_PEAKS — 18.4 vs 21.2 ms/frame streamed at
+        # the previous v4 plan, perf/r4g2_v5_peaks_api.py)
+        _pk32 = _cbp(H, W, KH, KW, store_dtype="float32", head="peaks")
+        if _pk32 is not None:
+            _lh, _lw, _pkh, _pkw = _pk32
+            sdp32 = fc.fft_data_tiled(
+                data, _pkh, _pkw, block_h=_lh, block_w=_lw,
+                trim_mode="same", trim_kernel_h=KH, trim_kernel_w=KW,
+            )
+        else:
+            sdp32 = fc.fft_data_tiled(data, KH, KW, trim_mode="same")
+        skp32 = fc.fft_kernels(
+            kernels, spectral=sdp32, storage="planar", correlation=True,
+        )
+        jax.block_until_ready((sdp32.re, skp32.re))
+        t_pk32 = _time_fn(peaks_fn, sdp32, skp32, iters=18, sync_every=9)
+        v_peaks_f32_stream = gpix_filters / t_pk32
+        peaks_f32_stream_ms = t_pk32 * 1e3
+        del sdp32, skp32
+
         # BASELINE configs[1]: small mixed-size filter bank sharing ONE
         # data FFT (the reference's cell-array scenario,
         # demoCudaConvolutionFFT.m:41-43) — 512² image × 16 kernels of 4
@@ -611,6 +634,15 @@ def main() -> None:
             ),
             "detect_peaks_bf16_stream_ms_frame": (
                 None if peaks_stream_ms is None else round(peaks_stream_ms, 2)
+            ),
+            # fp32 default-precision peaks (v5 DIF peaks plan, round 4g)
+            "detect_peaks_f32_stream_GPixF_s": (
+                None if v_peaks_f32_stream is None
+                else round(v_peaks_f32_stream, 3)
+            ),
+            "detect_peaks_f32_stream_ms_frame": (
+                None if peaks_f32_stream_ms is None
+                else round(peaks_f32_stream_ms, 2)
             ),
             # end-to-end consumption: fetching results to host (the maps
             # figure is ONE map's fetch × N — labeled estimate)

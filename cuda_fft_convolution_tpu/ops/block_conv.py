@@ -378,6 +378,10 @@ _BUILTIN_GROUPS: dict = {
     # the analytic chooser picks (1,3), unswept ≈ (1,2)
     # (perf/r4c_v5_peaks_api.py §4, v5e 2026-08-19).
     (256, 257, 192, 384, 1, 4): (2, 2),
+    # F=1 f32 @ the 32²-envelope v5 DIF (128,512) plan: (2,2) 15.6
+    # ms/frame streamed vs analytic 16.4, (4,1) 17.3
+    # (perf/r4h_v5_k32.py, v5e 2026-08-19).
+    (128, 257, 96, 384, 1, 4): (2, 2),
 }
 
 
@@ -401,16 +405,34 @@ _RADIX_W_TABLE: set = set()
 # single W MAC amortizes), so the builtin plan is F=1 only.
 _BUILTIN_RADIX_W: set = {
     (256, 512, 129, 4, 1),
+    # 32²-envelope plan (perf/r4h_v5_k32.py, v5e 2026-08-19): v5 @
+    # (128,512) g(2,2) streamed 15.6 ms/frame vs 17.4 at the v4-tuned
+    # (128,511) (one-shot 44.0 vs 51.2); parity exact vs the auto-group
+    # v5 run. Same fp32-F=1-only scope as the 64² entry.
+    (128, 512, 129, 4, 1),
 }
 
 # The detection head's v5 plans are registered separately: the peaks
 # epilogue replaces the output stores with per-segment VPU reductions, so
 # the conv winner need not carry over (the v4 precedent: auto-v4 is
-# f32-only for peaks while conv runs it at both tiers). Empty until an
-# on-chip sweep registers winners (perf/r4g_v5_peaks.py) — the F=31/
-# fused-deny lesson: legality ≠ profit.
+# f32-only for peaks while conv runs it at both tiers).
 _RADIX_W_TABLE_PEAKS: set = set()
-_BUILTIN_RADIX_W_PEAKS: set = set()
+# Measured on v5e (perf/r4g2_v5_peaks_api.py, 2026-08-19, end-to-end
+# detect_peaks with a real bank, 2048²×100 64² kernels fp32 'same',
+# streamed sync/9): v5-peaks @ (256,512) 18.4 ms/frame vs 21.2 at the
+# v4-peaks-tuned (256,511) and 27.8 for v4 at the same 512 blocks —
+# the conv v5 plan's lane-alignment win carries to the peaks epilogue;
+# peak parity 100/100 across plans. bf16 stays v3 (tier gate); F ≥ 2
+# follows the conv lesson (per-F DIF costs) until measured.
+_BUILTIN_RADIX_W_PEAKS: set = {
+    (256, 512, 129, 4, 1),
+    # 32²-envelope (perf/r4h_v5_k32.py): v5-peaks @ (128,512) streamed
+    # 18.3 ms/frame ≈ v4 @ the old (128,511) plan's 18.1 (tie), one-shot
+    # 37.9 vs 54.5 — registered so the peaks head's conv-entry fallback
+    # (now (128,512)) runs the measured kernel instead of v4 paying the
+    # Wc=257 lane pad, and one set of spectra serves both heads.
+    (128, 512, 129, 4, 1),
+}
 
 
 def register_radix_w_plan(
@@ -423,11 +445,14 @@ def register_radix_w_plan(
     (separate table — the winners can differ per head)."""
     table = _RADIX_W_TABLE_PEAKS if head == "peaks" else _RADIX_W_TABLE
     table.add((block_h, block_w, kw, int(spec_bytes), int(f)))
-    for fn in (block_conv_pallas, block_conv_peaks_pallas):
-        try:
-            fn.clear_cache()
-        except Exception:
-            pass
+    # trace-time dispatch: outer jitted workers (ops.tiled.conv_blocks /
+    # conv_blocks_peaks) inline the radix_w_enabled decision — clearing
+    # only the kernel wrappers would leave their stale executables live
+    from cuda_fft_convolution_tpu.utils.config import (
+        invalidate_jit_consumers,
+    )
+
+    invalidate_jit_consumers()
 
 
 def radix_w_enabled(
@@ -459,11 +484,13 @@ def register_fused_group(
     """Pin a measured (MBH, MBW) block group for a fused-kernel geometry
     at a storage tier (spec_bytes: 4 = f32, 2 = bf16)."""
     _GROUP_TABLE[(lh, wc, vh, vw, f, spec_bytes)] = (int(mbh), int(mbw))
-    for fn in (block_conv_pallas, block_conv_peaks_pallas):
-        try:
-            fn.clear_cache()
-        except Exception:
-            pass
+    # see register_radix_w_plan: the group choice is inlined at trace
+    # time into outer jitted workers too
+    from cuda_fft_convolution_tpu.utils.config import (
+        invalidate_jit_consumers,
+    )
+
+    invalidate_jit_consumers()
 
 
 def lookup_fused_group(
@@ -559,6 +586,8 @@ def block_conv_pallas(
     vh, vw = block_h - kh + 1, block_w - kw + 1
     assert lh == block_h and wc == block_w // 2 + 1
     assert dr.dtype == kr.dtype, "data/kernel spectra dtype mismatch"
+    if radix_w:
+        radix_h = True  # the v5 W stage builds on the v4 H stage
     tier_bf16 = dr.dtype == jnp.bfloat16
     if precision is None:
         from cuda_fft_convolution_tpu.ops.conv import _matmul_precision

@@ -61,11 +61,18 @@ _BUILTIN: dict = {
     # sliver MAC's F-unrolled channel sum + per-F halves shuffles scale
     # with F), so multi-F banks keep the v4 radix-2 plan.
     (64, 64, 2, "f32"): (192, 384, True, 256, 511),
-    # 32² kernels (perf/sweep_envelopes.py): v4 plan blocks (128, 511),
-    # valid (96, 384) — amortized 'same' 56.9 ms vs 84.3 analytic-auto.
-    # (128² kernels: the analytic (255, 895) v3 plan WINS (76.6 ms) over
-    # v4 at M=256 (121 ms — sub-transform cost grows as 2M²); no entry.)
-    (32, 32, 1, "f32"): (96, 384, True, 128, 511),
+    # 32² kernels: the v5 DIF plan at blocks (128, 512), valid (96, 384)
+    # — streamed 15.6 ms/frame vs 17.4 at the previous v4 (128, 511)
+    # plan (perf/r4h_v5_k32.py, v5e 2026-08-19; the round-3
+    # sweep_envelopes numbers for v4@511: amortized 'same' 56.9 ms vs
+    # 84.3 analytic-auto). (128² kernels: the analytic (255, 895) v3
+    # plan WINS (76.6 ms) over v4 at M=256 (121 ms — sub-transform cost
+    # grows as 2M²); no entry.)
+    (32, 32, 1, "f32"): (96, 384, True, 128, 512),
+    # Same envelope at F ∈ [2, 8): v5 is F=1-only (the r4e lesson), and
+    # v4 at 512 blocks pays the Wc=257 lane pad — multi-F banks keep the
+    # v4 (128, 511) plan (the round-3 measured winner at this envelope).
+    (32, 32, 2, "f32"): (96, 384, True, 128, 511),
     # DPM/HOG envelope: 12² kernels, F=31, 512² features (perf/tune_dpm.py,
     # r3, N=256 bank): the analytic valid (16, 128) (blocks (27, 139)) WON
     # at 43.6 ms vs Wc-dense/taller alternatives (58.6–105.2) — pinned so
@@ -88,14 +95,16 @@ _BUILTIN: dict = {
     # 32² kernels, F=1 bf16: (128,511) blocks, valid (96,384): 33.6 vs
     # 39.7 at the f32-tuned family's (64,511).
     (32, 32, 1, "bf16"): (96, 384, True, 128, 511),
-    # ---- detection-head ("peaks") geometries (perf/r4b_peaks.py, v5e
-    # 2026-08-19). The peaks kernel reduces cells in VMEM, so it prefers
-    # TALLER cells than conv (fewer grid steps per image: bf16 peaks at
-    # (256,511) measured 32.0 ms vs ~50 at the tier's conv-tuned
-    # (128,511)), and it has no W-radix stage, so f32 peaks KEEPS the
-    # 511-wide plan (Wc = 256 exactly) instead of conv's v5 512 plan
-    # (Wc = 257 → 384-lane tile pad on every spectra byte). ----
-    (64, 64, 1, "f32", "peaks"): (192, 384, True, 256, 511),
+    # ---- detection-head ("peaks") geometries (perf/r4b_peaks.py +
+    # r4g2_v5_peaks_api.py, v5e 2026-08-19). The peaks kernel reduces
+    # cells in VMEM, so it prefers TALLER cells than conv (fewer grid
+    # steps per image: bf16 peaks at (256,511) measured 32.0 ms vs ~50
+    # at the tier's conv-tuned (128,511)). f32 peaks runs the v5 DIF
+    # plan at (256,512) since round 4g (_BUILTIN_RADIX_W_PEAKS):
+    # streamed 18.4 ms/frame vs 21.2 at the previous (256,511) v4 plan
+    # — and the SAME spectra now serve both the conv (v5) and peaks
+    # (v5) heads optimally. bf16 keeps the 511 plan (v3-gated tier). ----
+    (64, 64, 1, "f32", "peaks"): (192, 384, True, 256, 512),
     (64, 64, 1, "bf16", "peaks"): (192, 384, True, 256, 511),
 }
 _MEASURED: dict = {}

@@ -110,6 +110,21 @@ def register_jit_consumer(fn) -> None:
     _JIT_CONSUMERS.append(fn)
 
 
+def invalidate_jit_consumers() -> None:
+    """Clear every registered jitted consumer's executable cache.
+
+    For dispatch-table mutations (measured-plan registration: radix_w
+    plans, fused groups) that are read at TRACE time by jitted workers:
+    clearing only the leaf kernel wrapper is not enough — an outer jitted
+    caller (e.g. ops.tiled.conv_blocks) inlines the leaf at trace time
+    and would keep serving the stale dispatch from its own cache."""
+    for fn in _JIT_CONSUMERS:
+        try:
+            fn.clear_cache()
+        except Exception:
+            pass
+
+
 def get_config() -> Config:
     return _CONFIG
 

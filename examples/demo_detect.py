@@ -72,4 +72,30 @@ want = fc.fft_conv(scene, kernels=cells, mode="same", correlation=True)
 for got, ref in zip(outs[-1], want):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 print("ragged serving matches one-shot fft_conv (3 frames, 2 shapes)")
+
+# multi-scale: a 2x-scaled template found at the right pyramid level and
+# base position by the peaks head alone — per-level spectra precomputed
+# once (build_pyramid ≈ one cudaFFTData per level), and only (L, N)
+# values + positions ever leave the device (no per-level map fetch)
+from cuda_fft_convolution_tpu.models import (  # noqa: E402
+    build_pyramid,
+    detect_pyramid_peaks,
+)
+
+template = bank[0]
+big_scene = 0.05 * rng.standard_normal((2 * H, 2 * W, F)).astype(np.float32)
+up = np.asarray(
+    jax.image.resize(jnp.asarray(template), (2 * K, 2 * K, F), "bilinear")
+)
+py0, px0 = 150, 400
+big_scene[py0:py0 + 2 * K, px0:px0 + 2 * K] += 3.0 * up
+pyr = build_pyramid(big_scene, K, K, num_levels=3, scale=0.5)
+det = detect_pyramid_peaks(pyr, jnp.asarray(bank))
+lvl = int(det.best_level[0])
+by, bx = (int(c) for c in np.asarray(det.best_position[0]))
+want_c = (py0 + K, px0 + K)  # plant center in base coords
+print(f"pyramid: template 0 found at level {lvl}, base pos ({by},{bx}), "
+      f"planted center {want_c}")
+assert lvl == 1, "2x-scaled template should win at the half-res level"
+assert abs(by - want_c[0]) <= 4 and abs(bx - want_c[1]) <= 4
 print("demo_detect OK")

@@ -98,6 +98,38 @@ def test_detect_peaks_batched_and_bf16(rng):
     )
 
 
+def test_detect_peaks_direct_spectral_data(rng):
+    """detect_peaks on precomputed DIRECT-engine spectra (fft_data — the
+    pyramid-level serving pattern): conv_spectral + the XLA head, maps
+    device-resident; batched and unbatched, positions exact vs oracle."""
+    data = rng.standard_normal((48, 56, 2)).astype(np.float32)
+    bank = rng.standard_normal((3, 7, 5, 2)).astype(np.float32)
+    sd = fc.fft_data(data, 7, 5)
+    maps = fc.conv_spectral(sd, bank, mode="same", correlation=True)
+    want_v, want_p = _oracle_peaks(maps)
+    vals, pos = detect_peaks(sd, bank, mode="same", correlation=True)
+    np.testing.assert_array_equal(np.asarray(pos), want_p)
+    np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-5)
+    # batched spectra → (B, N) / (B, N, 2)
+    bdata = rng.standard_normal((2, 48, 56, 2)).astype(np.float32)
+    sdb = fc.fft_data(bdata, 7, 5)
+    bv, bp = detect_peaks(sdb, bank, mode="full", correlation=True)
+    assert bv.shape == (2, 3) and bp.shape == (2, 3, 2)
+    for b in range(2):
+        m = fc.fft_conv(
+            bdata[b], kernels=bank, mode="full", correlation=True,
+            algorithm="direct",
+        )
+        _, wp = _oracle_peaks(m)
+        np.testing.assert_array_equal(np.asarray(bp)[b], wp)
+    # ragged cells rejected like every other peaks entry point
+    with pytest.raises(fc.InvalidInputError):
+        detect_peaks(
+            sd,
+            [np.ones((5, 5, 2), np.float32), np.ones((3, 3, 2), np.float32)],
+        )
+
+
 def test_detect_peaks_spectral_kernels_and_validation(rng):
     data = rng.standard_normal((50, 50, 1)).astype(np.float32)
     bank = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)

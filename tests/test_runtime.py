@@ -357,10 +357,13 @@ def test_autotune_multi_f_bucket():
     assert autotune.lookup_tuned_geometry(64, 64, 8) == (
         64, 384, True, 128, 511,
     )
-    # no bucket-2 measurement at the 32² envelope → F=1 fallback
+    # the 32² envelope's bucket-2 entry guards the same hazard: F=1
+    # moved to the v5 (128, 512) plan (round 4h) but multi-F banks must
+    # keep the v4 (128, 511) plan
     assert autotune.lookup_tuned_geometry(32, 32, 3) == (
         96, 384, True, 128, 511,
     )
+    assert autotune.lookup_tuned_geometry(32, 32, 1)[4] == 512
     # bf16 bucket-2 falls back to the bf16 F=1 entry before any f32 one
     assert autotune.lookup_tuned_geometry(64, 64, 2, "bfloat16") == (
         64, 384, True, 128, 511,

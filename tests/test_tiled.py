@@ -684,19 +684,39 @@ def test_fused_radix_w_registered_plan(rng):
         _RADIX_W_TABLE.discard((256, 1024, 257, 4, 1))
         _RADIX_W_TABLE.discard((256, 512, 129, 4, 3))
     # the detection head's plans are a SEPARATE table (head='peaks'):
-    # conv registrations never leak into peaks dispatch and vice versa
+    # conv registrations never leak into peaks dispatch and vice versa.
+    # builtin since round 4g: the fp32 F=1 (256,512) v5-peaks plan
+    # (perf/r4g2_v5_peaks_api.py: 18.4 vs 21.2 ms/frame streamed)
     from cuda_fft_convolution_tpu.ops.block_conv import (
         _RADIX_W_TABLE_PEAKS,
     )
 
-    assert not radix_w_enabled(256, 512, 65, 129, head="peaks")
+    assert radix_w_enabled(256, 512, 65, 129, head="peaks")
+    assert not radix_w_enabled(256, 512, 65, 129, f=2, head="peaks")
+    assert not radix_w_enabled(256, 512, 65, 129, spec_bytes=2,
+                               head="peaks")
+    assert not radix_w_enabled(256, 1024, 65, 257, head="peaks")
+    register_radix_w_plan(256, 1024, 257, head="peaks")
+    try:
+        assert radix_w_enabled(256, 1024, 65, 257, head="peaks")
+        # ...and peaks registrations never leak into conv dispatch
+        assert not radix_w_enabled(256, 1024, 65, 257)
+    finally:
+        _RADIX_W_TABLE_PEAKS.discard((256, 1024, 257, 4, 1))
+    assert not radix_w_enabled(256, 1024, 65, 257, head="peaks")
+    # registration must invalidate the OUTER jitted workers too: they
+    # inline the radix_w_enabled decision at trace time, so a stale
+    # conv_blocks/conv_blocks_peaks executable would keep serving the
+    # old kernel after a plan lands (caught live in perf/r4g_v5_peaks.py)
+    from cuda_fft_convolution_tpu.ops.tiled import conv_blocks
+
+    np.array(fc.conv_spectral(sd, kerns, mode="full"))  # (re)populate
+    assert conv_blocks._cache_size() > 0
     register_radix_w_plan(256, 512, 129, head="peaks")
     try:
-        assert radix_w_enabled(256, 512, 65, 129, head="peaks")
-        assert not radix_w_enabled(256, 512, 65, 129, f=2, head="peaks")
+        assert conv_blocks._cache_size() == 0
     finally:
         _RADIX_W_TABLE_PEAKS.discard((256, 512, 129, 4, 1))
-    assert not radix_w_enabled(256, 512, 65, 129, head="peaks")
     try:
         fc.set_config(use_fused_block_conv=True, fused_precision="highest")
         got = np.array(fc.conv_spectral(sd, kerns, mode="full"))
