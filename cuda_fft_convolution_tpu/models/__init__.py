@@ -8,7 +8,7 @@ FFT-convolution path (rfft2 → spectral MAC → irfft2) is differentiable JAX,
 something the reference's MEX pipeline could never offer.
 """
 
-from cuda_fft_convolution_tpu.models.detect import detect_peaks
+from cuda_fft_convolution_tpu.models.detect import detect_peaks, detect_top_k
 from cuda_fft_convolution_tpu.models.hog import hog_features
 from cuda_fft_convolution_tpu.models.filter_bank import (
     FilterBankDetector,
@@ -35,6 +35,7 @@ from cuda_fft_convolution_tpu.models.pyramid import (
 
 __all__ = [
     "detect_peaks",
+    "detect_top_k",
     "hog_features",
     "FilterBankDetector",
     "detect",

@@ -25,7 +25,9 @@ from cuda_fft_convolution_tpu import api as _api
 from cuda_fft_convolution_tpu.ops.tiled import (
     choose_block_plan,
     conv_blocks_peaks,
+    conv_blocks_top_k,
     peaks_from_maps,
+    top_k_from_maps,
 )
 from cuda_fft_convolution_tpu.types import (
     SpectralData,
@@ -160,10 +162,12 @@ def _kernel_hw(kernels) -> tuple[int, int]:
     return int(karr.shape[1]), int(karr.shape[2])
 
 
-def _peaks_tiled(
+def _tiled_head_operands(
     sd: TiledSpectralData, kernels, kh: int, kw: int, correlation: bool,
     store_dtype: str,
 ):
+    """Shared tiled-engine setup for the detection heads: validated bank
+    spectra, batched data planes, and the output window frame."""
     if isinstance(kernels, SpectralKernels):
         sk = kernels
         validate(
@@ -192,6 +196,16 @@ def _peaks_tiled(
         out_h, out_w = sd.out_h, sd.out_w
     else:
         out_h, out_w = sd.data_h + kh - 1, sd.data_w + kw - 1
+    return d_re, d_im, sk, out_h, out_w
+
+
+def _peaks_tiled(
+    sd: TiledSpectralData, kernels, kh: int, kw: int, correlation: bool,
+    store_dtype: str,
+):
+    d_re, d_im, sk, out_h, out_w = _tiled_head_operands(
+        sd, kernels, kh, kw, correlation, store_dtype
+    )
     vals, ys, xs = conv_blocks_peaks(
         d_re, d_im, sk.re, sk.im, sd.block_h, sd.block_w,
         sd.max_kh, sd.max_kw, out_h, out_w,
@@ -200,3 +214,114 @@ def _peaks_tiled(
     if sd.batched:
         return vals, pos
     return vals[0], pos[0]
+
+
+def _top_k_tiled(
+    sd: TiledSpectralData, kernels, kh: int, kw: int, correlation: bool,
+    store_dtype: str, k: int,
+):
+    d_re, d_im, sk, out_h, out_w = _tiled_head_operands(
+        sd, kernels, kh, kw, correlation, store_dtype
+    )
+    vals, ys, xs = conv_blocks_top_k(
+        d_re, d_im, sk.re, sk.im, sd.block_h, sd.block_w,
+        sd.max_kh, sd.max_kw, out_h, out_w, k,
+    )
+    pos = jnp.stack([ys, xs], axis=-1).astype(jnp.int32)
+    if sd.batched:
+        return vals, pos
+    return vals[0], pos[0]
+
+
+def detect_top_k(
+    data,
+    kernels,
+    k: int = 5,
+    *,
+    mode: str = "same",
+    correlation: bool = True,
+    algorithm: str = "auto",
+    same_offset: str = "scipy",
+    store_dtype: str = "float32",
+):
+    """Per-kernel top-k detection: ``(values, positions)`` with ``values``
+    (N, k) descending (or (B, N, k) batched) and ``positions`` (N, k, 2) /
+    (B, N, k, 2) int32 (row, col) in the ``mode`` window's frame.
+
+    Same routing and input contract as :func:`detect_peaks`. On the tiled
+    engine at fused-dispatch geometries the candidates are the in-VMEM
+    block-max pyramid's CELL maxima: an approximate top-k whose hits are
+    spatially distinct (at most one per output cell — a built-in coarse
+    non-max suppression, which is usually what a detection consumer wants;
+    exact for k = 1 and whenever k reaches the cell count, where the
+    engine falls back to an exact maps reduction). The direct engine and
+    the unfused tiled path are EXACT ``lax.top_k`` over the score maps."""
+    validate(int(k) >= 1, f"k must be >= 1; got {k}")
+    k = int(k)
+    validate(
+        mode in ("same", "valid", "full"),
+        "detect_top_k modes: 'same', 'valid', 'full' (fftmap's circular "
+        "frame has no meaningful global peak positions)",
+    )
+    if isinstance(data, SpectralData):
+        _kernel_hw(kernels)  # reject ragged banks up front
+        maps = jnp.asarray(
+            _api.conv_spectral(
+                data, kernels, mode=mode, correlation=correlation
+            )
+        )
+        if maps.ndim == 3:
+            vals, ys, xs = top_k_from_maps(maps[None], k)
+            return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
+        vals, ys, xs = top_k_from_maps(maps, k)
+        return vals, jnp.stack([ys, xs], axis=-1)
+    if isinstance(data, TiledSpectralData):
+        sd = data
+        kh, kw = _kernel_hw(kernels)
+        validate(
+            sd.win_h is not None or mode == "full",
+            "TiledSpectralData without a baked window serves mode='full' "
+            "detections; bake trim_mode='same'/'valid' at fft_data_tiled "
+            "for windowed detections",
+        )
+        return _top_k_tiled(sd, kernels, kh, kw, correlation, store_dtype, k)
+
+    arr = _api._as_array(data)
+    batched = arr.ndim == 4
+    h, w = (arr.shape[1], arr.shape[2]) if batched else (
+        arr.shape[0], arr.shape[1]
+    )
+    kh, kw = _kernel_hw(kernels)
+    if algorithm != "direct":
+        plan = choose_block_plan(
+            h, w, kh, kw, feature_dim=int(arr.shape[-1]),
+            store_dtype=store_dtype, head="peaks",
+        )
+        if algorithm == "tiled" or plan is not None:
+            if plan is None:
+                sd = _api.fft_data_tiled(
+                    arr, kh, kw, trim_mode=mode, trim_kernel_h=kh,
+                    trim_kernel_w=kw, same_offset=same_offset,
+                    store_dtype=store_dtype,
+                )
+            else:
+                lh, lw, pkh, pkw = plan
+                sd = _api.fft_data_tiled(
+                    arr, pkh, pkw, block_h=lh, block_w=lw, trim_mode=mode,
+                    trim_kernel_h=kh, trim_kernel_w=kw,
+                    same_offset=same_offset, store_dtype=store_dtype,
+                )
+            return _top_k_tiled(
+                sd, kernels, kh, kw, correlation, store_dtype, k
+            )
+    maps = _api.fft_conv(
+        arr, kernels=kernels, mode=mode, correlation=correlation,
+        algorithm="direct", same_offset=same_offset,
+        store_dtype=store_dtype,
+    )
+    maps = jnp.asarray(maps)
+    if maps.ndim == 3:  # (N, H, W) unbatched
+        vals, ys, xs = top_k_from_maps(maps[None], k)
+        return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
+    vals, ys, xs = top_k_from_maps(maps, k)
+    return vals, jnp.stack([ys, xs], axis=-1)

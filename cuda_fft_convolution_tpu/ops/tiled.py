@@ -527,8 +527,91 @@ def conv_blocks_peaks(
     return peaks_from_maps(maps)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def top_k_from_maps(
+    maps: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(B, N, H, W) maps → EXACT per-kernel top-k ``(vals, ys, xs)`` each
+    (B, N, k), values descending (ties broken by ascending flat index —
+    lax.top_k's order)."""
+    b, n, h, w = maps.shape
+    flat = maps.reshape(b, n, h * w)
+    kv, ki = jax.lax.top_k(flat, k)
+    return kv, (ki // w).astype(jnp.int32), (ki % w).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
+                     "k"),
+)
+def conv_blocks_top_k(
+    d_re: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Lwc)
+    d_im: jnp.ndarray,
+    k_re: jnp.ndarray,  # (N, F, Lh, Lwc)
+    k_im: jnp.ndarray,
+    block_h: int,
+    block_w: int,
+    kh: int,
+    kw: int,
+    out_h: int,
+    out_w: int,
+    k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-k detection head over the overlap-save engine: per-kernel
+    ``(vals, ys, xs)`` each (B, N, k), values descending, positions in
+    the output window's frame.
+
+    At fused-dispatch geometries the candidates come from the in-VMEM
+    block-max pyramid (one (max, argmax) per output cell — the maps never
+    touch HBM): the result is the top k CELL MAXIMA, i.e. an approximate
+    top-k whose candidates are spatially distinct (at most one per
+    (MBH·Vh, MBW·Vw) cell — a built-in coarse non-max suppression;
+    exact for k = 1). When k exceeds the cell count, or on the unfused
+    path, the assembled maps are reduced with an EXACT lax.top_k."""
+    from cuda_fft_convolution_tpu.utils.config import get_config
+
+    b, nbh, nbw, f, lh, lwc = d_re.shape
+    vh, vw = block_h - kh + 1, block_w - kw + 1
+    fused = get_config().use_fused_block_conv
+    if fused is None:
+        fused = fused_dispatch_auto(f, block_h, block_w, vh, vw, d_re.dtype)
+    if fused and jax.default_backend() == "tpu" and (
+        vh % 8 != 0 or vw % 128 != 0
+    ):
+        fused = False
+    if fused:
+        from cuda_fft_convolution_tpu.ops.block_conv import (
+            block_conv_peaks_pallas,
+            radix_w_enabled,
+        )
+
+        use_w = radix_w_enabled(
+            block_h, block_w, kh, kw, jnp.dtype(d_re.dtype).itemsize,
+            f=d_re.shape[3], head="peaks",
+        )
+        vals, idxs = block_conv_peaks_pallas(
+            d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
+            interpret=jax.default_backend() != "tpu",
+            radix_w=use_w,
+        )
+        n = vals.shape[1]
+        cells = vals.reshape(b, n, -1)
+        if cells.shape[-1] >= k:  # static: falls through when too few cells
+            kv, ki = jax.lax.top_k(cells, k)
+            flat = jnp.take_along_axis(
+                idxs.reshape(b, n, -1), ki, axis=-1
+            )
+            return kv, flat // out_w, flat % out_w
+    maps = _conv_blocks_unfused(
+        d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+    )
+    return top_k_from_maps(maps, k)
+
+
 # These jitted workers read the global config (transform-engine dispatch)
 # at trace time; register so set_config can invalidate their caches.
 register_jit_consumer(fft_data_blocks)
 register_jit_consumer(conv_blocks)
 register_jit_consumer(conv_blocks_peaks)
+register_jit_consumer(conv_blocks_top_k)

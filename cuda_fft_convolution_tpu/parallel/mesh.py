@@ -414,14 +414,19 @@ def conv_spectral_sharded(
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_peaks_exec(mesh: Mesh, ndim_d: int, geom: tuple):
+def _sharded_peaks_exec(
+    mesh: Mesh, ndim_d: int, geom: tuple, k: int | None = None
+):
     """Jitted shard_map executable for the sharded detection head: each
-    device runs the fused peaks pipeline (ops/tiled.conv_blocks_peaks) on
-    its LOCAL bank shard — per-kernel top-1 is independent per kernel, so
-    the head needs ZERO cross-device math; results come back sharded over
-    (data, kernels) and are ~10⁴× smaller than maps, so even gathering
-    them is free."""
-    from cuda_fft_convolution_tpu.ops.tiled import conv_blocks_peaks
+    device runs the fused peaks pipeline (ops/tiled.conv_blocks_peaks,
+    or conv_blocks_top_k when ``k``) on its LOCAL bank shard — per-kernel
+    detections are independent per kernel, so the head needs ZERO
+    cross-device math; results come back sharded over (data, kernels)
+    and are ~10⁴× smaller than maps, so even gathering them is free."""
+    from cuda_fft_convolution_tpu.ops.tiled import (
+        conv_blocks_peaks,
+        conv_blocks_top_k,
+    )
 
     global TRACE_COUNT
     TRACE_COUNT += 1
@@ -430,12 +435,21 @@ def _sharded_peaks_exec(mesh: Mesh, ndim_d: int, geom: tuple):
     kspec = P(KERNEL_AXIS, None, None, None)
 
     def _local_peaks(d_re, d_im, k_re, k_im):
-        vals, ys, xs = conv_blocks_peaks(
-            d_re, d_im, k_re, k_im, bh, bw, mkh, mkw, oh, ow
-        )
+        if k is None:
+            vals, ys, xs = conv_blocks_peaks(
+                d_re, d_im, k_re, k_im, bh, bw, mkh, mkw, oh, ow
+            )
+        else:
+            vals, ys, xs = conv_blocks_top_k(
+                d_re, d_im, k_re, k_im, bh, bw, mkh, mkw, oh, ow, k
+            )
         return vals, ys.astype(jnp.int32), xs.astype(jnp.int32)
 
-    ospec = P(DATA_AXIS, KERNEL_AXIS)
+    ospec = (
+        P(DATA_AXIS, KERNEL_AXIS)
+        if k is None
+        else P(DATA_AXIS, KERNEL_AXIS, None)
+    )
     return jax.jit(
         jax.shard_map(
             _local_peaks,
@@ -452,6 +466,7 @@ def detect_peaks_sharded(
     mesh: Mesh,
     *,
     correlation: bool = True,
+    k: int | None = None,
 ):
     """Multi-device detection head: per-kernel top-1 ``(values,
     positions)`` with the bank sharded over ``mesh``'s kernel axis and the
@@ -473,13 +488,21 @@ def detect_peaks_sharded(
     :class:`SpectralKernels` at the block geometry (pre-shard with
     ``shard_kernel_bank`` to amortize placement). Returns ``values``
     (B, N) | (N,) and ``positions`` (..., N, 2) int32 in the window
-    frame, identical to single-device ``detect_peaks``."""
+    frame, identical to single-device ``detect_peaks``.
+
+    ``k`` (optional) switches the head to top-k per kernel — same
+    semantics as :func:`models.detect_top_k` (exact on the unfused path,
+    cell maxima at fused geometries), each device reducing its own bank
+    shard: ``values`` (..., N, k), ``positions`` (..., N, k, 2)."""
     validate(
         isinstance(spectral, TiledSpectralData),
         "detect_peaks_sharded takes TiledSpectralData (the peaks head is "
         "an overlap-save consumer; for direct spectra run "
         "conv_spectral_sharded and argmax the sharded maps)",
     )
+    validate(k is None or int(k) >= 1, f"k must be >= 1; got {k}")
+    if k is not None:
+        k = int(k)
     validate(
         not spectral.fftmap_canvas,
         "fftmap's circular frame has no meaningful global peak position",
@@ -536,7 +559,7 @@ def detect_peaks_sharded(
     ksh = NamedSharding(mesh, P(KERNEL_AXIS, None, None, None))
     d_re, d_im = _placed(d_re, dsh), _placed(d_im, dsh)
     k_re, k_im = _placed(k_re, ksh), _placed(k_im, ksh)
-    exec_fn = _sharded_peaks_exec(mesh, d_re.ndim, geom)
+    exec_fn = _sharded_peaks_exec(mesh, d_re.ndim, geom, k)
     vals, ys, xs = exec_fn(d_re, d_im, k_re, k_im)
     vals, ys, xs = vals[:, :n], ys[:, :n], xs[:, :n]
     pos = jnp.stack([ys, xs], axis=-1)

@@ -41,6 +41,9 @@ CONFIGS = {
     "dpm_direct_streaming_GPixF_s": ("DPM direct streaming", _floor_gpixfs(512, 512, 576, 12, 12, 31, 540, 540, io_bytes=2)),
     "fftmap_parity_GPixF_s": ("fftmap parity (auto: tiled canvas)", _floor_gpixfs(2048, 2048, 100, 64, 64, 1, 2160, 2160)),
     "batch8_1024_GPixF_s": ("batch 8 × 1024²", _floor_gpixfs(1024, 1024, 100, 64, 64, 1)),
+    # (the detect_peaks_* rows are deliberately absent: with no output
+    # maps the head is MXU-bound, so a traffic floor is meaningless —
+    # PERF.md round 4c/4g report them as ms/frame vs the conv rows)
 }
 
 

@@ -8,7 +8,7 @@ import pytest
 import jax.numpy as jnp
 
 import cuda_fft_convolution_tpu as fc
-from cuda_fft_convolution_tpu.models import detect_peaks
+from cuda_fft_convolution_tpu.models import detect_peaks, detect_top_k
 
 
 def _oracle_peaks(maps):
@@ -96,6 +96,101 @@ def test_detect_peaks_batched_and_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(vals16), np.asarray(vals), rtol=2e-2
     )
+
+
+def _oracle_top_k(maps, k):
+    """Exact top-k oracle: (N, H, W) → (vals (N, k) desc, pos (N, k, 2))."""
+    m = np.asarray(maps)
+    n = m.shape[0]
+    flat = m.reshape(n, -1)
+    idx = np.argsort(-flat, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(flat, idx, axis=1)
+    ys, xs = idx // m.shape[2], idx % m.shape[2]
+    return vals, np.stack([ys, xs], axis=-1)
+
+
+@pytest.mark.parametrize("mode", ["same", "full"])
+def test_detect_top_k_exact_paths(rng, mode):
+    """detect_top_k is EXACT on the direct engine and the unfused tiled
+    path (lax.top_k over the maps): values/positions match a numpy
+    argsort oracle; k=1 agrees with detect_peaks."""
+    data = rng.standard_normal((60, 70, 2)).astype(np.float32)
+    bank = rng.standard_normal((3, 5, 7, 2)).astype(np.float32)
+    maps = fc.fft_conv(
+        data, kernels=bank, mode=mode, correlation=True, algorithm="direct"
+    )
+    want_v, want_p = _oracle_top_k(maps, 4)
+    # pin the unfused path: the fused cell pyramid is a DIFFERENT (and
+    # documented) approximate semantics, tested separately below
+    fc.set_config(use_fused_block_conv=False)
+    try:
+        for algorithm in ("direct", "tiled"):
+            vals, pos = detect_top_k(
+                data, bank, k=4, mode=mode, correlation=True,
+                algorithm=algorithm,
+            )
+            assert vals.shape == (3, 4) and pos.shape == (3, 4, 2)
+            np.testing.assert_array_equal(np.asarray(pos), want_p)
+            np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-4)
+    finally:
+        fc.set_config(use_fused_block_conv=None)
+    v1, p1 = detect_top_k(data, bank, k=1, mode=mode, correlation=True)
+    pv, pp = detect_peaks(data, bank, mode=mode, correlation=True)
+    np.testing.assert_array_equal(np.asarray(p1[:, 0]), np.asarray(pp))
+    np.testing.assert_allclose(
+        np.asarray(v1[:, 0]), np.asarray(pv), rtol=1e-5
+    )
+    with pytest.raises(fc.InvalidInputError):
+        detect_top_k(data, bank, k=0)
+    with pytest.raises(fc.InvalidInputError):
+        detect_top_k(data, bank, k=2, mode="fftmap")
+
+
+def test_detect_top_k_fused_cell_pyramid(rng):
+    """Forced fused dispatch: candidates are cell maxima — planted
+    templates in DISTINCT cells are all recovered (built-in coarse NMS),
+    and k=1 matches detect_peaks exactly. Interpret off-TPU, compiled
+    Mosaic under FFTCONV_TEST_TPU=1."""
+    templ = rng.standard_normal((5, 9, 1)).astype(np.float32)
+    data = 0.05 * rng.standard_normal((96, 600, 1)).astype(np.float32)
+    # blocks (36, 256), valid (32, 128): cells are (MBH·32, MBW·128)
+    # regions with MBH ≤ 2, MBW ≤ 3 here (_choose_group candidates vs
+    # nbh=3, nbw=5) — plant 3 copies pairwise-distinct at EVERY legal
+    # group (rows 10/50 split at 32; 50 vs 70 at 64; cols 40/560 split
+    # any width; 150 vs 40 at 128)
+    plants = [(10, 40), (50, 560), (70, 150)]
+    for y0, x0 in plants:
+        data[y0:y0 + 5, x0:x0 + 9] += 3.0 * templ[..., 0:1]
+    sd = fc.fft_data_tiled(
+        data, 5, 129, block_h=36, block_w=256, trim_mode="same",
+        trim_kernel_h=5, trim_kernel_w=9,
+    )
+    fc.set_config(use_fused_block_conv=True)
+    try:
+        vals, pos = detect_top_k(sd, templ[None], k=3, correlation=True)
+        pv, pp = detect_peaks(sd, templ[None], correlation=True)
+    finally:
+        fc.set_config(use_fused_block_conv=None)
+    assert vals.shape == (1, 3) and pos.shape == (1, 3, 2)
+    got = {tuple(int(c) for c in p) for p in np.asarray(pos)[0]}
+    want = {(y0 + 2, x0 + 4) for y0, x0 in plants}  # 'same' centers
+    assert got == want, (got, want)
+    # values descending; k=1 head agrees with detect_peaks
+    v = np.asarray(vals)[0]
+    assert v[0] >= v[1] >= v[2]
+    assert tuple(np.asarray(pos)[0, 0]) == tuple(np.asarray(pp)[0])
+    np.testing.assert_allclose(float(v[0]), float(np.asarray(pv)[0]),
+                               rtol=1e-6)
+    # k beyond the cell count falls back to the exact maps reduction
+    maps = fc.conv_spectral(sd, templ[None], mode="same", correlation=True)
+    big_k = 40  # > 3x3 cells... (96/32)*(600/128 -> 5) = 15 cells
+    want_v, want_p = _oracle_top_k(maps, big_k)
+    fc.set_config(use_fused_block_conv=True)
+    try:
+        bv, bp = detect_top_k(sd, templ[None], k=big_k, correlation=True)
+    finally:
+        fc.set_config(use_fused_block_conv=None)
+    np.testing.assert_array_equal(np.asarray(bp), want_p)
 
 
 def test_detect_peaks_direct_spectral_data(rng):

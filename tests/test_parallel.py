@@ -290,6 +290,18 @@ def test_detect_peaks_sharded_matches_single_device(rng):
     skd = fc.shard_kernel_bank(sk, mesh)
     got_v2, got_p2 = fc.detect_peaks_sharded(sd, skd, mesh)
     np.testing.assert_array_equal(np.asarray(got_p2), np.asarray(want_p))
+    # top-k per kernel: each device reduces its own bank shard (no
+    # cross-device merge — kernels are disjoint across shards); matches
+    # the single-device detect_top_k
+    from cuda_fft_convolution_tpu.models import detect_top_k
+
+    tw_v, tw_p = detect_top_k(sd, jnp.asarray(bank), k=3, mode="same")
+    tg_v, tg_p = fc.detect_peaks_sharded(sd, jnp.asarray(bank), mesh, k=3)
+    assert tg_v.shape == (9, 3) and tg_p.shape == (9, 3, 2)
+    np.testing.assert_array_equal(np.asarray(tg_p), np.asarray(tw_p))
+    np.testing.assert_allclose(
+        np.asarray(tg_v), np.asarray(tw_v), rtol=1e-5
+    )
     # batched over a 2-D (data × kernels) mesh (simulated CPU mesh only —
     # the attached TPU is a single chip; the 1-D sections above still run)
     if len(jax.devices()) >= 8:
