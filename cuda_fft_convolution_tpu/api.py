@@ -1018,6 +1018,18 @@ def _trim(
     return outs
 
 
+def _resolve_out_dtype(out_dtype):
+    """Normalize the maps-output dtype option: None/'float32' → None
+    (f32 maps, the default), 'bfloat16' → jnp.bfloat16 (half the output
+    write traffic and in-flight serving bytes; ~4e-3 rounding on the
+    scores — the same envelope as the bf16 spectra tier)."""
+    validate(
+        out_dtype in (None, "float32", "bfloat16"),
+        f"out_dtype must be None, 'float32' or 'bfloat16', got {out_dtype!r}",
+    )
+    return None if out_dtype in (None, "float32") else jnp.bfloat16
+
+
 def conv_spectral(
     spectral: SpectralData | TiledSpectralData,
     kernels,
@@ -1027,6 +1039,7 @@ def conv_spectral(
     use_pallas: bool | None = None,
     same_offset: str = "scipy",
     kernel_layout: str = "corner",
+    out_dtype: str | None = None,
 ):
     """Convolve a kernel bank against a precomputed data spectrum —
     ≈ ``cudaConvFFTData(fftData, {kernels})`` (src/cudaConvFFTData.cu:24-282).
@@ -1043,8 +1056,15 @@ def conv_spectral(
     ``same_offset``: 'scipy' = (Kh−1)//2 or 'matlab' = Kh//2 ('same' window
     offset — MATLAB conv2 parity for even kernels). ``kernel_layout``:
     see ``fft_kernels`` (centered banks → un-shifted maps; 'fftmap'/'same',
-    direct engine only)."""
+    direct engine only).
+
+    ``out_dtype='bfloat16'``: store the output MAPS bf16 — the serving
+    lever for score-map consumers (detection tolerates the ~4e-3
+    rounding): half the output write traffic (in-kernel cast on the fused
+    tiled path) and half the in-flight bytes per frame, so a pipelined
+    server holds twice the depth. Default None/'float32' keeps f32 maps."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
+    out_dt = _resolve_out_dtype(out_dtype)
     validate(
         not (getattr(spectral, "clamp", False) and mode == "full"),
         "padding='clamp' spectra pair with mode 'same', 'fftmap', or "
@@ -1064,6 +1084,7 @@ def conv_spectral(
         return _conv_spectral_tiled(
             spectral, kernels, mode=mode, correlation=correlation,
             use_pallas=use_pallas, same_offset=same_offset,
+            out_dtype=out_dtype,
         )
     if isinstance(kernels, SpectralKernels):
         sk = kernels
@@ -1123,7 +1144,7 @@ def conv_spectral(
             return _conv_spectral_streaming_spatial(
                 spectral, skc, khs, kws, mode=mode,
                 correlation=corr, use_pallas=use_pallas,
-                same_offset=same_offset,
+                same_offset=same_offset, out_dtype=out_dtype,
             )
         sk = fft_kernels(
             kernels, spectral=spectral, correlation=correlation,
@@ -1203,6 +1224,11 @@ def conv_spectral(
                 "chunks, or pass conv_spectral_pipelined(chunk_size=...)"
             ) from exc
         raise
+    if out_dt is not None:
+        # Cast the circular maps BEFORE the trim windows are sliced: under
+        # jit the convert fuses into the inverse synthesis epilogue and the
+        # trim copies move half the bytes.
+        maps = maps.astype(out_dt)
     return _trim(
         maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
         same_offset=same_offset, centered=sk.centered,
@@ -1219,6 +1245,7 @@ def _conv_spectral_streaming_spatial(
     correlation: bool,
     use_pallas: bool | None,
     same_offset: str = "scipy",
+    out_dtype: str | None = None,
 ):
     """conv_spectral tail for banks too large to hold as resident spectra:
     chunked on-the-fly transform + MAC + inverse (see
@@ -1257,6 +1284,9 @@ def _conv_spectral_streaming_spatial(
         d_re, d_im, kstack, spectral.fft_h, spectral.fft_w,
         use_pallas, chunk, correlation,
     )
+    out_dt = _resolve_out_dtype(out_dtype)
+    if out_dt is not None:
+        maps = maps.astype(out_dt)
     return _trim(
         maps, spectral, khs, kws, mode, batched, same_offset=same_offset
     )
@@ -1270,6 +1300,7 @@ def _conv_spectral_tiled(
     correlation: bool,
     use_pallas: bool | None,
     same_offset: str = "scipy",
+    out_dtype: str | None = None,
 ):
     """Overlap-save bank convolution against precomputed block spectra."""
     validate(
@@ -1334,7 +1365,10 @@ def _conv_spectral_tiled(
     # device budget, run the bank in chunks (same transparency as the
     # direct engine's auto-chunking).
     chunk = _tiled_chunk_size(spectral, d_re, sk.num_kernels)
-    maps = _tiled_chunked_maps(spectral, d_re, d_im, sk, chunk, use_pallas)
+    maps = _tiled_chunked_maps(
+        spectral, d_re, d_im, sk, chunk, use_pallas,
+        out_dtype=out_dtype or "float32",
+    )
     return _trim(
         maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
         same_offset=same_offset,
@@ -1373,6 +1407,7 @@ def _tiled_chunked_maps(
     sk: SpectralKernels,
     chunk_size: int,
     use_pallas: bool | None,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Run the bank through conv_blocks in ``chunk_size`` slices (one call
     when the whole bank fits). XLA's async dispatch overlaps consecutive
@@ -1383,6 +1418,7 @@ def _tiled_chunked_maps(
             d_re, d_im, sk.re, sk.im, spectral.block_h, spectral.block_w,
             spectral.max_kh, spectral.max_kw,
             spectral.out_h, spectral.out_w, use_pallas,
+            out_dtype=out_dtype,
         )
     outs = []
     for s in range(0, n, chunk_size):
@@ -1393,6 +1429,7 @@ def _tiled_chunked_maps(
                 spectral.block_h, spectral.block_w,
                 spectral.max_kh, spectral.max_kw,
                 spectral.out_h, spectral.out_w, use_pallas,
+                out_dtype=out_dtype,
             )
         )
     return jnp.concatenate(outs, axis=1)
@@ -1407,6 +1444,7 @@ def conv_spectral_pipelined(
     correlation: bool = False,
     use_pallas: bool | None = None,
     same_offset: str = "scipy",
+    out_dtype: str | None = None,
 ):
     """Memory-bounded bank convolution — ≈ ``cudaConvFFTDataStreams``
     (src/cudaConvFFTDataStreams.cu): the bank is processed ``chunk_size``
@@ -1419,6 +1457,7 @@ def conv_spectral_pipelined(
     memory budget (runtime/planner.py plan_bank — the decision the reference
     hard-codes as 2 slots)."""
     validate(mode in _MODES, f"mode must be one of {_MODES}")
+    _resolve_out_dtype(out_dtype)  # validate early; threaded as a string
     validate(
         not (getattr(spectral, "clamp", False) and mode == "full"),
         "padding='clamp' spectra pair with mode 'same', 'fftmap', or "
@@ -1507,7 +1546,7 @@ def conv_spectral_pipelined(
         d_im = spectral.im if batched else spectral.im[None]
         maps = _tiled_chunked_maps(
             spectral, d_re, d_im, sk, min(chunk_size, sk.num_kernels),
-            use_pallas,
+            use_pallas, out_dtype=out_dtype or "float32",
         )
         return _trim(
             maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
@@ -1520,6 +1559,9 @@ def conv_spectral_pipelined(
         d_re, d_im, sk.re, sk.im, spectral.fft_h, spectral.fft_w, use_pallas,
         chunk_size, sk.flat,
     )
+    out_dt = _resolve_out_dtype(out_dtype)
+    if out_dt is not None:
+        maps = maps.astype(out_dt)
     return _trim(
         maps, spectral, sk.kernel_hs, sk.kernel_ws, mode, batched,
         same_offset=same_offset, centered=sk.centered,
@@ -1574,6 +1616,7 @@ def fft_conv(
     kernel_layout: str = "corner",
     same_offset: str = "scipy",
     store_dtype: str = "float32",
+    out_dtype: str | None = None,
 ):
     """One-shot bank convolution — ≈ ``cudaConvolutionFFT(data, maxKh, maxKw,
     kernelCell)`` (src/cudaConvolutionFFT.cu:27-310): one forward data FFT
@@ -1599,8 +1642,11 @@ def fft_conv(
 
     ``store_dtype='bfloat16'``: the bf16 serving tier (see ``fft_data``) —
     all intermediate spectra run bf16 with f32 accumulation (half the
-    spectral HBM traffic; rel err ~1e-3 vs the fp32 tier's ≤1e-5)."""
+    spectral HBM traffic; rel err ~1e-3 vs the fp32 tier's ≤1e-5).
+    ``out_dtype='bfloat16'``: bf16 output MAPS (see ``conv_spectral``) —
+    half the output write traffic; composable with either spectra tier."""
     validate(kernels is not None, "kernels is required")
+    _resolve_out_dtype(out_dtype)  # validate early; threaded as a string
     validate(
         algorithm in ("auto", "direct", "tiled"),
         "algorithm must be 'auto', 'direct', or 'tiled'",
@@ -1646,6 +1692,7 @@ def fft_conv(
                     device=device, bucket_ragged=False,
                     padding=padding, kernel_layout=kernel_layout,
                     same_offset=same_offset, store_dtype=store_dtype,
+                    out_dtype=out_dtype,
                 )
                 if not isinstance(out, list):  # uniform bucket → stacked
                     out = [out[..., i, :, :] for i in range(len(sub))]
@@ -1742,6 +1789,7 @@ def fft_conv(
             return conv_spectral(
                 spectral, kernels, mode=mode, correlation=correlation,
                 use_pallas=use_pallas, same_offset=same_offset,
+                out_dtype=out_dtype,
             )
     # Reaching here: algorithm == 'direct', or 'auto' with the planner
     # declining to tile ('tiled' always returned above).
@@ -1753,7 +1801,7 @@ def fft_conv(
     return conv_spectral(
         spectral, kernels, mode=mode, correlation=correlation,
         use_pallas=use_pallas, same_offset=same_offset,
-        kernel_layout=kernel_layout,
+        kernel_layout=kernel_layout, out_dtype=out_dtype,
     )
 
 

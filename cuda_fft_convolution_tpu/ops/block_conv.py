@@ -150,7 +150,7 @@ def _make_kernel_v3(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
                     )
             out_ref[0, 0, :, j * vw:(j + 1) * vw] = (
                 dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
-            )
+            ).astype(out_ref.dtype)
 
     return _kernel
 
@@ -216,7 +216,7 @@ def _make_kernel_v4(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
                 xi_ref[i * vh + c1:(i + 1) * vh, :] = (ei - ti)[: vh - c1, :]
             out_ref[0, 0, :, j * vw:(j + 1) * vw] = (
                 dot(xr_ref[...], mr_ref[...]) + dot(xi_ref[...], mi_ref[...])
-            )
+            ).astype(out_ref.dtype)
 
     return _kernel
 
@@ -288,7 +288,7 @@ def _make_kernel(mbh: int, f: int, vh: int, wc: int, precision, karatsuba):
             xi_i = xi[:, i * wc:(i + 1) * wc]
             out_ref[0, 0, i * vh:(i + 1) * vh, :] = (
                 dot(xr_i, mr) + dot(xi_i, mi)
-            )
+            ).astype(out_ref.dtype)
 
     return _kernel
 
@@ -533,7 +533,7 @@ def _choose_group(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
                      "interpret", "precision", "karatsuba", "mbh", "mbw",
-                     "wstack", "radix_h", "radix_w"),
+                     "wstack", "radix_h", "radix_w", "out_dtype"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
@@ -555,6 +555,7 @@ def block_conv_pallas(
     wstack: bool = True,
     radix_h: bool = False,
     radix_w: bool = False,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
     assembled in place by clipped block writes, normalization folded in.
@@ -580,12 +581,19 @@ def block_conv_pallas(
     (column-stacked H stage, per-block W dots, MBW unsupported);
     ``radix_h=True`` (requires ``radix_h_legal(block_h, vh)`` and wstack)
     selects the v4 kernel: radix-2 split of the H-stage inverse into two
-    (M, M) @ (M, Wc) sub-transform dots + a VPU twiddle combine."""
+    (M, M) @ (M, Wc) sub-transform dots + a VPU twiddle combine.
+
+    ``out_dtype`` (None → float32): the MAPS store dtype. 'bfloat16' casts
+    each output tile IN-KERNEL before the store — the f32 scratch/MAC are
+    unchanged, only the HBM output write halves (the maps are the dominant
+    write traffic at serving geometries; detection consumers tolerate the
+    ~4e-3 bf16 rounding — the same envelope as the bf16 spectra tier)."""
     b, nbh, nbw, f, lh, wc = dr.shape
     n = kr.shape[0]
     vh, vw = block_h - kh + 1, block_w - kw + 1
     assert lh == block_h and wc == block_w // 2 + 1
     assert dr.dtype == kr.dtype, "data/kernel spectra dtype mismatch"
+    out_dt = jnp.dtype(out_dtype if out_dtype is not None else jnp.float32)
     if radix_w:
         radix_h = True  # the v5 W stage builds on the v4 H stage
     tier_bf16 = dr.dtype == jnp.bfloat16
@@ -760,7 +768,7 @@ def block_conv_pallas(
             ],
             out_specs=out_spec5,
             out_shape=jax.ShapeDtypeStruct(
-                (b, n, out_h, out_w), jnp.float32
+                (b, n, out_h, out_w), out_dt
             ),
             cost_estimate=pl.CostEstimate(
                 flops=b * nbh * nbw * n * flops,
@@ -768,7 +776,7 @@ def block_conv_pallas(
                     2 * dr.dtype.itemsize * f * lh * wc2 * (b * nbh * nbw)
                     + 2 * dr.dtype.itemsize * f * lh * wc2
                     * (b * gbh * gbw * n)
-                    + 4 * b * n * out_h * out_w
+                    + out_dt.itemsize * b * n * out_h * out_w
                 ),
                 transcendentals=4 * (m_h + l4),
             ),
@@ -863,13 +871,13 @@ def block_conv_pallas(
             spec_const2((wc, vw)),
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n, out_h, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, out_h, out_w), out_dt),
         cost_estimate=pl.CostEstimate(
             flops=b * nbh * nbw * n * (flops_mac + flops_h + flops_w),
             bytes_accessed=(
                 2 * dr.dtype.itemsize * f * lh * wc * (b * nbh * nbw)
                 + 2 * dr.dtype.itemsize * f * lh * wc * (b * gbh * gbw * n)
-                + 4 * b * n * out_h * out_w
+                + out_dt.itemsize * b * n * out_h * out_w
             ),
             transcendentals=0,
         ),
@@ -1088,7 +1096,9 @@ def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
                     else p_r[:, k0:k0 + (d1 - d0)]
                     - q_r[:, k0:k0 + (d1 - d0)]
                 )
-                out_ref[0, 0, :, j * vw + d0:j * vw + d1] = seg
+                out_ref[0, 0, :, j * vw + d0:j * vw + d1] = seg.astype(
+                    out_ref.dtype
+                )
 
     return _kernel
 

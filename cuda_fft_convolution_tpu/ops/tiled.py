@@ -280,13 +280,20 @@ def _conv_blocks_unfused(
     out_h: int,
     out_w: int,
     use_pallas: bool | None = None,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """The unfused three-stage pipeline (MAC → windowed inverse →
     reassembly) — plain jnp end to end. Serves two roles: the dispatch
     fallback when the fused Pallas kernel is off/illegal, and the VJP
     *definition* of the fused kernel (``fused_block_conv``'s backward is
     this function's transpose — the same pattern as the Pallas MAC,
-    ops/spectral_mac.py `_mac_pallas_ad`)."""
+    ops/spectral_mac.py `_mac_pallas_ad`).
+
+    ``out_dtype='bfloat16'`` casts the synthesized windows BEFORE the
+    reassembly transpose (XLA fuses the convert into the inverse dots'
+    epilogue): the transpose copy AND the final maps write move half the
+    bytes — the output side is the last f32 traffic term at the bf16
+    serving tier."""
     from cuda_fft_convolution_tpu.ops.conv import (
         _inverse_precision,
         _use_matmul_fft,
@@ -322,6 +329,8 @@ def _conv_blocks_unfused(
         maps = irfft2_norm_planes(p_re, p_im, block_h, block_w)
         # Valid (non-wrapped) region of each block: rows/cols [K−1, K−1+V).
         valid = maps[:, :, kh - 1 : kh - 1 + vh, kw - 1 : kw - 1 + vw]
+    if out_dtype != "float32":
+        valid = valid.astype(jnp.dtype(out_dtype))
     valid = valid.reshape(b, nbh, nbw, n, vh, vw)
     out = jnp.transpose(valid, (0, 3, 1, 4, 2, 5)).reshape(
         b, n, nbh * vh, nbw * vw
@@ -329,7 +338,7 @@ def _conv_blocks_unfused(
     return out[:, :, :out_h, :out_w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def fused_block_conv(
     d_re: jnp.ndarray,
     d_im: jnp.ndarray,
@@ -341,6 +350,7 @@ def fused_block_conv(
     kw: int,
     out_h: int,
     out_w: int,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """The fused Pallas block-conv (ops/block_conv.py) made differentiable.
 
@@ -367,23 +377,32 @@ def fused_block_conv(
         interpret=jax.default_backend() != "tpu",
         radix_h=use_w or radix_h_legal(block_h, vh),
         radix_w=use_w,
+        out_dtype=out_dtype,
     )
 
 
 def _fused_block_conv_fwd(
-    d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+    d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
+    out_dtype,
 ):
     out = fused_block_conv(
-        d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+        d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
+        out_dtype,
     )
     return out, (d_re, d_im, k_re, k_im)
 
 
-def _fused_block_conv_bwd(block_h, block_w, kh, kw, out_h, out_w, res, g):
+def _fused_block_conv_bwd(
+    block_h, block_w, kh, kw, out_h, out_w, out_dtype, res, g
+):
+    # The cotangent arrives in out_dtype; the unfused definition carries
+    # the same epilogue cast, so its transpose upcasts g exactly where the
+    # forward downcast (convert_element_type transposes to convert back).
     d_re, d_im, k_re, k_im = res
     _, vjp = jax.vjp(
         lambda a, bb, c, d: _conv_blocks_unfused(
-            a, bb, c, d, block_h, block_w, kh, kw, out_h, out_w
+            a, bb, c, d, block_h, block_w, kh, kw, out_h, out_w,
+            out_dtype=out_dtype,
         ),
         d_re, d_im, k_re, k_im,
     )
@@ -396,7 +415,8 @@ fused_block_conv.defvjp(_fused_block_conv_fwd, _fused_block_conv_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_h", "block_w", "kh", "kw", "out_h", "out_w", "use_pallas"
+        "block_h", "block_w", "kh", "kw", "out_h", "out_w", "use_pallas",
+        "out_dtype",
     ),
 )
 def conv_blocks(
@@ -411,13 +431,17 @@ def conv_blocks(
     out_h: int,
     out_w: int,
     use_pallas: bool | None = None,
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Spectral MAC per block + inverse FFT + overlap-save reassembly →
     (B, N, out_h, out_w) linear-convolution maps ('full' window). All
     spectra are split (re, im) f32 planes — complex never exists.
     Differentiable on BOTH dispatch branches: the fused Pallas kernel runs
     under a custom VJP whose backward is the unfused pipeline's transpose
-    (``fused_block_conv``)."""
+    (``fused_block_conv``). ``out_dtype='bfloat16'`` stores the maps bf16
+    (in-kernel cast on the fused branch, pre-reassembly cast on the
+    unfused one — half the output write traffic and in-flight bytes;
+    ~4e-3 rounding on the scores, the bf16-tier envelope)."""
     from cuda_fft_convolution_tpu.utils.config import get_config
 
     b, nbh, nbw, f, lh, lwc = d_re.shape
@@ -440,11 +464,12 @@ def conv_blocks(
         # The radix-2 H-stage variant (v4) runs whenever the block/window
         # geometry allows it — every MXU dot dimension 128-native.
         return fused_block_conv(
-            d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w
+            d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
+            out_dtype,
         )
     return _conv_blocks_unfused(
         d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, out_dtype=out_dtype,
     )
 
 

@@ -129,6 +129,7 @@ def _sharded_conv_exec(
     geom: tuple,
     use_pallas: bool | None,
     chunk: int | None = None,
+    out_dtype: str = "float32",
 ):
     """Build (once per key) the jitted shard_map executable for a bank
     convolution. The jit cache inside handles per-shape compilation; this
@@ -157,6 +158,7 @@ def _sharded_conv_exec(
                 conv_blocks(
                     d_re, d_im, k_re[s : s + step], k_im[s : s + step],
                     bh, bw, mkh, mkw, oh, ow, use_pallas,
+                    out_dtype=out_dtype,
                 )
                 for s in range(0, ln, step)
             ]
@@ -173,14 +175,18 @@ def _sharded_conv_exec(
             # ICI.
             ln = k_re.shape[0]
             if chunk is not None and chunk < ln:
-                return _api._conv_from_spectra_chunked(
+                maps = _api._conv_from_spectra_chunked(
                     d_re, d_im, k_re, k_im, fft_h, fft_w, use_pallas,
                     max(1, chunk),
                 )
-            p_re, p_im = spectral_mac_auto_planes(
-                d_re, d_im, k_re, k_im, use_pallas=use_pallas
-            )
-            return irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+            else:
+                p_re, p_im = spectral_mac_auto_planes(
+                    d_re, d_im, k_re, k_im, use_pallas=use_pallas
+                )
+                maps = irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+            if out_dtype != "float32":
+                maps = maps.astype(jnp.dtype(out_dtype))
+            return maps
 
     return jax.jit(
         jax.shard_map(
@@ -237,6 +243,7 @@ def conv_spectral_sharded(
     correlation: bool = False,
     use_pallas: bool | None = None,
     same_offset: str = "scipy",
+    out_dtype: str | None = None,
 ):
     """Bank convolution sharded over ``mesh`` — the multi-device
     ``conv_spectral``.
@@ -257,6 +264,7 @@ def conv_spectral_sharded(
     materialize spectra at all — the spatial kernels are sharded and each
     device streams its shard (transform + MAC + inverse per chunk)."""
     tiled = isinstance(spectral, TiledSpectralData)
+    _api._resolve_out_dtype(out_dtype)  # validate; threaded as a string
     validate(
         not (getattr(spectral, "clamp", False) and mode == "full"),
         "padding='clamp' spectra pair with mode 'same', 'fftmap', or "
@@ -404,7 +412,8 @@ def conv_spectral_sharded(
     k_re, k_im = _placed(k_re, ksh), _placed(k_im, ksh)
 
     exec_fn = _sharded_conv_exec(
-        mesh, d_re.ndim, tiled, geom, use_pallas, chunk
+        mesh, d_re.ndim, tiled, geom, use_pallas, chunk,
+        out_dtype=out_dtype or "float32",
     )
     maps = exec_fn(d_re, d_im, k_re, k_im)[:, :n]
     return _api._trim(

@@ -83,6 +83,7 @@ def make_plan(
     mode: str = "fftmap",
     store_dtype: str = "float32",
     same_offset: str = "scipy",
+    out_dtype: str | None = None,
 ) -> FftConvPlan:
     """AOT-compile a plan for channel-last ``data_shape`` ((H, W, F) or
     (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F).
@@ -97,8 +98,15 @@ def make_plan(
     ``store_dtype='bfloat16'``: the bf16 serving tier (see api.fft_data) —
     plan spectra stored/exchanged bf16 with f32 accumulation; the plan's
     spectral ABI (data_fft/kernel_fft outputs, execute_spectral inputs)
-    becomes bf16 plane pairs."""
+    becomes bf16 plane pairs.
+
+    ``out_dtype='bfloat16'``: bf16 output MAPS baked into the compiled
+    program (see api.conv_spectral) — half the output write traffic and
+    half the in-flight bytes per frame for a depth-bounded server."""
     validate(algorithm in ("direct", "tiled"), "algorithm: 'direct'|'tiled'")
+    from cuda_fft_convolution_tpu.api import _resolve_out_dtype
+
+    out_t = _resolve_out_dtype(out_dtype)
     validate(
         store_dtype in ("float32", "bfloat16"),
         "store_dtype must be 'float32' or 'bfloat16'",
@@ -182,7 +190,7 @@ def make_plan(
             )
             return _api.conv_spectral(
                 sd, sk, mode=mode, use_pallas=use_pallas,
-                same_offset=same_offset,
+                same_offset=same_offset, out_dtype=out_dtype,
             )
 
         data_aval = jax.ShapeDtypeStruct(data_shape, jnp.float32)
@@ -258,6 +266,8 @@ def make_plan(
         )
         p_re, p_im = p_re.astype(store_t), p_im.astype(store_t)
         maps = irfft2_norm_planes(p_re, p_im, fft_h, fft_w)
+        if out_t is not None:
+            maps = maps.astype(out_t)
         if win is not None:
             r0, c0, rh, rw = win
             maps = maps[:, :, r0 : r0 + rh, c0 : c0 + rw]
