@@ -361,9 +361,12 @@ class ShardedConvStream:
         correlation: bool = False,
         same_offset: str = "scipy",
         store_dtype: str = "float32",
+        out_dtype: str | None = None,
     ):
         from cuda_fft_convolution_tpu import api as _api
         from cuda_fft_convolution_tpu.parallel import mesh as _mesh
+
+        _api._resolve_out_dtype(out_dtype)  # validate at construction
 
         validate(depth >= 1, f"depth must be >= 1, got {depth}")
         validate(
@@ -382,6 +385,7 @@ class ShardedConvStream:
         self._algorithm = algorithm
         self._same_offset = same_offset
         self._store_dtype = store_dtype
+        self._out_dtype = out_dtype
         self._depth = depth
         self._data_shape = tuple(data_shape)
         self._kh, self._kw = int(kernels.shape[1]), int(kernels.shape[2])
@@ -446,7 +450,7 @@ class ShardedConvStream:
         sd = self._stage(frame)
         out = _mesh.conv_spectral_sharded(
             sd, self._sk, self._mesh, mode=self._mode,
-            same_offset=self._same_offset,
+            same_offset=self._same_offset, out_dtype=self._out_dtype,
         )
         leaf = out[0] if isinstance(out, (list, tuple)) else out
         fut = ConvFuture(_probe_of(leaf), out)

@@ -183,6 +183,23 @@ def test_sharded_out_dtype(rng):
     assert _rel(np.asarray(got, np.float32), want) < BF16_OUT_TOL
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs >=2 devices (simulated CPU mesh)"
+)
+def test_sharded_stream_out_dtype(rng):
+    mesh = fc.make_mesh(data=1)
+    bank = rng.standard_normal((4, 5, 5, 1)).astype(np.float32)
+    frame = rng.standard_normal((24, 24, 1)).astype(np.float32)
+    with fc.ShardedConvStream(
+        mesh, bank, (24, 24, 1), depth=2, mode="same",
+        out_dtype="bfloat16",
+    ) as stream:
+        got = stream.submit(frame).result()
+    assert got.dtype == jnp.bfloat16
+    want = fc.fft_conv(frame, 5, 5, bank, mode="same")
+    assert _rel(np.asarray(got, np.float32), want) < BF16_OUT_TOL
+
+
 def test_out_dtype_validation(rng):
     data = rng.standard_normal((16, 16, 1)).astype(np.float32)
     bank = rng.standard_normal((1, 3, 3, 1)).astype(np.float32)
