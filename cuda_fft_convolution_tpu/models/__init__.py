@@ -8,7 +8,11 @@ FFT-convolution path (rfft2 → spectral MAC → irfft2) is differentiable JAX,
 something the reference's MEX pipeline could never offer.
 """
 
-from cuda_fft_convolution_tpu.models.detect import detect_peaks, detect_top_k
+from cuda_fft_convolution_tpu.models.detect import (
+    detect_local_peaks,
+    detect_peaks,
+    detect_top_k,
+)
 from cuda_fft_convolution_tpu.models.hog import hog_features
 from cuda_fft_convolution_tpu.models.filter_bank import (
     FilterBankDetector,
@@ -36,6 +40,7 @@ from cuda_fft_convolution_tpu.models.pyramid import (
 __all__ = [
     "detect_peaks",
     "detect_top_k",
+    "detect_local_peaks",
     "hog_features",
     "FilterBankDetector",
     "detect",

@@ -325,3 +325,75 @@ def detect_top_k(
         return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
     vals, ys, xs = top_k_from_maps(maps, k)
     return vals, jnp.stack([ys, xs], axis=-1)
+
+
+def detect_local_peaks(
+    data,
+    kernels,
+    k: int = 16,
+    *,
+    threshold=None,
+    window: int = 3,
+    mode: str = "same",
+    correlation: bool = True,
+    algorithm: str = "auto",
+    same_offset: str = "scipy",
+    store_dtype: str = "float32",
+    out_dtype: str | None = None,
+):
+    """Per-kernel thresholded LOCAL-MAXIMA detection — the DPM/HOG
+    consumer's actual pattern (every candidate detection above a score
+    cutoff, mutually non-adjacent), where :func:`detect_peaks` /
+    :func:`detect_top_k` return only the globally strongest responses.
+
+    Returns ``(values, positions)``: ``values`` (N, k) descending (or
+    (B, N, k) batched), ``positions`` (N, k, 2) / (B, N, k, 2) int32
+    (row, col) in the ``mode`` window's frame. A hit is a pixel equal to
+    the max of its ``window``×``window`` neighborhood (a built-in
+    window-radius non-max suppression) and strictly above ``threshold``
+    (a traced scalar; None keeps every local max). Slots beyond the
+    number of qualifying maxima carry ``-inf`` / (-1, -1) — a static
+    (N, k) result shape, so the host fetch stays tiny and jit-stable
+    regardless of how many detections fire.
+
+    Unlike the top-1/top-k heads there is no in-VMEM fused reduction
+    (local maxima compare across block-cell borders): the maps are
+    produced by the regular engine (``algorithm`` as in ``fft_conv``) and
+    the dilation+mask+top-k reduce them in XLA, fused into the producer
+    under jit. ``out_dtype='bfloat16'`` halves the maps traffic between
+    producer and reducer where they do materialize (scores compare in
+    f32 after upcast; returned values are the upcast scores)."""
+    validate(int(k) >= 1, f"k must be >= 1; got {k}")
+    validate(int(window) >= 2, f"window must be >= 2; got {window}")
+    validate(
+        mode in ("same", "valid", "full"),
+        "detect_local_peaks modes: 'same', 'valid', 'full' (fftmap's "
+        "circular frame has no meaningful peak positions)",
+    )
+    from cuda_fft_convolution_tpu.ops.tiled import local_peaks_from_maps
+
+    _kernel_hw(kernels)  # uniform banks only
+    if isinstance(data, (SpectralData, TiledSpectralData)):
+        # precomputed banks carry their flip already (fft_kernels
+        # correlation=...), matching the other heads' contract
+        corr = correlation and not isinstance(kernels, SpectralKernels)
+        maps = _api.conv_spectral(
+            data, kernels, mode=mode, correlation=corr,
+            out_dtype=out_dtype,
+        )
+    else:
+        maps = _api.fft_conv(
+            data, kernels=kernels, mode=mode, correlation=correlation,
+            algorithm=algorithm, same_offset=same_offset,
+            store_dtype=store_dtype, out_dtype=out_dtype,
+        )
+    maps = jnp.asarray(maps)
+    if maps.ndim == 3:  # (N, H, W) unbatched
+        vals, ys, xs = local_peaks_from_maps(
+            maps[None], int(k), int(window), threshold
+        )
+        return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
+    vals, ys, xs = local_peaks_from_maps(
+        maps, int(k), int(window), threshold
+    )
+    return vals, jnp.stack([ys, xs], axis=-1)

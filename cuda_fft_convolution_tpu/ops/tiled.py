@@ -565,6 +565,49 @@ def top_k_from_maps(
     return kv, (ki // w).astype(jnp.int32), (ki % w).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def local_peaks_from_maps(
+    maps: jnp.ndarray,
+    k: int,
+    window: int = 3,
+    threshold=None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(B, N, H, W) maps → per-kernel top-k LOCAL MAXIMA ``(vals, ys, xs)``
+    each (B, N, k), values descending. A local maximum is a pixel equal to
+    the max of its ``window``×``window`` neighborhood ('SAME' edges — edge
+    pixels compare against their in-bounds neighbors) and strictly above
+    ``threshold`` (a traced scalar; None keeps every local max). This is
+    the DPM consumer's detection pattern: ALL candidate detections above a
+    score cutoff, mutually non-adjacent (a built-in ``window``-radius
+    non-max suppression), not the global top-k. Slots beyond the number of
+    qualifying maxima carry ``-inf`` values and (-1, -1) positions.
+
+    A constant plateau marks every plateau pixel as a local max (equality
+    against the window dilation) — real spectral score maps are
+    continuous-valued, so plateaus above threshold do not occur in
+    practice. Under jit the dilation + mask fuse into the map producer's
+    epilogue; only the (B, N, k) results leave the device."""
+    b, n, h, w = maps.shape
+    f32 = maps.astype(jnp.float32)
+    dil = jax.lax.reduce_window(
+        f32,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 1, window, window),
+        (1, 1, 1, 1),
+        "SAME",
+    )
+    is_peak = f32 >= dil
+    if threshold is not None:
+        is_peak = jnp.logical_and(is_peak, f32 > threshold)
+    scores = jnp.where(is_peak, f32, -jnp.inf)
+    kv, ki = jax.lax.top_k(scores.reshape(b, n, h * w), k)
+    hit = jnp.isfinite(kv)
+    ys = jnp.where(hit, ki // w, -1).astype(jnp.int32)
+    xs = jnp.where(hit, ki % w, -1).astype(jnp.int32)
+    return kv, ys, xs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",

@@ -349,3 +349,122 @@ def test_peaks_kernel_v5_radix_w_parity(rng, dhw, blocks, group, f):
         wflat = np.asarray(want[1]).reshape(3, -1)[np.arange(3), wi]
         gflat = np.asarray(got[1]).reshape(3, -1)[np.arange(3), gi]
         np.testing.assert_array_equal(gflat, wflat)
+
+
+def _oracle_local_peaks(maps, k, window=3, threshold=None):
+    """Brute-force local-maxima + top-k over (N, H, W) maps."""
+    m = np.asarray(maps, np.float32)
+    n, h, w = m.shape
+    r = window // 2
+    rl = window - 1 - r  # asymmetric split for even windows ('SAME')
+    vals = np.full((n, k), -np.inf, np.float32)
+    pos = np.full((n, k, 2), -1, np.int32)
+    for i in range(n):
+        hits = []
+        for y in range(h):
+            for x in range(w):
+                y0, y1 = max(0, y - rl), min(h, y + r + 1)
+                x0, x1 = max(0, x - rl), min(w, x + r + 1)
+                v = m[i, y, x]
+                if v >= m[i, y0:y1, x0:x1].max() and (
+                    threshold is None or v > threshold
+                ):
+                    hits.append((v, y, x))
+        hits.sort(key=lambda t: (-t[0], t[1] * w + t[2]))
+        for j, (v, y, x) in enumerate(hits[:k]):
+            vals[i, j] = v
+            pos[i, j] = (y, x)
+    return vals, pos
+
+
+@pytest.mark.parametrize("window", [3, 5])
+def test_detect_local_peaks_oracle(rng, window):
+    """detect_local_peaks ≡ brute-force local-maxima + top-k over the
+    trimmed maps (values and positions; padded slots -inf/(-1,-1))."""
+    from cuda_fft_convolution_tpu.models import detect_local_peaks
+
+    data = rng.standard_normal((30, 34, 2)).astype(np.float32)
+    bank = rng.standard_normal((2, 5, 5, 2)).astype(np.float32)
+    maps = fc.fft_conv(
+        data, kernels=bank, mode="same", correlation=True,
+        algorithm="direct",
+    )
+    want_v, want_p = _oracle_local_peaks(maps, k=8, window=window)
+    vals, pos = detect_local_peaks(
+        data, bank, k=8, window=window, mode="same", correlation=True
+    )
+    np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(pos), want_p)
+
+
+def test_detect_local_peaks_threshold_and_padding(rng):
+    """threshold drops sub-cutoff maxima; empty slots carry -inf/(-1,-1);
+    a high cutoff empties every slot."""
+    from cuda_fft_convolution_tpu.models import detect_local_peaks
+
+    data = rng.standard_normal((24, 24, 1)).astype(np.float32)
+    bank = rng.standard_normal((1, 3, 3, 1)).astype(np.float32)
+    maps = np.asarray(fc.fft_conv(
+        data, kernels=bank, mode="same", correlation=True,
+        algorithm="direct",
+    ))
+    thr = float(np.quantile(maps, 0.99))
+    want_v, want_p = _oracle_local_peaks(maps, k=12, threshold=thr)
+    vals, pos = detect_local_peaks(
+        data, bank, k=12, threshold=thr, mode="same", correlation=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals), want_v, rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(pos), want_p)
+    n_hits = int(np.isfinite(want_v[0]).sum())
+    assert 0 < n_hits < 12  # the padding path is actually exercised
+    assert (np.asarray(pos)[0, n_hits:] == -1).all()
+    # a cutoff above the global max finds nothing
+    v2, p2 = detect_local_peaks(
+        data, bank, k=4, threshold=float(maps.max()) + 1.0, mode="same"
+    )
+    assert not np.isfinite(np.asarray(v2)).any()
+    assert (np.asarray(p2) == -1).all()
+
+
+def test_detect_local_peaks_planted_templates(rng):
+    """Two templates planted far apart both surface (top-1 heads only see
+    the stronger one) — the DPM multi-detection scenario."""
+    from cuda_fft_convolution_tpu.models import detect_local_peaks
+
+    templ = rng.standard_normal((7, 7, 1)).astype(np.float32)
+    data = 0.02 * rng.standard_normal((64, 64, 1)).astype(np.float32)
+    spots = [(12, 15), (44, 40)]
+    for (y0, x0) in spots:
+        data[y0 : y0 + 7, x0 : x0 + 7] += templ
+    vals, pos = detect_local_peaks(
+        data, templ[None], k=2, mode="same", correlation=True
+    )
+    got = {tuple(p) for p in np.asarray(pos)[0]}
+    want = {(y0 + 3, x0 + 3) for (y0, x0) in spots}
+    assert got == want, (got, want)
+
+
+def test_detect_local_peaks_spectral_inputs_and_out_dtype(rng):
+    """Precomputed tiled spectra route + bf16 maps between producer and
+    reducer (positions must match the f32 path)."""
+    from cuda_fft_convolution_tpu.models import detect_local_peaks
+
+    data = rng.standard_normal((48, 48, 1)).astype(np.float32)
+    bank = rng.standard_normal((2, 5, 5, 1)).astype(np.float32)
+    want_v, want_p = detect_local_peaks(
+        data, bank, k=4, mode="same", correlation=True
+    )
+    sd = fc.fft_data_tiled(data, 5, 5, trim_mode="same")
+    sk = fc.fft_kernels(bank, spectral=sd, correlation=True,
+                        storage="planar")
+    v2, p2 = detect_local_peaks(sd, sk, k=4, mode="same")
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(want_v),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(want_p))
+    v3, p3 = detect_local_peaks(
+        data, bank, k=4, mode="same", correlation=True,
+        out_dtype="bfloat16",
+    )
+    np.testing.assert_array_equal(np.asarray(p3), np.asarray(want_p))
