@@ -98,4 +98,35 @@ print(f"pyramid: template 0 found at level {lvl}, base pos ({by},{bx}), "
       f"planted center {want_c}")
 assert lvl == 1, "2x-scaled template should win at the half-res level"
 assert abs(by - want_c[0]) <= 4 and abs(bx - want_c[1]) <= 4
+
+# multi-detection: ONE template planted at several places — the top-1 head
+# can only see the strongest instance; detect_local_peaks (thresholded
+# window-local maxima = DPM's consumer pattern) recovers all of them in a
+# single static-(N, k) result.
+from cuda_fft_convolution_tpu.models import detect_local_peaks  # noqa: E402
+
+multi = 0.02 * rng.standard_normal((H, W, F)).astype(np.float32)
+spots = [(30, 40), (30, 240), (180, 40), (180, 240), (100, 140)]
+for (y, x) in spots:
+    multi[y:y + K, x:x + K] += 3.0 * bank[0]
+lvals, lpos = detect_local_peaks(
+    multi, jnp.asarray(bank[:1]), k=8, window=5,
+    mode="same", correlation=True,  # no threshold: every local max ranked
+)
+lvals, lpos = np.asarray(lvals)[0], np.asarray(lpos)[0]
+thr = 0.5 * lvals[0]  # half the best score separates hits from noise
+keep = lvals > thr
+got = {tuple(p) for p in lpos[keep]}
+want = {(y + K // 2, x + K // 2) for (y, x) in spots}
+assert want <= got, (sorted(got), sorted(want))
+lv2, lp2 = detect_local_peaks(
+    multi, jnp.asarray(bank[:1]), k=8, window=5, threshold=float(thr),
+    mode="same", correlation=True,
+)
+lv2, lp2 = np.asarray(lv2)[0], np.asarray(lp2)[0]
+n2 = int(np.isfinite(lv2).sum())
+assert {tuple(p) for p in lp2[:n2]} == want, (lp2[:n2], want)
+print(f"local-peaks: all {len(spots)} planted instances of template 0 "
+      f"recovered (thresholded slots: {n2}/8, rest padded -inf)")
+
 print("demo_detect OK")
