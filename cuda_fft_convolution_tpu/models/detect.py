@@ -57,6 +57,11 @@ def detect_peaks(
     a `conv_spectral` call would take — the peaks head reuses them).
     ``kernels`` is a stacked uniform bank (N, Kh, Kw, F) or a
     :class:`SpectralKernels` at the matching block geometry (planar).
+    A RAGGED cell list (mixed kernel sizes — the reference's cell-array
+    scenario, demoCudaConvolutionFFT.m:41-43) is accepted for
+    mode='same' only: every 'same' map is data-sized, so the bucketed
+    per-cell maps stack and the reduction runs once across the whole
+    cell array (XLA head — no fused peaks kernel on this route).
 
     ``correlation=True`` by default: detection scores are correlations
     (the MOSSE/DPM convention — template matching, models/filter_bank.py
@@ -70,6 +75,17 @@ def detect_peaks(
         "detect_peaks modes: 'same', 'valid', 'full' (fftmap's circular "
         "frame has no meaningful global peak position)",
     )
+    if _ragged_sizes(kernels):
+        validate(mode == "same", _RAGGED_MODE_MSG)
+        maps = _ragged_same_maps(
+            data, kernels, correlation=correlation, algorithm=algorithm,
+            same_offset=same_offset, store_dtype=store_dtype,
+        )
+        if maps.ndim == 3:
+            vals, ys, xs = peaks_from_maps(maps[None])
+            return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
+        vals, ys, xs = peaks_from_maps(maps)
+        return vals, jnp.stack([ys, xs], axis=-1)
     if isinstance(data, SpectralData):
         # Direct-engine spectra (e.g. pyramid levels, models/pyramid.py):
         # score with conv_spectral, reduce with the XLA head — the maps
@@ -160,6 +176,65 @@ def _kernel_hw(kernels) -> tuple[int, int]:
         "detect_peaks takes a stacked uniform bank (N, Kh, Kw, F)",
     )
     return int(karr.shape[1]), int(karr.shape[2])
+
+
+def _ragged_sizes(kernels) -> bool:
+    """True when ``kernels`` is a mixed-size cell array (the reference's
+    cell-array scenario, demoCudaConvolutionFFT.m:41-43)."""
+    if isinstance(kernels, SpectralKernels):
+        return (
+            len(set(kernels.kernel_hs)) > 1
+            or len(set(kernels.kernel_ws)) > 1
+        )
+    if isinstance(kernels, (list, tuple)):
+        return len({tuple(jnp.asarray(kk).shape) for kk in kernels}) > 1
+    return False
+
+
+def _ragged_same_maps(
+    data,
+    kernels,
+    *,
+    correlation,
+    algorithm,
+    same_offset,
+    store_dtype,
+    out_dtype=None,
+):
+    """Stacked 'same' score maps for a mixed-size cell array. Every 'same'
+    map is data-sized regardless of kernel size, so the per-cell maps
+    (``fft_conv``'s pow-2 bucketing — one data FFT per bucket envelope)
+    stack into one (…, N, H, W) tensor and the detection reduction runs
+    ONCE across the whole cell array. 'valid'/'full' windows differ per
+    size, so the heads reject ragged cells there. The reduction fuses
+    into the map producers under jit like the uniform XLA head."""
+    if isinstance(data, (SpectralData, TiledSpectralData)):
+        # precomputed banks carry their flip already (fft_kernels
+        # correlation=...), matching the uniform heads' contract
+        corr = correlation and not isinstance(kernels, SpectralKernels)
+        maps = _api.conv_spectral(
+            data, kernels, mode="same", correlation=corr,
+            out_dtype=out_dtype,
+        )
+    else:
+        validate(
+            not isinstance(kernels, SpectralKernels),
+            "ragged SpectralKernels need the precomputed spectra they "
+            "were built against (pass the SpectralData, not raw arrays)",
+        )
+        maps = _api.fft_conv(
+            data, kernels=kernels, mode="same", correlation=correlation,
+            algorithm=algorithm, same_offset=same_offset,
+            store_dtype=store_dtype, out_dtype=out_dtype,
+        )
+    return jnp.stack([jnp.asarray(m) for m in maps], axis=-3)
+
+
+_RAGGED_MODE_MSG = (
+    "ragged cell arrays serve mode='same' detection only (the "
+    "'valid'/'full' windows differ per kernel size, so their maps "
+    "cannot share one reduction frame)"
+)
 
 
 def _tiled_head_operands(
@@ -263,6 +338,17 @@ def detect_top_k(
         "detect_top_k modes: 'same', 'valid', 'full' (fftmap's circular "
         "frame has no meaningful global peak positions)",
     )
+    if _ragged_sizes(kernels):
+        validate(mode == "same", _RAGGED_MODE_MSG)
+        maps = _ragged_same_maps(
+            data, kernels, correlation=correlation, algorithm=algorithm,
+            same_offset=same_offset, store_dtype=store_dtype,
+        )
+        if maps.ndim == 3:
+            vals, ys, xs = top_k_from_maps(maps[None], k)
+            return vals[0], jnp.stack([ys[0], xs[0]], axis=-1)
+        vals, ys, xs = top_k_from_maps(maps, k)
+        return vals, jnp.stack([ys, xs], axis=-1)
     if isinstance(data, SpectralData):
         _kernel_hw(kernels)  # reject ragged banks up front
         maps = jnp.asarray(
@@ -362,7 +448,8 @@ def detect_local_peaks(
     the dilation+mask+top-k reduce them in XLA, fused into the producer
     under jit. ``out_dtype='bfloat16'`` halves the maps traffic between
     producer and reducer where they do materialize (scores compare in
-    f32 after upcast; returned values are the upcast scores)."""
+    f32 after upcast; returned values are the upcast scores). Ragged
+    cell lists are accepted for mode='same' (see :func:`detect_peaks`)."""
     validate(int(k) >= 1, f"k must be >= 1; got {k}")
     validate(int(window) >= 2, f"window must be >= 2; got {window}")
     validate(
@@ -372,22 +459,29 @@ def detect_local_peaks(
     )
     from cuda_fft_convolution_tpu.ops.tiled import local_peaks_from_maps
 
-    _kernel_hw(kernels)  # uniform banks only
-    if isinstance(data, (SpectralData, TiledSpectralData)):
-        # precomputed banks carry their flip already (fft_kernels
-        # correlation=...), matching the other heads' contract
-        corr = correlation and not isinstance(kernels, SpectralKernels)
-        maps = _api.conv_spectral(
-            data, kernels, mode=mode, correlation=corr,
+    if _ragged_sizes(kernels):
+        validate(mode == "same", _RAGGED_MODE_MSG)
+        maps = _ragged_same_maps(
+            data, kernels, correlation=correlation, algorithm=algorithm,
+            same_offset=same_offset, store_dtype=store_dtype,
             out_dtype=out_dtype,
         )
+    elif isinstance(data, (SpectralData, TiledSpectralData)):
+        # precomputed banks carry their flip already (fft_kernels
+        # correlation=...), matching the other heads' contract
+        _kernel_hw(kernels)
+        corr = correlation and not isinstance(kernels, SpectralKernels)
+        maps = jnp.asarray(_api.conv_spectral(
+            data, kernels, mode=mode, correlation=corr,
+            out_dtype=out_dtype,
+        ))
     else:
-        maps = _api.fft_conv(
+        _kernel_hw(kernels)
+        maps = jnp.asarray(_api.fft_conv(
             data, kernels=kernels, mode=mode, correlation=correlation,
             algorithm=algorithm, same_offset=same_offset,
             store_dtype=store_dtype, out_dtype=out_dtype,
-        )
-    maps = jnp.asarray(maps)
+        ))
     if maps.ndim == 3:  # (N, H, W) unbatched
         vals, ys, xs = local_peaks_from_maps(
             maps[None], int(k), int(window), threshold

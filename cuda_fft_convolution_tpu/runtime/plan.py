@@ -41,6 +41,7 @@ class FftConvPlan:
     _data_fft_exec: object
     _kernel_fft_exec: object
     _conv_exec: object
+    head: str | None = None  # None (maps) | 'peaks' | 'top_k' | 'local_peaks'
 
     def data_fft(self, data):
         """Compiled ≈ cudaFFTData: (re, im) f32 plane pair
@@ -67,9 +68,42 @@ class FftConvPlan:
     def execute_spectral(self, dfft, kfft):
         """Compiled ≈ cudaConvFFTData: MAC + inverse only (amortized path).
         ``dfft``/``kfft`` are the (re, im) plane pairs from data_fft /
-        kernel_fft."""
-        maps = self._conv_exec(*dfft, *kfft)
-        return maps if len(self.data_shape) == 4 else maps[0]
+        kernel_fft. With a baked ``head`` the compiled program returns
+        ``(values, positions)`` instead of maps (see ``make_plan``)."""
+        out = self._conv_exec(*dfft, *kfft)
+        if len(self.data_shape) == 4:
+            return out
+        if self.head is None:
+            return out[0]
+        return jax.tree.map(lambda x: x[0], out)
+
+
+def _head_wrap(conv_fn, head, head_k, head_window, head_threshold):
+    """Wrap a maps-producing ``_conv`` with the selected detection head
+    BEFORE lowering, so the reduction compiles into the same program
+    (maps stay an XLA intermediate). ``conv_fn`` yields (B, N, h, w) on
+    both engines; the wrapped program yields ``(values, positions)``."""
+    if head is None:
+        return conv_fn
+    from cuda_fft_convolution_tpu.ops.tiled import (
+        local_peaks_from_maps,
+        peaks_from_maps,
+        top_k_from_maps,
+    )
+
+    def _conv_head(d_re, d_im, k_re, k_im):
+        maps = conv_fn(d_re, d_im, k_re, k_im)
+        if head == "peaks":
+            vals, ys, xs = peaks_from_maps(maps)
+        elif head == "top_k":
+            vals, ys, xs = top_k_from_maps(maps, int(head_k))
+        else:
+            vals, ys, xs = local_peaks_from_maps(
+                maps, int(head_k), int(head_window), head_threshold
+            )
+        return vals, jnp.stack([ys, xs], axis=-1)
+
+    return _conv_head
 
 
 def make_plan(
@@ -84,6 +118,10 @@ def make_plan(
     store_dtype: str = "float32",
     same_offset: str = "scipy",
     out_dtype: str | None = None,
+    head: str | None = None,
+    head_k: int = 1,
+    head_window: int = 3,
+    head_threshold: float | None = None,
 ) -> FftConvPlan:
     """AOT-compile a plan for channel-last ``data_shape`` ((H, W, F) or
     (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F).
@@ -102,9 +140,39 @@ def make_plan(
 
     ``out_dtype='bfloat16'``: bf16 output MAPS baked into the compiled
     program (see api.conv_spectral) — half the output write traffic and
-    half the in-flight bytes per frame for a depth-bounded server."""
+    half the in-flight bytes per frame for a depth-bounded server.
+
+    ``head``: bake a DETECTION head into the compiled program — the plan
+    then returns ``(values, positions)`` instead of maps ('peaks' top-1:
+    (N,)/(N, 2); 'top_k': (N, head_k)/(N, head_k, 2); 'local_peaks':
+    thresholded window-local maxima, ``head_window``/``head_threshold``
+    STATIC at plan build — serving cutoffs are plan config; use
+    models.detect_local_peaks for a per-call traced threshold). The
+    reduction fuses into the compiled program's epilogue: maps never
+    leave the device, a served frame's in-flight working set drops from
+    the full maps to (N, k) scalars (deeper pipelines for the same HBM,
+    and a ~10⁴× smaller host fetch through a tunneled runtime — the
+    reference demo's consumer reads exactly these peak locations,
+    demoCudaConvolutionFFT.m:58-61)."""
     validate(algorithm in ("direct", "tiled"), "algorithm: 'direct'|'tiled'")
     from cuda_fft_convolution_tpu.api import _resolve_out_dtype
+
+    validate(
+        head in (None, "peaks", "top_k", "local_peaks"),
+        f"head must be None, 'peaks', 'top_k' or 'local_peaks'; got {head!r}",
+    )
+    if head is not None:
+        validate(
+            mode != "fftmap",
+            "detection heads need a linear output window ('full'/'same'/"
+            "'valid') — fftmap's circular frame has no meaningful peak "
+            "positions",
+        )
+        validate(int(head_k) >= 1, f"head_k must be >= 1; got {head_k}")
+        validate(
+            int(head_window) >= 2,
+            f"head_window must be >= 2; got {head_window}",
+        )
 
     out_t = _resolve_out_dtype(out_dtype)
     validate(
@@ -207,9 +275,12 @@ def make_plan(
             kfft_aval=kfft_aval,
             _data_fft_exec=jax.jit(_data_fft_t).lower(data_aval).compile(),
             _kernel_fft_exec=jax.jit(_kernel_fft_t).lower(kern_aval).compile(),
-            _conv_exec=jax.jit(_conv)
+            _conv_exec=jax.jit(
+                _head_wrap(_conv, head, head_k, head_window, head_threshold)
+            )
             .lower(*dfft_avals, kfft_aval, kfft_aval)
             .compile(),
+            head=head,
         )
 
     fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
@@ -287,7 +358,10 @@ def make_plan(
         kfft_aval=kfft_aval,
         _data_fft_exec=jax.jit(_data_fft).lower(data_aval).compile(),
         _kernel_fft_exec=jax.jit(_kernel_fft).lower(kern_aval).compile(),
-        _conv_exec=jax.jit(_conv)
+        _conv_exec=jax.jit(
+            _head_wrap(_conv, head, head_k, head_window, head_threshold)
+        )
         .lower(dfft_aval, dfft_aval, kfft_aval, kfft_aval)
         .compile(),
+        head=head,
     )

@@ -130,3 +130,25 @@ print(f"local-peaks: all {len(spots)} planted instances of template 0 "
       f"recovered (thresholded slots: {n2}/8, rest padded -inf)")
 
 print("demo_detect OK")
+
+# ragged cell array straight through the head (round 4: mode='same' maps
+# are data-sized regardless of kernel size, so mixed-size cells share one
+# stacked reduction — the reference's cell-array scenario,
+# demoCudaConvolutionFFT.m:41-43, served by detect_peaks directly)
+rag_sizes = (9, 17, 33)
+rag_cells = [
+    rng.standard_normal((k, k, F)).astype(np.float32) for k in rag_sizes
+]
+scene = 0.02 * rng.standard_normal((H, W, F)).astype(np.float32)
+rag_at = [(40, 50), (120, 200), (170, 60)]
+for c, (y, x) in zip(rag_cells, rag_at):
+    scene[y:y + c.shape[0], x:x + c.shape[1]] += 2.0 * c
+rv, rp = detect_peaks(scene, rag_cells, mode="same", correlation=True)
+rp = np.asarray(rp)
+for i, (c, (y, x)) in enumerate(zip(rag_cells, rag_at)):
+    want = (y + (c.shape[0] - 1) // 2, x + (c.shape[1] - 1) // 2)
+    assert tuple(rp[i]) == want, (i, tuple(rp[i]), want)
+print(f"ragged cells: {len(rag_cells)} mixed sizes {rag_sizes} each found "
+      "at its planted center through one detect_peaks call")
+
+print("demo_detect ragged OK")

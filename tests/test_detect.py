@@ -217,11 +217,14 @@ def test_detect_peaks_direct_spectral_data(rng):
         )
         _, wp = _oracle_peaks(m)
         np.testing.assert_array_equal(np.asarray(bp)[b], wp)
-    # ragged cells rejected like every other peaks entry point
+    # ragged cells serve mode='same' only — 'valid' windows differ per
+    # size and stay rejected (test_detect_heads_ragged_* cover the
+    # supported route)
     with pytest.raises(fc.InvalidInputError):
         detect_peaks(
             sd,
             [np.ones((5, 5, 2), np.float32), np.ones((3, 3, 2), np.float32)],
+            mode="valid",
         )
 
 
@@ -238,8 +241,9 @@ def test_detect_peaks_spectral_kernels_and_validation(rng):
     np.testing.assert_array_equal(np.asarray(pos), want_p)
     with pytest.raises(fc.InvalidInputError):
         detect_peaks(data, bank, mode="fftmap")
+    # ragged cells serve mode='same' only (see test_detect_heads_ragged)
     with pytest.raises(fc.InvalidInputError):
-        detect_peaks(data, [bank[0], bank[1][:3]], mode="same")
+        detect_peaks(data, [bank[0], bank[1][:3]], mode="valid")
 
 
 def test_peaks_kernel_v4_radix_parity(rng):
@@ -468,3 +472,88 @@ def test_detect_local_peaks_spectral_inputs_and_out_dtype(rng):
         out_dtype="bfloat16",
     )
     np.testing.assert_array_equal(np.asarray(p3), np.asarray(want_p))
+
+
+def test_detect_heads_ragged_cells(rng):
+    """Ragged cell arrays (mixed kernel sizes — the reference's cell-array
+    scenario, demoCudaConvolutionFFT.m:41-43) through all three heads at
+    mode='same': every 'same' map is data-sized, so parity is stacking the
+    per-cell maps and reducing once."""
+    from cuda_fft_convolution_tpu.models import (
+        detect_local_peaks, detect_peaks, detect_top_k,
+    )
+
+    data = rng.standard_normal((48, 56, 2)).astype(np.float32)
+    cells = [
+        rng.standard_normal((k, k, 2)).astype(np.float32)
+        for k in (5, 9, 17)
+    ]
+    stacked = np.stack([
+        np.asarray(m) for m in fc.fft_conv(
+            data, kernels=cells, mode="same", correlation=True,
+            algorithm="direct",
+        )
+    ])
+    want_v, want_p = _oracle_peaks(stacked)
+    vals, pos = detect_peaks(data, cells, mode="same", correlation=True)
+    np.testing.assert_array_equal(np.asarray(pos), want_p)
+    np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-4)
+    # top-k: returned hits must score exactly what the maps say, and the
+    # k=1 column must be the global peak
+    tv, tp = detect_top_k(data, cells, k=3, mode="same", correlation=True)
+    tv, tp = np.asarray(tv), np.asarray(tp)
+    np.testing.assert_allclose(tv[:, 0], want_v, rtol=1e-4)
+    for i in range(len(cells)):
+        for j in range(3):
+            y, x = tp[i, j]
+            np.testing.assert_allclose(
+                tv[i, j], stacked[i, y, x], rtol=1e-4
+            )
+        assert (tv[i, :-1] >= tv[i, 1:]).all()
+    # thresholded local maxima vs the brute-force oracle on stacked maps
+    want_lv, want_lp = _oracle_local_peaks(stacked, k=6, window=3)
+    lv, lp = detect_local_peaks(
+        data, cells, k=6, window=3, mode="same", correlation=True
+    )
+    np.testing.assert_allclose(np.asarray(lv), want_lv, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(lp), want_lp)
+
+
+def test_detect_heads_ragged_spectral_and_batched(rng):
+    """Ragged cells against precomputed direct spectra (one data FFT at
+    the largest envelope serves every cell), and batched ragged local
+    peaks; 'valid' stays rejected."""
+    from cuda_fft_convolution_tpu.models import (
+        detect_local_peaks, detect_peaks,
+    )
+
+    data = rng.standard_normal((40, 44, 1)).astype(np.float32)
+    cells = [
+        rng.standard_normal((k, k, 1)).astype(np.float32)
+        for k in (5, 11)
+    ]
+    want_v, want_p = detect_peaks(
+        data, cells, mode="same", correlation=True
+    )
+    sd = fc.fft_data(data, 11, 11)
+    v2, p2 = detect_peaks(sd, cells, mode="same", correlation=True)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(want_p))
+    np.testing.assert_allclose(
+        np.asarray(v2), np.asarray(want_v), rtol=1e-4
+    )
+    batch = rng.standard_normal((2, 40, 44, 1)).astype(np.float32)
+    bv, bp = detect_local_peaks(
+        batch, cells, k=4, mode="same", correlation=True
+    )
+    for b in range(2):
+        sv, sp = detect_local_peaks(
+            batch[b], cells, k=4, mode="same", correlation=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(bv)[b], np.asarray(sv), rtol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(bp)[b], np.asarray(sp))
+    with pytest.raises(fc.InvalidInputError):
+        detect_peaks(data, cells, mode="valid", correlation=True)
+    with pytest.raises(fc.InvalidInputError):
+        detect_local_peaks(data, cells, k=4, mode="full")

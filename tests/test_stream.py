@@ -335,3 +335,114 @@ def test_ragged_stream_future_join_and_validation(rng):
         fc.RaggedConvStream(
             (30, 30, 2), [rng.standard_normal((4, 4)).astype(np.float32)]
         )
+
+
+def test_plan_head_peaks_and_top_k(rng):
+    """Detection heads baked into AOT plans: the compiled program returns
+    (values, positions) matching the reduction of the maps plan's output
+    — direct and tiled engines, unbatched and batched."""
+    from cuda_fft_convolution_tpu.ops.tiled import (
+        peaks_from_maps, top_k_from_maps,
+    )
+
+    kerns = rng.standard_normal((3, 5, 7, 2)).astype(np.float32)
+    frame = rng.standard_normal((40, 44, 2)).astype(np.float32)
+    for algorithm in ("direct", "tiled"):
+        maps_plan = fc.make_plan(
+            (40, 44, 2), kerns.shape, algorithm=algorithm, mode="same"
+        )
+        maps = np.asarray(maps_plan.execute(frame, kerns))
+        wv, wy, wx = peaks_from_maps(np.asarray(maps)[None])
+        plan = fc.make_plan(
+            (40, 44, 2), kerns.shape, algorithm=algorithm, mode="same",
+            head="peaks",
+        )
+        assert plan.head == "peaks"
+        vals, pos = plan.execute(frame, kerns)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(wv)[0], rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pos),
+            np.stack([np.asarray(wy)[0], np.asarray(wx)[0]], axis=-1),
+        )
+    # top_k, batched
+    bframe = rng.standard_normal((2, 40, 44, 2)).astype(np.float32)
+    mplan = fc.make_plan((2, 40, 44, 2), kerns.shape, mode="valid")
+    bmaps = np.asarray(mplan.execute(bframe, kerns))
+    wv, wy, wx = top_k_from_maps(bmaps, 4)
+    tplan = fc.make_plan(
+        (2, 40, 44, 2), kerns.shape, mode="valid", head="top_k", head_k=4
+    )
+    vals, pos = tplan.execute(bframe, kerns)
+    assert vals.shape == (2, 3, 4) and pos.shape == (2, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(wv), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(pos), np.stack([np.asarray(wy), np.asarray(wx)], -1)
+    )
+    with pytest.raises(fc.InvalidInputError):
+        fc.make_plan((40, 44, 2), kerns.shape, mode="fftmap", head="peaks")
+    with pytest.raises(fc.InvalidInputError):
+        fc.make_plan((40, 44, 2), kerns.shape, mode="same", head="argmax")
+
+
+def test_stream_head_serving(rng):
+    """ConvStream with a baked head: futures resolve to (values,
+    positions); thresholded local-peaks plan recovers planted templates."""
+    from cuda_fft_convolution_tpu.models import detect_local_peaks
+
+    templ = rng.standard_normal((2, 9, 9, 1)).astype(np.float32)
+    frames = []
+    spots = [(10, 12), (40, 50)]
+    for _ in range(3):
+        f = 0.02 * rng.standard_normal((64, 64, 1)).astype(np.float32)
+        for t, (y, x) in zip(templ, spots):
+            f[y:y + 9, x:x + 9] += 2.0 * t
+        frames.append(f)
+    with fc.ConvStream.create(
+        (64, 64, 1), templ, depth=2, mode="same", correlation=True,
+        head="local_peaks", head_k=4, head_window=5,
+    ) as stream:
+        futs = [stream.submit(f) for f in frames]
+        for f, fut in zip(frames, futs):
+            vals, pos = fut.result()
+            assert vals.shape == (2, 4) and pos.shape == (2, 4, 2)
+            want_v, want_p = detect_local_peaks(
+                f, templ, k=4, window=5, mode="same", correlation=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(vals), np.asarray(want_v), rtol=1e-4
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pos), np.asarray(want_p)
+            )
+            for i, (y, x) in enumerate(spots):
+                assert tuple(np.asarray(pos)[i, 0]) == (y + 4, x + 4)
+
+
+def test_ragged_stream_head_serving(rng):
+    """RaggedConvStream under a head plan: per-cell (values, positions)
+    tuples in cell order, each matching its own single-cell detection."""
+    from cuda_fft_convolution_tpu.models import detect_peaks
+
+    cells = [
+        rng.standard_normal((5, 5, 1)).astype(np.float32),
+        rng.standard_normal((11, 11, 1)).astype(np.float32),
+        rng.standard_normal((5, 5, 1)).astype(np.float32),
+    ]
+    frame = rng.standard_normal((48, 48, 1)).astype(np.float32)
+    with fc.RaggedConvStream(
+        (48, 48, 1), cells, depth=1, mode="same", correlation=True,
+        head="peaks",
+    ) as stream:
+        res = stream.submit(frame).result()
+    assert len(res) == 3
+    want_v, want_p = detect_peaks(
+        frame, cells, mode="same", correlation=True
+    )
+    for i, (v, p) in enumerate(res):
+        assert v.shape == () and p.shape == (2,)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(want_v)[i], rtol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(want_p)[i])
