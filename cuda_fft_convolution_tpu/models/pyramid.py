@@ -123,9 +123,12 @@ def detect_pyramid_peaks(
     ever leave the chip. The reference's own demo validates detections by
     peak location, not map contents (demoCudaConvolutionFFT.m:58-61).
 
-    ``kernels`` is a stacked uniform bank (N, Kh, Kw, F) — ragged cells
-    must be bucketed first, like detect_peaks. ``mode='fftmap'`` is
-    rejected (its circular frame has no meaningful global peak)."""
+    ``kernels`` is a stacked uniform bank (N, Kh, Kw, F), or — for
+    mode='same' only, exactly like :func:`detect_peaks` — a ragged cell
+    list (mixed kernel sizes, the reference's cell-array scenario,
+    demoCudaConvolutionFFT.m:41-43): every 'same' map is level-sized, so
+    the per-level reductions share one frame per level. ``mode='fftmap'``
+    is rejected (its circular frame has no meaningful global peak)."""
     from cuda_fft_convolution_tpu.models.detect import detect_peaks
 
     import numpy as np

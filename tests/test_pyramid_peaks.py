@@ -100,14 +100,29 @@ def test_pyramid_peaks_finds_scaled_template(rng):
     assert (int(det.positions[1, 0, 0]), int(det.positions[1, 0, 1])) == (r, c)
 
 
-def test_pyramid_peaks_rejects_ragged_and_fftmap(rng):
+def test_pyramid_peaks_ragged_same_and_fftmap_rejection(rng):
+    """Ragged cell lists flow through per-level detect_peaks for
+    mode='same' (parity vs the maps oracle); 'valid' ragged and 'fftmap'
+    are rejected — same contract as detect_peaks."""
     img = rng.standard_normal((48, 48, 1)).astype(np.float32)
     pyr = build_pyramid(img, 8, 8, num_levels=2, scale=0.5)
-    with pytest.raises(fc.InvalidInputError):
-        detect_pyramid_peaks(
-            pyr,
-            [np.ones((8, 8, 1), np.float32), np.ones((4, 4, 1), np.float32)],
+    cells = [
+        rng.standard_normal((8, 8, 1)).astype(np.float32),
+        rng.standard_normal((4, 4, 1)).astype(np.float32),
+    ]
+    det = detect_pyramid_peaks(pyr, cells)
+    assert det.values.shape == (len(pyr.levels), 2)
+    level_maps = detect_pyramid(pyr, cells, mode="same")
+    for lvl, maps in enumerate(level_maps):
+        want_v, want_p = _oracle_level_peaks(np.stack(
+            [np.asarray(m) for m in maps]
+        ))
+        np.testing.assert_allclose(
+            np.asarray(det.values[lvl]), want_v, rtol=1e-4
         )
+        np.testing.assert_array_equal(np.asarray(det.positions[lvl]), want_p)
+    with pytest.raises(fc.InvalidInputError):
+        detect_pyramid_peaks(pyr, cells, mode="valid")
     with pytest.raises(fc.InvalidInputError):
         detect_pyramid_peaks(pyr, np.ones((1, 8, 8, 1), np.float32),
                              mode="fftmap")
