@@ -74,13 +74,15 @@ def _split_hi_lo(x):
     return hi, lo
 
 
-def _make_dot(precision):
-    """Row-major (K-contraction on lhs axis 1) dot for the fused kernels,
-    honoring the BF16X3 / BF16IO precision sentinels."""
+def _make_dot_generic(precision, dimension_numbers):
+    """Dot factory honoring the BF16X3 / BF16IO precision sentinels for an
+    arbitrary contraction layout (the fused kernels use axis-1 contraction
+    for the transform dots and axis-0 contraction for the v5x rank-1
+    sliver outer product — Mosaic takes both as layout flags)."""
     if precision == BF16IO:
         base = functools.partial(
             jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=dimension_numbers,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
@@ -92,7 +94,7 @@ def _make_dot(precision):
     if precision == BF16X3:
         base = functools.partial(
             jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=dimension_numbers,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
@@ -105,10 +107,23 @@ def _make_dot(precision):
         return dot
     return functools.partial(
         jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=dimension_numbers,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
+
+
+def _make_dot_t0(precision):
+    """Axis-0-contraction dot: (K, M) × (K, N) → (M, N). Used by the v5x
+    kernel's rank-1 sliver update ((1, R) × (1, Tn) outer product on the
+    MXU)."""
+    return _make_dot_generic(precision, (((0,), (0,)), ((), ())))
+
+
+def _make_dot(precision):
+    """Row-major (K-contraction on lhs axis 1) dot for the fused kernels,
+    honoring the BF16X3 / BF16IO precision sentinels."""
+    return _make_dot_generic(precision, (((1,), (0,)), ((), ())))
 
 
 def _make_kernel_v3(mbh: int, mbw: int, f: int, vh: int, vw: int, wc: int,
@@ -435,16 +450,36 @@ _BUILTIN_RADIX_W_PEAKS: set = {
 }
 
 
+# Plans whose registered v5 variant is v5x (XLA-hoisted Nyquist sliver +
+# in-kernel rank-1 MXU update — see _make_kernel_v5x) rather than the
+# original in-kernel-sliver v5. Keys as in _RADIX_W_TABLE; membership here
+# is meaningful only for keys that are also radix-w-enabled.
+_RADIX_W_XSLIVER: set = set()
+_RADIX_W_XSLIVER_PEAKS: set = set()
+_BUILTIN_RADIX_W_XSLIVER: set = set()
+_BUILTIN_RADIX_W_XSLIVER_PEAKS: set = set()
+
+
 def register_radix_w_plan(
     block_h: int, block_w: int, kw: int, spec_bytes: int = 4, f: int = 1,
-    head: str = "conv",
+    head: str = "conv", sliver: str = "kernel",
 ) -> None:
     """Pin a measured-winning v5 DIF plan (see _RADIX_W_TABLE) for banks
     with exactly ``f`` feature channels at the given storage tier.
     ``head='peaks'`` registers for the detection head's kernel instead
-    (separate table — the winners can differ per head)."""
+    (separate table — the winners can differ per head). ``sliver='xla'``
+    selects the v5x variant (Nyquist sliver synthesized outside the
+    kernel, applied as a rank-1 MXU dot) for this plan."""
+    key = (block_h, block_w, kw, int(spec_bytes), int(f))
     table = _RADIX_W_TABLE_PEAKS if head == "peaks" else _RADIX_W_TABLE
-    table.add((block_h, block_w, kw, int(spec_bytes), int(f)))
+    table.add(key)
+    xtable = (
+        _RADIX_W_XSLIVER_PEAKS if head == "peaks" else _RADIX_W_XSLIVER
+    )
+    if sliver == "xla":
+        xtable.add(key)
+    else:
+        xtable.discard(key)
     # trace-time dispatch: outer jitted workers (ops.tiled.conv_blocks /
     # conv_blocks_peaks) inline the radix_w_enabled decision — clearing
     # only the kernel wrappers would leave their stale executables live
@@ -475,6 +510,23 @@ def radix_w_enabled(
         return False
     vh, vw = block_h - kh + 1, block_w - kw + 1
     return radix_h_legal(block_h, vh) and radix_w_legal(block_w, kw, vw)
+
+
+def radix_w_xsliver(
+    block_h: int, block_w: int, kw: int, spec_bytes: int = 4,
+    f: int = 1, head: str = "conv",
+) -> bool:
+    """Whether a radix-w-enabled plan should run the v5x variant
+    (XLA-hoisted sliver) instead of the in-kernel-sliver v5 — a
+    per-(plan, tier, F, head) measured registration like the plan
+    itself."""
+    key = (block_h, block_w, kw, int(spec_bytes), int(f))
+    if head == "peaks":
+        return (
+            key in _RADIX_W_XSLIVER_PEAKS
+            or key in _BUILTIN_RADIX_W_XSLIVER_PEAKS
+        )
+    return key in _RADIX_W_XSLIVER or key in _BUILTIN_RADIX_W_XSLIVER
 
 
 def register_fused_group(
@@ -533,7 +585,8 @@ def _choose_group(
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
                      "interpret", "precision", "karatsuba", "mbh", "mbw",
-                     "wstack", "radix_h", "radix_w", "out_dtype"),
+                     "wstack", "radix_h", "radix_w", "xsliver",
+                     "out_dtype"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
@@ -555,6 +608,7 @@ def block_conv_pallas(
     wstack: bool = True,
     radix_h: bool = False,
     radix_w: bool = False,
+    xsliver: bool = False,
     out_dtype=None,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
@@ -690,8 +744,16 @@ def block_conv_pallas(
         )
         l4 = block_w // 4
         wc_full = block_w // 2 + 1
-        dslr, dsli = dr[..., wc_full - 1 :], di[..., wc_full - 1 :]
-        kslr, ksli = kr[..., wc_full - 1 :], ki[..., wc_full - 1 :]
+        if xsliver:
+            # v5x: sliver synthesized OUTSIDE (from the H-permuted
+            # planes), handed in as one aligned operand per group
+            slv, par = _xsliver_operands(
+                dr, di, kr, ki, block_h, block_w, kw, vh, vw,
+                mbh, mbw, gbh, gbw,
+            )
+        else:
+            dslr, dsli = dr[..., wc_full - 1 :], di[..., wc_full - 1 :]
+            kslr, ksli = kr[..., wc_full - 1 :], ki[..., wc_full - 1 :]
         perm_w = jnp.concatenate(
             [jnp.arange(0, 2 * l4, 2), jnp.arange(1, 2 * l4, 2)]
         )
@@ -740,16 +802,53 @@ def block_conv_pallas(
             lambda bi, gh, gw, ni: (bi, ni, gh, gw),
             memory_space=pltpu.VMEM,
         )
-        kern = _make_kernel_v5(
-            mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, precision,
-            karatsuba
-        )
         rows = mbh * vh
-        scratch = [
-            pltpu.VMEM((rows, wc2), jnp.float32),  # xr
-            pltpu.VMEM((rows, wc2), jnp.float32),  # xi
-            pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),  # slr
-        ]
+        if xsliver:
+            spec_slv = pl.BlockSpec(
+                (1, 1, 1, 1, mbw, rows),
+                lambda bi, gh, gw, ni: (bi, ni, gh, gw, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            spec_par = pl.BlockSpec(
+                (1, tn), lambda bi, gh, gw, ni: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            kern = _make_kernel_v5x(
+                mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, precision,
+                karatsuba
+            )
+            scratch = [
+                pltpu.VMEM((rows, wc2), jnp.float32),  # xr
+                pltpu.VMEM((rows, wc2), jnp.float32),  # xi
+            ]
+            in_specs = [
+                spec_d, spec_d, spec_k5, spec_k5,
+                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_slv, spec_par,
+            ]
+            operands = (dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m,
+                        oqr_m, oqi_m, slv, par)
+        else:
+            kern = _make_kernel_v5(
+                mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, precision,
+                karatsuba
+            )
+            scratch = [
+                pltpu.VMEM((rows, wc2), jnp.float32),  # xr
+                pltpu.VMEM((rows, wc2), jnp.float32),  # xi
+                pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),  # slr
+            ]
+            in_specs = [
+                spec_d, spec_d, spec_k5, spec_k5,
+                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_dsl, spec_dsl, spec_ksl, spec_ksl,
+            ]
+            operands = (dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m,
+                        oqr_m, oqi_m, dslr, dsli, kslr, ksli)
         flops = (
             8 * f * lh * wc2  # MAC
             + 16 * m_h * m_h * wc2 + 8 * m_h * wc2  # H radix
@@ -759,13 +858,7 @@ def block_conv_pallas(
             kern,
             grid=grid,
             scratch_shapes=scratch,
-            in_specs=[
-                spec_d, spec_d, spec_k5, spec_k5,
-                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
-                spec_c2((l4, tn)), spec_c2((l4, tn)),
-                spec_c2((l4, tn)), spec_c2((l4, tn)),
-                spec_dsl, spec_dsl, spec_ksl, spec_ksl,
-            ],
+            in_specs=in_specs,
             out_specs=out_spec5,
             out_shape=jax.ShapeDtypeStruct(
                 (b, n, out_h, out_w), out_dt
@@ -781,8 +874,7 @@ def block_conv_pallas(
                 transcendentals=4 * (m_h + l4),
             ),
             interpret=interpret,
-        )(dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m, oqr_m, oqi_m,
-          dslr, dsli, kslr, ksli)
+        )(*operands)
 
     mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32
     if radix_h:
@@ -941,6 +1033,172 @@ def _dif_w_mats(block_w: int, kw: int, vw: int) -> tuple:
         epr.astype(np.float32), epi.astype(np.float32),
         oqr.astype(np.float32), oqi.astype(np.float32),
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _sliver_h_mats(lh: int, vh: int) -> tuple:
+    """Windowed H-synthesis matrices for the XLA-side Nyquist sliver
+    (v5x): rows are the v4 window's output times t = w0..lh−1
+    (w0 = lh − vh), columns the EVEN-THEN-ODD permuted H bins (the planes
+    arrive H-permuted for the radix stage; folding the permutation into
+    the matrix columns avoids un-permuting the spectra). 1/lh inverse
+    normalization folded."""
+    import numpy as np
+
+    w0 = lh - vh
+    u = np.concatenate(
+        [np.arange(0, lh, 2), np.arange(1, lh, 2)]
+    ).astype(np.float64)
+    t = (w0 + np.arange(vh)).astype(np.float64)[:, None]
+    ph = 2.0 * np.pi * t * u[None, :] / lh
+    return (
+        (np.cos(ph) / lh).astype(np.float32),
+        (np.sin(ph) / lh).astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _sliver_parity_row(block_w: int, kw: int, vw: int):
+    """(1, Tn) Nyquist parity row for the v5x rank-1 sliver update:
+    par[k] = (−1)^{t0+k} / W over the shared t'-columns (the same
+    coefficients the v5 kernel builds from an in-kernel iota)."""
+    import numpy as np
+
+    l2 = block_w // 2
+    t0 = kw - 1
+    tn = min(vw, l2)
+    k = np.arange(tn)
+    return (
+        np.where((k + t0) % 2 == 0, 1.0, -1.0) / block_w
+    ).astype(np.float32)[None, :]
+
+
+def _xsliver_operands(dr, di, kr, ki, block_h, block_w, kw, vh, vw,
+                      mbh, mbw, gbh, gbw):
+    """XLA-side Nyquist-sliver synthesis for the v5x kernels.
+
+    The v5 kernel's in-kernel sliver path (1-lane HBM operands per
+    (group, kernel), an F-unrolled VPU MAC, per-block (M, M) VPU matvecs,
+    (vh, 128) broadcast stores and a VPU rank-1 update) measured as the
+    tier-constant cost that made the DIF stage LOSE at bf16io and F ≥ 2
+    (PERF.md rounds 4b/4e). The whole sliver pipeline is linear, so v5x
+    computes the windowed sliver columns for every (batch, kernel, block)
+    OUTSIDE the kernel — two tiny einsums over the Nyquist lanes — and
+    hands the kernel one aligned (B, N, gbh, gbw, MBW, MBH·Vh) operand it
+    applies as a single rank-1 MXU dot per column group.
+
+    Called on the H-PERMUTED (pre-W-permute) planes; returns (slv, par)
+    f32. Inputs padded to the group grid produce zero slivers for the pad
+    blocks (zero spectra), matching the main planes."""
+    wc_full = block_w // 2 + 1
+    f32 = jnp.float32
+    dnr = dr[..., wc_full - 1].astype(f32)  # (B, nbh', nbw', F, Lh)
+    dni = di[..., wc_full - 1].astype(f32)
+    knr = kr[..., wc_full - 1].astype(f32)  # (N, F, Lh)
+    kni = ki[..., wc_full - 1].astype(f32)
+    pr = jnp.einsum("bhwfu,nfu->bnhwu", dnr, knr) - jnp.einsum(
+        "bhwfu,nfu->bnhwu", dni, kni
+    )
+    pi = jnp.einsum("bhwfu,nfu->bnhwu", dnr, kni) + jnp.einsum(
+        "bhwfu,nfu->bnhwu", dni, knr
+    )
+    cn_np, sn_np = _sliver_h_mats(block_h, vh)
+    sl = pr @ jnp.asarray(cn_np).T - pi @ jnp.asarray(sn_np).T
+    b, n = sl.shape[0], sl.shape[1]
+    sl = sl.reshape(b, n, gbh, mbh, gbw, mbw, vh)
+    sl = jnp.transpose(sl, (0, 1, 2, 4, 5, 3, 6)).reshape(
+        b, n, gbh, gbw, mbw, mbh * vh
+    )
+    par = jnp.asarray(_sliver_parity_row(block_w, kw, vw))
+    return sl, par
+
+
+def _make_kernel_v5x(mbh: int, mbw: int, f: int, vh: int, vw: int,
+                     lh: int, w0: int, block_w: int, kw: int, precision,
+                     karatsuba):
+    """v5x: the v5 DIF W-stage kernel with the Nyquist sliver hoisted to
+    XLA (see :func:`_xsliver_operands`). In-kernel the sliver is ONE
+    rank-1 MXU dot per column group — (1, R) windowed sliver values ×
+    (1, Tn) parity row — replacing v5's per-block VPU matvec/broadcast
+    machinery and its 1-lane sliver operands. The main MAC / H radix /
+    DIF W dots and the contiguous P±Q segment stores are identical to
+    :func:`_make_kernel_v5`."""
+    m = lh // 2
+    c1 = m - w0
+    l4 = block_w // 4
+    l2 = block_w // 2
+    wc2 = 2 * l4
+    t0 = kw - 1
+    s1 = l2 - t0
+    if s1 >= vw:
+        segs = [(0, vw, 0, 1.0)]
+    else:
+        segs = [(0, s1, 0, 1.0), (s1, min(vw, l2), s1, -1.0)]
+        if vw > l2:
+            segs.append((l2, vw, 0, -1.0))
+    segs = [s for s in segs if s[1] > s[0]]
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, epr_ref,
+                epi_ref, oqr_ref, oqi_ref, slv_ref, par_ref, out_ref,
+                xr_ref, xi_ref):
+        kr = kr_ref[0].astype(jnp.float32)  # (F, 2M, Wc2) H+W permuted
+        ki = ki_ref[0].astype(jnp.float32)
+        ur, ui = ur_ref[...], ui_ref[...]  # (M, M) H sub-transforms
+        epr, epi = epr_ref[...], epi_ref[...]  # (L4, Tn) even-bin synth
+        oqr, oqi = oqr_ref[...], oqi_ref[...]  # (L4, Tn) odd-bin synth
+        dot = _make_dot(precision)
+        dot0 = _make_dot_t0(precision)
+        u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
+            jnp.float32
+        )
+        twr = jnp.cos(jnp.pi * u_row / m)
+        twi = jnp.sin(jnp.pi * u_row / m)
+
+        def csub(sr, si):  # (M, M) @ (M, N) complex
+            if karatsuba:
+                t1 = dot(ur, sr)
+                t2 = dot(ui, si)
+                t3 = dot(ur + ui, sr + si)
+                return t1 - t2, t3 - t1 - t2
+            return (dot(ur, sr) - dot(ui, si),
+                    dot(ur, si) + dot(ui, sr))
+
+        for j in range(mbw):  # static unroll over W-columns of the group
+            for i in range(mbh):  # static unroll over H-rows
+                dr = dr_ref[0, i, j].astype(jnp.float32)  # (F, 2M, Wc2)
+                di = di_ref[0, i, j].astype(jnp.float32)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)  # (2M, Wc2)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                e_r, e_i = csub(s_r[:m], s_i[:m])
+                o_r, o_i = csub(s_r[m:], s_i[m:])
+                t_r = twr * o_r - twi * o_i
+                t_i = twr * o_i + twi * o_r
+                xr_ref[i * vh:i * vh + c1, :] = (e_r + t_r)[w0:, :]
+                xi_ref[i * vh:i * vh + c1, :] = (e_i + t_i)[w0:, :]
+                xr_ref[i * vh + c1:(i + 1) * vh, :] = (e_r - t_r)[: vh - c1, :]
+                xi_ref[i * vh + c1:(i + 1) * vh, :] = (e_i - t_i)[: vh - c1, :]
+            # ---- W radix-2 DIF + rank-1 sliver (MXU) ----
+            p_r = (
+                dot(xr_ref[:, :l4], epr) + dot(xi_ref[:, :l4], epi)
+            )  # (R, Tn) even-bin half synthesis
+            q_r = (
+                dot(xr_ref[:, l4:wc2], oqr) + dot(xi_ref[:, l4:wc2], oqi)
+            )  # (R, Tn) odd-bin twiddled synthesis
+            p_r = p_r + dot0(
+                slv_ref[0, 0, 0, 0, j : j + 1, :], par_ref[...]
+            )
+            for d0, d1, k0, sg in segs:
+                seg = (
+                    p_r[:, k0:k0 + (d1 - d0)] + q_r[:, k0:k0 + (d1 - d0)]
+                    if sg > 0
+                    else p_r[:, k0:k0 + (d1 - d0)]
+                    - q_r[:, k0:k0 + (d1 - d0)]
+                )
+                out_ref[0, 0, :, j * vw + d0:j * vw + d1] = seg.astype(
+                    out_ref.dtype
+                )
+
+    return _kernel
 
 
 def _make_kernel_v5(mbh: int, mbw: int, f: int, vh: int, vw: int,
@@ -1298,6 +1556,112 @@ def _make_kernel_v5_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
     return _kernel
 
 
+def _make_kernel_v5x_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
+                           lh: int, w0: int, block_w: int, kw: int,
+                           out_h: int, out_w: int, precision, karatsuba):
+    """Peaks variant of the v5x kernel: the rank-1 MXU sliver update of
+    :func:`_make_kernel_v5x` with the per-segment (max, argmax) reduction
+    epilogue of :func:`_make_kernel_v5_peaks`."""
+    m = lh // 2
+    c1 = m - w0
+    l4 = block_w // 4
+    l2 = block_w // 2
+    wc2 = 2 * l4
+    t0 = kw - 1
+    s1 = l2 - t0
+    if s1 >= vw:
+        segs = [(0, vw, 0, 1.0)]
+    else:
+        segs = [(0, s1, 0, 1.0), (s1, min(vw, l2), s1, -1.0)]
+        if vw > l2:
+            segs.append((l2, vw, 0, -1.0))
+    segs = [s for s in segs if s[1] > s[0]]
+    setup, _ = _peaks_reducer(mbh, mbw, vh, vw, out_h, out_w)
+
+    def _kernel(dr_ref, di_ref, kr_ref, ki_ref, ur_ref, ui_ref, epr_ref,
+                epi_ref, oqr_ref, oqi_ref, slv_ref, par_ref, val_ref,
+                idx_ref, xr_ref, xi_ref):
+        gh = pl.program_id(1)
+        gw = pl.program_id(2)
+        kr = kr_ref[0].astype(jnp.float32)
+        ki = ki_ref[0].astype(jnp.float32)
+        ur, ui = ur_ref[...], ui_ref[...]
+        epr, epi = epr_ref[...], epi_ref[...]
+        oqr, oqi = oqr_ref[...], oqi_ref[...]
+        dot = _make_dot(precision)
+        dot0 = _make_dot_t0(precision)
+        u_row = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0).astype(
+            jnp.float32
+        )
+        twr = jnp.cos(jnp.pi * u_row / m)
+        twi = jnp.sin(jnp.pi * u_row / m)
+        col_i0, rm, flat0 = setup(gh, gw)
+        best = None
+
+        def csub(sr, si):
+            if karatsuba:
+                t1 = dot(ur, sr)
+                t2 = dot(ui, si)
+                t3 = dot(ur + ui, sr + si)
+                return t1 - t2, t3 - t1 - t2
+            return (dot(ur, sr) - dot(ui, si),
+                    dot(ur, si) + dot(ui, sr))
+
+        for j in range(mbw):
+            for i in range(mbh):
+                dr = dr_ref[0, i, j].astype(jnp.float32)
+                di = di_ref[0, i, j].astype(jnp.float32)
+                s_r = jnp.sum(kr * dr - ki * di, axis=0)
+                s_i = jnp.sum(kr * di + ki * dr, axis=0)
+                e_r, e_i = csub(s_r[:m], s_i[:m])
+                o_r, o_i = csub(s_r[m:], s_i[m:])
+                t_r = twr * o_r - twi * o_i
+                t_i = twr * o_i + twi * o_r
+                xr_ref[i * vh:i * vh + c1, :] = (e_r + t_r)[w0:, :]
+                xi_ref[i * vh:i * vh + c1, :] = (e_i + t_i)[w0:, :]
+                xr_ref[i * vh + c1:(i + 1) * vh, :] = (e_r - t_r)[: vh - c1, :]
+                xi_ref[i * vh + c1:(i + 1) * vh, :] = (e_i - t_i)[: vh - c1, :]
+            # ---- W radix-2 DIF + rank-1 sliver + per-segment reduce ----
+            p_r = dot(xr_ref[:, :l4], epr) + dot(xi_ref[:, :l4], epi)
+            q_r = (
+                dot(xr_ref[:, l4:wc2], oqr) + dot(xi_ref[:, l4:wc2], oqi)
+            )
+            p_r = p_r + dot0(
+                slv_ref[0, 0, 0, 0, j : j + 1, :], par_ref[...]
+            )
+            for d0, d1, k0, sg in segs:
+                seg = (
+                    p_r[:, k0:k0 + (d1 - d0)] + q_r[:, k0:k0 + (d1 - d0)]
+                    if sg > 0
+                    else p_r[:, k0:k0 + (d1 - d0)]
+                    - q_r[:, k0:k0 + (d1 - d0)]
+                )
+                cols = col_i0[:, d0:d1] + j * vw
+                cm = jnp.where(cols < out_w, 0.0, -jnp.inf).astype(
+                    jnp.float32
+                )
+                t = seg + rm + cm
+                v = jnp.max(t)
+                cand = jnp.min(
+                    jnp.where(
+                        t >= v,
+                        flat0[:, d0:d1] + j * vw,
+                        jnp.int32(2147483647),
+                    )
+                )
+                if best is None:
+                    best = (v, cand)
+                else:
+                    bv, bi = best
+                    best = (
+                        jnp.maximum(v, bv), jnp.where(v > bv, cand, bi)
+                    )
+        val_ref[0, 0] = jnp.full((8, 128), best[0], jnp.float32)
+        idx_ref[0, 0] = jnp.full((8, 128), best[1], jnp.int32)
+
+    return _kernel
+
+
 def _make_kernel_v3_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
                           wc: int, out_h: int, out_w: int, precision,
                           karatsuba):
@@ -1417,7 +1781,7 @@ def _make_kernel_v4_peaks(mbh: int, mbw: int, f: int, vh: int, vw: int,
     jax.jit,
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
                      "interpret", "precision", "karatsuba", "mbh", "mbw",
-                     "radix_h", "radix_w"),
+                     "radix_h", "radix_w", "xsliver"),
 )
 def block_conv_peaks_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
@@ -1438,6 +1802,7 @@ def block_conv_peaks_pallas(
     mbw: int | None = None,
     radix_h: bool | None = None,
     radix_w: bool = False,
+    xsliver: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """→ per-cell block-max pyramid: ``(vals, idxs)`` of shape
     (B, N, gbh, gbw) — the max response and its GLOBAL flat position
@@ -1531,8 +1896,14 @@ def block_conv_peaks_pallas(
         )
         l4 = block_w // 4
         wc_full = block_w // 2 + 1
-        dslr, dsli = dr[..., wc_full - 1 :], di[..., wc_full - 1 :]
-        kslr, ksli = kr[..., wc_full - 1 :], ki[..., wc_full - 1 :]
+        if xsliver:
+            slv, par = _xsliver_operands(
+                dr, di, kr, ki, block_h, block_w, kw, vh, vw,
+                mbh, mbw, gbh, gbw,
+            )
+        else:
+            dslr, dsli = dr[..., wc_full - 1 :], di[..., wc_full - 1 :]
+            kslr, ksli = kr[..., wc_full - 1 :], ki[..., wc_full - 1 :]
         perm_w = jnp.concatenate(
             [jnp.arange(0, 2 * l4, 2), jnp.arange(1, 2 * l4, 2)]
         )
@@ -1581,11 +1952,53 @@ def block_conv_peaks_pallas(
             lambda bi, gh, gw, ni: (bi, ni, gh, gw),
             memory_space=pltpu.VMEM,
         )
-        kern = _make_kernel_v5_peaks(
-            mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, out_h, out_w,
-            precision, karatsuba,
-        )
         rows = mbh * vh
+        if xsliver:
+            spec_slv = pl.BlockSpec(
+                (1, 1, 1, 1, mbw, rows),
+                lambda bi, gh, gw, ni: (bi, ni, gh, gw, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            spec_par = pl.BlockSpec(
+                (1, tn), lambda bi, gh, gw, ni: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            kern = _make_kernel_v5x_peaks(
+                mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, out_h,
+                out_w, precision, karatsuba,
+            )
+            scratch = [
+                pltpu.VMEM((rows, wc2), jnp.float32),
+                pltpu.VMEM((rows, wc2), jnp.float32),
+            ]
+            in_specs = [
+                spec_d, spec_d, spec_k5, spec_k5,
+                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_slv, spec_par,
+            ]
+            operands = (dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m,
+                        oqr_m, oqi_m, slv, par)
+        else:
+            kern = _make_kernel_v5_peaks(
+                mbh, mbw, f, vh, vw, lh, lh - vh, block_w, kw, out_h,
+                out_w, precision, karatsuba,
+            )
+            scratch = [
+                pltpu.VMEM((rows, wc2), jnp.float32),
+                pltpu.VMEM((rows, wc2), jnp.float32),
+                pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),
+            ]
+            in_specs = [
+                spec_d, spec_d, spec_k5, spec_k5,
+                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_c2((l4, tn)), spec_c2((l4, tn)),
+                spec_dsl, spec_dsl, spec_ksl, spec_ksl,
+            ]
+            operands = (dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m,
+                        oqr_m, oqi_m, dslr, dsli, kslr, ksli)
         flops = (
             8 * f * lh * wc2  # MAC
             + 16 * m_h * m_h * wc2 + 8 * m_h * wc2  # H radix
@@ -1594,18 +2007,8 @@ def block_conv_peaks_pallas(
         vals8, idxs8 = pl.pallas_call(
             kern,
             grid=grid,
-            scratch_shapes=[
-                pltpu.VMEM((rows, wc2), jnp.float32),
-                pltpu.VMEM((rows, wc2), jnp.float32),
-                pltpu.VMEM((rows, _SLIVER_LANES), jnp.float32),
-            ],
-            in_specs=[
-                spec_d, spec_d, spec_k5, spec_k5,
-                spec_c2((m_h, m_h)), spec_c2((m_h, m_h)),
-                spec_c2((l4, tn)), spec_c2((l4, tn)),
-                spec_c2((l4, tn)), spec_c2((l4, tn)),
-                spec_dsl, spec_dsl, spec_ksl, spec_ksl,
-            ],
+            scratch_shapes=scratch,
+            in_specs=in_specs,
             out_specs=(cell_spec5, cell_spec5),
             out_shape=(
                 jax.ShapeDtypeStruct(
@@ -1626,8 +2029,7 @@ def block_conv_peaks_pallas(
                 transcendentals=4 * (m_h + l4),
             ),
             interpret=interpret,
-        )(dr, di, kr, ki, ur_m, ui_m, epr_m, epi_m, oqr_m, oqi_m,
-          dslr, dsli, kslr, ksli)
+        )(*operands)
         return vals8[:, :, ::8, ::128], idxs8[:, :, ::8, ::128]
 
     mat_t = jnp.bfloat16 if precision == BF16IO else jnp.float32

@@ -365,6 +365,7 @@ def fused_block_conv(
         block_conv_pallas,
         radix_h_legal,
         radix_w_enabled,
+        radix_w_xsliver,
     )
 
     vh = block_h - kh + 1
@@ -377,6 +378,10 @@ def fused_block_conv(
         interpret=jax.default_backend() != "tpu",
         radix_h=use_w or radix_h_legal(block_h, vh),
         radix_w=use_w,
+        xsliver=use_w and radix_w_xsliver(
+            block_h, block_w, kw, jnp.dtype(d_re.dtype).itemsize,
+            f=d_re.shape[3],
+        ),
         out_dtype=out_dtype,
     )
 
@@ -527,6 +532,7 @@ def conv_blocks_peaks(
         from cuda_fft_convolution_tpu.ops.block_conv import (
             block_conv_peaks_pallas,
             radix_w_enabled,
+            radix_w_xsliver,
         )
 
         use_w = radix_w_enabled(
@@ -537,6 +543,10 @@ def conv_blocks_peaks(
             d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
             interpret=jax.default_backend() != "tpu",
             radix_w=use_w,
+            xsliver=use_w and radix_w_xsliver(
+                block_h, block_w, kw, jnp.dtype(d_re.dtype).itemsize,
+                f=d_re.shape[3], head="peaks",
+            ),
         )
         n = vals.shape[1]
         cells = vals.reshape(b, n, -1)
@@ -652,6 +662,7 @@ def conv_blocks_top_k(
         from cuda_fft_convolution_tpu.ops.block_conv import (
             block_conv_peaks_pallas,
             radix_w_enabled,
+            radix_w_xsliver,
         )
 
         use_w = radix_w_enabled(
@@ -662,6 +673,10 @@ def conv_blocks_top_k(
             d_re, d_im, k_re, k_im, block_h, block_w, kh, kw, out_h, out_w,
             interpret=jax.default_backend() != "tpu",
             radix_w=use_w,
+            xsliver=use_w and radix_w_xsliver(
+                block_h, block_w, kw, jnp.dtype(d_re.dtype).itemsize,
+                f=d_re.shape[3], head="peaks",
+            ),
         )
         n = vals.shape[1]
         cells = vals.reshape(b, n, -1)

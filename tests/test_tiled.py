@@ -602,6 +602,7 @@ def test_fftmap_auto_honors_pinned_policy(rng):
     assert rel_err(got, want) < TOL
 
 
+@pytest.mark.parametrize("xsliver", [False, True])
 @pytest.mark.parametrize(
     "bh,bw,kh,kw",
     [
@@ -610,15 +611,17 @@ def test_fftmap_auto_honors_pinned_policy(rng):
         (256, 1024, 65, 257),  # wider block, same alignment class
     ],
 )
-def test_block_conv_v5_radix_w_parity(rng, bh, bw, kh, kw):
+def test_block_conv_v5_radix_w_parity(rng, bh, bw, kh, kw, xsliver):
     """The v5 kernel (radix-2 H stage + radix-2 DIF halves-split W stage
     with the Nyquist-sliver lane layout) is EXACT against the v3 windowed
     kernel — interpret mode off-TPU, the compiled Mosaic kernel under
-    FFTCONV_TEST_TPU=1."""
+    FFTCONV_TEST_TPU=1. ``xsliver=True`` runs the v5x variant (sliver
+    synthesized in XLA, applied as a rank-1 MXU dot) — same contract."""
     import jax.numpy as jnp
 
     from cuda_fft_convolution_tpu.ops.block_conv import (
         block_conv_pallas,
+        block_conv_peaks_pallas,
         radix_h_legal,
         radix_w_legal,
     )
@@ -646,10 +649,23 @@ def test_block_conv_v5_radix_w_parity(rng, bh, bw, kh, kw):
     )
     v5 = block_conv_pallas(
         d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
-        interpret=interp, radix_h=True, radix_w=True,
+        interpret=interp, radix_h=True, radix_w=True, xsliver=xsliver,
     )
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(v5 - ref))) / scale < 2e-5
+    # the peaks epilogue shares the transform path — pin it on the
+    # three-segment production shape per variant
+    if (kh, kw) == (65, 129):
+        rv, ri = block_conv_peaks_pallas(
+            d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+            interpret=interp, radix_h=False,
+        )
+        pv, pi_ = block_conv_peaks_pallas(
+            d_re, d_im, k_re, k_im, bh, bw, kh, kw, out_h, out_w,
+            interpret=interp, radix_w=True, xsliver=xsliver,
+        )
+        assert float(jnp.max(jnp.abs(pv - rv))) / scale < 2e-5
+        assert bool(jnp.all(pi_ == ri))
 
 
 def test_fused_radix_w_registered_plan(rng):
@@ -728,3 +744,32 @@ def test_fused_radix_w_registered_plan(rng):
     assert np.max(np.abs(got - want)) / scale < 1e-5
     ref = fft_conv_full_f64(data, kerns[0])
     assert rel_err(got[0], ref) < 1e-5
+    # sliver='xla' registrations select the v5x variant for that key only
+    from cuda_fft_convolution_tpu.ops.block_conv import (
+        _RADIX_W_XSLIVER,
+        radix_w_xsliver,
+    )
+
+    assert not radix_w_xsliver(256, 512, 129)
+    register_radix_w_plan(256, 1024, 257, sliver="xla")
+    try:
+        assert radix_w_xsliver(256, 1024, 257)
+        assert radix_w_enabled(256, 1024, 65, 257)
+        assert not radix_w_xsliver(256, 1024, 257, head="peaks")
+        # re-registering with the default sliver clears the variant
+        register_radix_w_plan(256, 1024, 257)
+        assert not radix_w_xsliver(256, 1024, 257)
+    finally:
+        _RADIX_W_TABLE.discard((256, 1024, 257, 4, 1))
+        _RADIX_W_XSLIVER.discard((256, 1024, 257, 4, 1))
+    # end-to-end through production dispatch with the headline plan
+    # flipped to v5x (same outputs as the v5/unfused paths)
+    register_radix_w_plan(256, 512, 129, sliver="xla")
+    try:
+        fc.set_config(use_fused_block_conv=True, fused_precision="highest")
+        got_x = np.array(fc.conv_spectral(sd, kerns, mode="full"))
+    finally:
+        fc.set_config(use_fused_block_conv=None, fused_precision="bf16x3")
+        register_radix_w_plan(256, 512, 129)  # restore builtin variant
+        _RADIX_W_TABLE.discard((256, 512, 129, 4, 1))
+    assert np.max(np.abs(got_x - want)) / scale < 1e-5
