@@ -397,6 +397,11 @@ _BUILTIN_GROUPS: dict = {
     # ms/frame streamed vs analytic 16.4, (4,1) 17.3
     # (perf/r4h_v5_k32.py, v5e 2026-08-19).
     (128, 257, 96, 384, 1, 4): (2, 2),
+    # F=1 bf16 @ the v5x (256,512) plan: the analytic (1,3) measured
+    # WINNING over forced (2,2) 10.78 / (1,2) 11.45 at 9.94 ms/frame
+    # streamed (perf/r5a_v5x.py, v5e 2026-08-20) — pinned so chooser
+    # changes can't regress it.
+    (256, 257, 192, 384, 1, 2): (1, 3),
 }
 
 
@@ -425,6 +430,15 @@ _BUILTIN_RADIX_W: set = {
     # (128,511) (one-shot 44.0 vs 51.2); parity exact vs the auto-group
     # v5 run. Same fp32-F=1-only scope as the 64² entry.
     (128, 512, 129, 4, 1),
+    # bf16 serving tier, F=1 headline (round 5, perf/r5a_v5x.py +
+    # r5b_v5x_api.py, v5e 2026-08-20): the v5x variant (XLA-hoisted
+    # sliver — the constant VPU/1-lane-DMA cost that made in-kernel-v5
+    # lose at the tier, PERF.md round 4b) measured 9.94 ms/frame
+    # streamed vs 12.16 at the tier-tuned v3 (128,511) and 10.42 v4 @
+    # (256,511): the tier's first MXU lever, 1.22×. End-to-end through
+    # dispatch: 9.8 ms/frame (42.8 GPix·F/s wall), tier parity 4.7e-3
+    # vs the direct engine.
+    (256, 512, 129, 2, 1),
 }
 
 # The detection head's v5 plans are registered separately: the peaks
@@ -453,10 +467,17 @@ _BUILTIN_RADIX_W_PEAKS: set = {
 # Plans whose registered v5 variant is v5x (XLA-hoisted Nyquist sliver +
 # in-kernel rank-1 MXU update — see _make_kernel_v5x) rather than the
 # original in-kernel-sliver v5. Keys as in _RADIX_W_TABLE; membership here
-# is meaningful only for keys that are also radix-w-enabled.
+# is meaningful only for keys that are also radix-w-enabled. Why the
+# variant is per-tier: at fp32 the fused call is MXU-bound and the
+# in-kernel sliver hides under the dots (v5x measured 19.02 vs 16.62 ms
+# v5, peaks 23.02 vs 19.17 — perf/r5a_v5x.py), while at bf16io the
+# single-pass dots expose it (9.94 v5x vs 10.33 v5 vs 12.16 tier-tuned
+# v3) — round 4c's compute-roofline story, confirmed from the other side.
 _RADIX_W_XSLIVER: set = set()
 _RADIX_W_XSLIVER_PEAKS: set = set()
-_BUILTIN_RADIX_W_XSLIVER: set = set()
+_BUILTIN_RADIX_W_XSLIVER: set = {
+    (256, 512, 129, 2, 1),  # the bf16 F=1 headline plan (round 5)
+}
 _BUILTIN_RADIX_W_XSLIVER_PEAKS: set = set()
 
 
@@ -1092,18 +1113,25 @@ def _xsliver_operands(dr, di, kr, ki, block_h, block_w, kw, vh, vw,
     blocks (zero spectra), matching the main planes."""
     wc_full = block_w // 2 + 1
     f32 = jnp.float32
+    # HIGHEST throughout: these contractions are ~0.1% of the kernel's
+    # flops but at XLA's DEFAULT (single-pass bf16) the sliver values lose
+    # ~1e-3 — measured 6.3e-5 total rel err on-chip, over the fp32 1e-5 bar
+    hi = jax.lax.Precision.HIGHEST
+    es = functools.partial(jnp.einsum, precision=hi)
     dnr = dr[..., wc_full - 1].astype(f32)  # (B, nbh', nbw', F, Lh)
     dni = di[..., wc_full - 1].astype(f32)
     knr = kr[..., wc_full - 1].astype(f32)  # (N, F, Lh)
     kni = ki[..., wc_full - 1].astype(f32)
-    pr = jnp.einsum("bhwfu,nfu->bnhwu", dnr, knr) - jnp.einsum(
+    pr = es("bhwfu,nfu->bnhwu", dnr, knr) - es(
         "bhwfu,nfu->bnhwu", dni, kni
     )
-    pi = jnp.einsum("bhwfu,nfu->bnhwu", dnr, kni) + jnp.einsum(
+    pi = es("bhwfu,nfu->bnhwu", dnr, kni) + es(
         "bhwfu,nfu->bnhwu", dni, knr
     )
     cn_np, sn_np = _sliver_h_mats(block_h, vh)
-    sl = pr @ jnp.asarray(cn_np).T - pi @ jnp.asarray(sn_np).T
+    sl = es("...u,ru->...r", pr, jnp.asarray(cn_np)) - es(
+        "...u,ru->...r", pi, jnp.asarray(sn_np)
+    )
     b, n = sl.shape[0], sl.shape[1]
     sl = sl.reshape(b, n, gbh, mbh, gbw, mbw, vh)
     sl = jnp.transpose(sl, (0, 1, 2, 4, 5, 3, 6)).reshape(

@@ -89,9 +89,20 @@ _BUILTIN: dict = {
     # 36.4 at (128,511)) — unlike f32, whose VMEM gate rejects it.
     (64, 64, 8, "bf16"): (192, 384, True, 256, 511),
     # 64² kernels, F=1 bf16 (the headline config's serving tier): the
-    # HALF-HEIGHT v4 plan (128,511) at 40.0 vs 45.8 at the f32-tuned
-    # (256,511) — the tier's winner differs from f32's.
-    (64, 64, 1, "bf16"): (64, 384, True, 128, 511),
+    # v5x DIF plan at blocks (256, 512) — the round-5 tier MXU lever
+    # (XLA-hoisted Nyquist sliver + rank-1 MXU update,
+    # ops/block_conv._BUILTIN_RADIX_W_XSLIVER): streamed 9.94 ms/frame
+    # kernel-level / 9.8 end-to-end vs 12.16 at the round-4 tier-tuned
+    # v3 (128,511) and 10.42 v4 @ (256,511) (perf/r5a_v5x.py +
+    # r5b_v5x_api.py, v5e 2026-08-20; group (1,3) pinned in
+    # _BUILTIN_GROUPS; tier parity vs direct 4.7e-3).
+    (64, 64, 1, "bf16"): (192, 384, True, 256, 512),
+    # Same envelope at F ∈ [2, 8): the v5x plan is F=1-only (multi-F
+    # measured losing at BOTH sliver variants — perf/r4e_v5_fmulti.py,
+    # r5a_v5x.py: F=2 v5x 12.61 vs v4@511 9.76) — multi-F bf16 banks
+    # keep the round-4 tier plan (128, 511) so the F=1 entry's (256,512)
+    # blocks never leak to them through the bucket fallback.
+    (64, 64, 2, "bf16"): (64, 384, True, 128, 511),
     # 32² kernels, F=1 bf16: (128,511) blocks, valid (96,384): 33.6 vs
     # 39.7 at the f32-tuned family's (64,511).
     (32, 32, 1, "bf16"): (96, 384, True, 128, 511),

@@ -42,6 +42,25 @@ class FftConvPlan:
     _kernel_fft_exec: object
     _conv_exec: object
     head: str | None = None  # None (maps) | 'peaks' | 'top_k' | 'local_peaks'
+    # The TRACEABLE stage functions behind the compiled executables, for
+    # embedding this plan's pipeline inside a larger jitted program (the
+    # fused ragged dispatch, runtime/stream.RaggedConvStream): _trace_fn
+    # is data → spectra planes → _conv_trace_fn(d_re, d_im, k_re, k_im)
+    # → maps (batched internal layout) / head tuple.
+    _data_fft_fn: object = None
+    _conv_fn: object = None
+
+    def trace_frame(self, frame, kfft):
+        """Traceable full per-frame pipeline at this plan's geometry —
+        compose into a caller's own ``jax.jit`` (the compiled executables
+        cannot be re-traced). Returns what ``execute_spectral`` returns."""
+        dfft = self._data_fft_fn(frame)
+        out = self._conv_fn(*dfft, *kfft)
+        if len(self.data_shape) == 4:
+            return out
+        if self.head is None:
+            return out[0]
+        return jax.tree.map(lambda x: x[0], out)
 
     def data_fft(self, data):
         """Compiled ≈ cudaFFTData: (re, im) f32 plane pair
@@ -267,6 +286,8 @@ def make_plan(
         kfft_aval = jax.ShapeDtypeStruct(
             (n, f, block_h, block_w // 2 + 1), store_t
         )
+        conv_fn = _head_wrap(_conv, head, head_k, head_window,
+                             head_threshold)
         return FftConvPlan(
             data_shape=tuple(data_shape),
             kernel_shape=tuple(kernel_shape),
@@ -275,12 +296,12 @@ def make_plan(
             kfft_aval=kfft_aval,
             _data_fft_exec=jax.jit(_data_fft_t).lower(data_aval).compile(),
             _kernel_fft_exec=jax.jit(_kernel_fft_t).lower(kern_aval).compile(),
-            _conv_exec=jax.jit(
-                _head_wrap(_conv, head, head_k, head_window, head_threshold)
-            )
+            _conv_exec=jax.jit(conv_fn)
             .lower(*dfft_avals, kfft_aval, kfft_aval)
             .compile(),
             head=head,
+            _data_fft_fn=_data_fft_t,
+            _conv_fn=conv_fn,
         )
 
     fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
@@ -350,6 +371,7 @@ def make_plan(
     dfft_aval = jax.ShapeDtypeStruct((b, f, fft_h, wc), store_t)
     kfft_aval = jax.ShapeDtypeStruct((n, f, fft_h, wc), store_t)
 
+    conv_fn = _head_wrap(_conv, head, head_k, head_window, head_threshold)
     return FftConvPlan(
         data_shape=tuple(data_shape),
         kernel_shape=tuple(kernel_shape),
@@ -358,10 +380,10 @@ def make_plan(
         kfft_aval=kfft_aval,
         _data_fft_exec=jax.jit(_data_fft).lower(data_aval).compile(),
         _kernel_fft_exec=jax.jit(_kernel_fft).lower(kern_aval).compile(),
-        _conv_exec=jax.jit(
-            _head_wrap(_conv, head, head_k, head_window, head_threshold)
-        )
+        _conv_exec=jax.jit(conv_fn)
         .lower(dfft_aval, dfft_aval, kfft_aval, kfft_aval)
         .compile(),
         head=head,
+        _data_fft_fn=_data_fft,
+        _conv_fn=conv_fn,
     )

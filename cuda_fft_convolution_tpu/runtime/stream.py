@@ -222,28 +222,27 @@ class ConvStream:
 
 
 class RaggedConvFuture:
-    """Joined handle over the per-group futures of one
-    :class:`RaggedConvStream` submission. ``result()`` resolves every
-    group and returns the per-kernel maps in the ORIGINAL cell order —
-    the contract of the reference's heterogeneous cell-array loop
-    (src/cudaConvFFTDataStreams.cu:353-360), which emits one map per cell
-    in cell order."""
+    """Handle over one :class:`RaggedConvStream` submission. ``result()``
+    resolves the fused dispatch and returns the per-kernel maps in the
+    ORIGINAL cell order — the contract of the reference's heterogeneous
+    cell-array loop (src/cudaConvFFTDataStreams.cu:353-360), which emits
+    one map per cell in cell order."""
 
-    __slots__ = ("_futures", "_groups", "_n", "_batched")
+    __slots__ = ("_future", "_groups", "_n", "_batched")
 
-    def __init__(self, futures, groups, n, batched=False):
-        self._futures = futures  # one ConvFuture per shape group
+    def __init__(self, future, groups, n, batched=False):
+        self._future = future  # ONE ConvFuture over the fused program
         self._groups = groups  # per-group original-cell index lists
         self._n = n
         self._batched = batched
 
     def done(self) -> bool:
-        return all(f.done() for f in self._futures)
+        return self._future.done()
 
     def result(self) -> list:
+        per_group = self._future.result()  # tuple, one entry per group
         out: list = [None] * self._n
-        for fut, idx in zip(self._futures, self._groups):
-            stacked = fut.result()  # (N_g, out_h, out_w) / (B, N_g, ...)
+        for stacked, idx in zip(per_group, self._groups):
             if isinstance(stacked, tuple):
                 # head plans: (values, positions), kernel axis after batch
                 kdim = 1 if self._batched else 0
@@ -265,19 +264,21 @@ class RaggedConvStream:
     of mixed kernel sizes) and that ``fft_conv`` reproduces one-shot via
     size bucketing (api._bucket_ragged). Here the same bucketing is fused
     with the serving runtime: kernels are grouped by exact spatial shape,
-    each group gets its own AOT :class:`ConvStream` (its own FFT/block
-    geometry — small kernels never pay the giant kernel's FFT size), and a
-    ``submit`` fans the frame out to every group while
-    :class:`RaggedConvFuture` joins the results back into cell order.
+    each group gets its own AOT plan (its own FFT/block geometry — small
+    kernels never pay the giant kernel's FFT size) with its bank spectra
+    computed ONCE and pinned, and every group's per-frame pipeline is
+    compiled into ONE fused program — a ``submit`` is a single dispatch
+    per frame, not one per group (round 4's ragged row paid ~2× its
+    device cost in per-bucket dispatch + per-frame bank FFTs).
 
         stream = fc.RaggedConvStream(frame_shape, cell_bank, depth=3)
         futures = [stream.submit(f) for f in frames]
         maps = [f.result() for f in futures]      # list, cell order
 
-    ``depth`` bounds in-flight work PER GROUP (each group holds its own
-    output working set; total in-flight HBM is depth × Σ group outputs).
-    Kernels sharing a shape must also share the feature dim (they stack
-    into one bank; fft_conv has the same requirement)."""
+    ``depth`` bounds in-flight submissions (each holds every group's
+    output working set). Kernels sharing a shape must also share the
+    feature dim (they stack into one bank; fft_conv has the same
+    requirement)."""
 
     def __init__(
         self,
@@ -302,41 +303,84 @@ class RaggedConvStream:
             groups.setdefault(tuple(k.shape), []).append(i)
         self._groups = list(groups.values())
         self._n = len(ks)
-        self._streams = [
-            ConvStream.create(
-                tuple(data_shape),
-                jnp.stack([ks[i] for i in idx]),
-                depth=depth,
+        self._data_shape = tuple(data_shape)
+        self._depth = depth
+        self._inflight: collections.deque[ConvFuture] = collections.deque()
+        self._plans = [
+            make_plan(
+                self._data_shape,
+                (len(idx),) + tuple(ks[idx[0]].shape),
                 **plan_kwargs,
             )
             for idx in self._groups
         ]
+        # resident per-group bank spectra, computed once (the model-update
+        # path of a serving loop — the round-4 ragged row recomputed these
+        # per frame through fft_conv)
+        self._kffts = tuple(
+            plan.kernel_fft(jnp.stack([ks[i] for i in idx]))
+            for plan, idx in zip(self._plans, self._groups)
+        )
+        # ONE fused program: every group's data FFT + spectral pipeline
+        # traced together — a submit is a single dispatch, and XLA
+        # schedules the groups' programs back to back on-device.
+        plans = self._plans
+
+        def _fused(frame, kffts):
+            return tuple(
+                p.trace_frame(frame, kf) for p, kf in zip(plans, kffts)
+            )
+
+        frame_aval = jax.ShapeDtypeStruct(self._data_shape, jnp.float32)
+        kfft_avals = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._kffts
+        )
+        self._exec = (
+            jax.jit(_fused).lower(frame_aval, kfft_avals).compile()
+        )
 
     @property
     def num_groups(self) -> int:
-        return len(self._streams)
+        return len(self._groups)
+
+    @property
+    def depth(self) -> int:
+        return self._depth
 
     @property
     def plans(self) -> list:
         """Per-group plans (one FFT/block geometry per kernel shape)."""
-        return [s.plan for s in self._streams]
+        return list(self._plans)
 
     def submit(self, frame) -> RaggedConvFuture:
-        """Fan the frame out to every shape group's stream; returns a
-        joined future resolving to per-kernel maps in cell order (or
-        per-kernel ``(values, positions)`` tuples under a head plan —
-        positions are in each cell's own ``mode`` window frame)."""
-        batched = len(self._streams[0].plan.data_shape) == 4
-        futs = [s.submit(frame) for s in self._streams]
-        return RaggedConvFuture(futs, self._groups, self._n, batched)
+        """Dispatch the fused all-groups program for one frame (a SINGLE
+        device dispatch); returns a future resolving to per-kernel maps
+        in cell order (or per-kernel ``(values, positions)`` tuples under
+        a head plan — positions are in each cell's own ``mode`` window
+        frame). Bounded at ``depth`` unresolved submissions."""
+        validate(
+            tuple(frame.shape) == self._data_shape,
+            f"frame shape {tuple(frame.shape)} != planned "
+            f"{self._data_shape}",
+        )
+        while self._inflight and self._inflight[0].done():
+            self._inflight.popleft()
+        while len(self._inflight) >= self._depth:
+            self._inflight.popleft().result()
+        out = self._exec(jnp.asarray(frame, jnp.float32), self._kffts)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        fut = ConvFuture(_probe_of(leaf), out)
+        self._inflight.append(fut)
+        batched = len(self._data_shape) == 4
+        return RaggedConvFuture(fut, self._groups, self._n, batched)
 
     def map(self, frames: Sequence) -> list:
         futures = [self.submit(f) for f in frames]
         return [f.result() for f in futures]
 
     def flush(self) -> None:
-        for s in self._streams:
-            s.flush()
+        while self._inflight:
+            self._inflight.popleft().result()
 
     def __enter__(self) -> "RaggedConvStream":
         return self

@@ -364,9 +364,14 @@ def test_autotune_multi_f_bucket():
         96, 384, True, 128, 511,
     )
     assert autotune.lookup_tuned_geometry(32, 32, 1)[4] == 512
-    # bf16 bucket-2 falls back to the bf16 F=1 entry before any f32 one
+    # bf16 bucket-2 has its own entry since round 5 (the F=1 entry moved
+    # to the F=1-only v5x (256,512) plan; multi-F keeps the round-4 tier
+    # plan), and the bf16 F=1 entry is the v5x plan
     assert autotune.lookup_tuned_geometry(64, 64, 2, "bfloat16") == (
         64, 384, True, 128, 511,
+    )
+    assert autotune.lookup_tuned_geometry(64, 64, 1, "bfloat16") == (
+        192, 384, True, 256, 512,
     )
     autotune.register_tuned_geometry(64, 64, 48, 192, f=3, fused=False)
     try:

@@ -682,11 +682,16 @@ def test_fused_radix_w_registered_plan(rng):
     kerns = [rng.standard_normal((65, 129, 1)).astype(np.float32)]
     sd = fc.fft_data_tiled(data, 65, 129, block_h=256, block_w=512)
     want = np.array(fc.conv_spectral(sd, kerns, mode="full"))
-    # the measured fp32 F=1 headline plan ships builtin-registered; the
-    # bf16 tier AND multi-F banks measured LOSING and must stay v4
-    # (perf/r4e_v5_fmulti.py); user registration extends per-F
+    # the measured fp32 F=1 headline plan ships builtin-registered (v5,
+    # in-kernel sliver); the bf16 F=1 plan ships as the v5x variant
+    # (round 5 — the tier's MXU lever); multi-F banks measured LOSING at
+    # both variants and stay v4 (perf/r4e_v5_fmulti.py, r5a_v5x.py)
     assert radix_w_enabled(256, 512, 65, 129)
-    assert not radix_w_enabled(256, 512, 65, 129, spec_bytes=2)
+    from cuda_fft_convolution_tpu.ops.block_conv import radix_w_xsliver
+
+    assert not radix_w_xsliver(256, 512, 129)
+    assert radix_w_enabled(256, 512, 65, 129, spec_bytes=2)
+    assert radix_w_xsliver(256, 512, 129, spec_bytes=2)
     assert not radix_w_enabled(256, 512, 65, 129, f=2)
     assert not radix_w_enabled(256, 512, 65, 129, f=4)
     assert not radix_w_enabled(256, 1024, 65, 257)
