@@ -87,6 +87,25 @@ def _time_fn(fn, *args, warmup=2, iters=5, sync_every=1) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _time_stream(stream, frame, iters=18, sync_every=9) -> float:
+    """Steady-state serving through a stream runtime (RaggedConvStream):
+    pipelined submits, honest probe-fetch sync every ``sync_every``
+    frames — the stream analogue of ``_time_fn``'s sync_every mode.
+    ``stream.depth`` must be >= sync_every."""
+    fut = stream.submit(frame)
+    fut.result()  # warmup
+    stream.flush()
+    t0 = time.perf_counter()
+    fut = None
+    done = 0
+    while done < iters:
+        for _ in range(min(sync_every, iters - done)):
+            fut = stream.submit(frame)
+            done += 1
+        fut.result()
+    return (time.perf_counter() - t0) / iters
+
+
 def _rtt_floor() -> float:
     """Measured per-sync round-trip floor (s): a trivial probed program."""
     import jax.numpy as jnp
@@ -238,7 +257,9 @@ def main() -> None:
     v_stream = gpix_filters / t_stream
     del sdt, skt
 
-    v_fftmap = v_amort = v_pipe = v_bf16 = v_bf16_stream = v_batch = None
+    v_fftmap = v_amort = v_bf16 = v_bf16_stream = v_batch = None
+    v_bf16out_stream = None
+    t_bigk = t_gd = None  # one-shot wall times for the minus-RTT details
     v_bigk = v_bigk_stream = v_dpm_direct = v_dpm = None
     v_dpm_direct_stream = None
     v_dpm_stream = None
@@ -265,11 +286,15 @@ def main() -> None:
         conv_d = _probed(lambda s, k: fc.conv_spectral(s, k))
         v_amort = gpix_filters / _time_fn(conv_d, sd, sk, iters=3)
 
-        # pipelined big-bank path (chunked ≈ streams variant)
-        conv_p = _probed(
-            lambda s, k: fc.conv_spectral_pipelined(s, k, chunk_size=16)
-        )
-        v_pipe = gpix_filters / _time_fn(conv_p, sd, sk, iters=3)
+        # NOTE: rounds 1-4 carried a `pipelined` row here
+        # (conv_spectral_pipelined chunk_size=16 on this 100-kernel bank).
+        # It measured statistically identical to amortized_direct in every
+        # round — at this bank size chunking does not bind (XLA already
+        # pipelines the dispatch), so the row was a non-signal (round-4
+        # VERDICT weak #6). Chunked dispatch is still exercised where it
+        # actually binds: the giant-bank DPM rows below run the planner's
+        # HBM-budget chunking end to end, and tests/test_api.py pins the
+        # chunk-floor regression.
         del sd, sk
 
         # bf16 inputs, fp32 spectral accumulation (BASELINE configs[4]
@@ -300,6 +325,19 @@ def main() -> None:
         conv_16 = _probed(lambda s, k: fc.conv_spectral(s, k, mode="same"))
         t_bf16s = _time_fn(conv_16, sdt16, skt16, iters=18, sync_every=9)
         v_bf16_stream = gpix_filters / t_bf16s
+        # out_dtype composition at the headline (round 5, VERDICT #3):
+        # bf16 spectra + bf16 output maps — the maps write is the
+        # dominant output-side traffic term; kernel-level the composed
+        # tier measured 9.69 vs 10.08 ms/frame at the v5x plan
+        # (perf/r5b_v5x_api.py), API-level within noise — this row
+        # records the composed serving number either way.
+        conv_16b = _probed(
+            lambda s, k: fc.conv_spectral(
+                s, k, mode="same", out_dtype="bfloat16"
+            )
+        )
+        t_bf16sb = _time_fn(conv_16b, sdt16, skt16, iters=18, sync_every=9)
+        v_bf16out_stream = gpix_filters / t_bf16sb
         del sdt16, skt16
 
         # batch of 8 images (BASELINE configs[3]; 1024² so the (8, 100, H, W)
@@ -529,13 +567,26 @@ def main() -> None:
         )
         t_rag = _time_fn(rag_fn, rag_data, iters=3)
         v_ragged = (512 * 512 * len(rag_cells) / 1e9) / t_rag
-        # steady-state counterpart: the one-shot row is RTT-bound (the
-        # whole 16-cell frame is ~4 ms of device work under a ~30 ms
-        # tunnel sync) — pipelined dispatch amortizes it like every other
-        # serving row.
-        t_rags = _time_fn(rag_fn, rag_data, iters=12, sync_every=6)
+        # steady-state counterpart (round 5): the serving RUNTIME, not
+        # the one-shot API — RaggedConvStream holds per-shape-group AOT
+        # plans with the bank spectra resident (the round-4 row re-ran
+        # fft_conv per frame: per-bucket bank FFTs recomputed every
+        # frame) and compiles every group's pipeline + completion probe
+        # into ONE fused dispatch per frame (perf/r5d_ragged_diag.py:
+        # split dispatches cost ~14 ms/frame of pure overhead here).
+        # direct group plans measured 4.43 vs 8.88 ms/frame tiled at
+        # these sizes; depth/sync 12 — the 16-cell frame's in-flight set
+        # is only ~16 MB, so the deeper pipeline is nearly free.
+        rag_stream = fc.RaggedConvStream(
+            (512, 512, F), rag_cells, depth=12, algorithm="direct",
+            mode="same",
+        )
+        t_rags = _time_stream(
+            rag_stream, rag_data, iters=24, sync_every=12
+        )
         v_ragged_stream = (512 * 512 * len(rag_cells) / 1e9) / t_rags
-        del rag_data, rag_cells
+        rag_stream.flush()
+        del rag_data, rag_cells, rag_stream
 
         # F=8 fused serving row: the round-4a sweep's admitted F≥8 bf16
         # envelope exercised through dispatch (1024² × 64 kernels of 32²,
@@ -632,13 +683,24 @@ def main() -> None:
             # full-run configs (BENCH_QUICK=1 skips → null):
             "fftmap_parity_GPixF_s": None if v_fftmap is None else round(v_fftmap, 3),
             "amortized_direct_GPixF_s": None if v_amort is None else round(v_amort, 3),
-            "pipelined_GPixF_s": None if v_pipe is None else round(v_pipe, 3),
             "bf16_GPixF_s": None if v_bf16 is None else round(v_bf16, 3),
             "bf16_streaming_GPixF_s": (
                 None if v_bf16_stream is None else round(v_bf16_stream, 3)
             ),
+            # composed serving tier: bf16 spectra + bf16 output maps
+            "bf16_bf16out_streaming_GPixF_s": (
+                None if v_bf16out_stream is None
+                else round(v_bf16out_stream, 3)
+            ),
             "batch8_1024_GPixF_s": None if v_batch is None else round(v_batch, 3),
             "bigkernel_512_GPixF_s": None if v_bigk is None else round(v_bigk, 3),
+            # device-side view (round-4 VERDICT weak #6): the one-shot
+            # row minus the measured tunnel RTT — the residue between
+            # this and the streamed row is dispatch-side host work
+            "bigkernel_512_minus_rtt_GPixF_s": (
+                None if t_bigk is None
+                else round(H * W * NB / 1e9 / max(t_bigk - rtt_s, 1e-9), 3)
+            ),
             "bigkernel_streaming_GPixF_s": (
                 None if v_bigk_stream is None else round(v_bigk_stream, 3)
             ),
@@ -691,6 +753,14 @@ def main() -> None:
             ),
             "dpm_direct_giantbank_GPixF_s": (
                 None if v_dpm_direct is None else round(v_dpm_direct, 3)
+            ),
+            "dpm_direct_minus_rtt_GPixF_s": (
+                None if t_gd is None
+                else round(
+                    IMG4K // 8 * (IMG4K // 8) * NKD / 1e9
+                    / max(t_gd - rtt_s, 1e-9),
+                    3,
+                )
             ),
             "dpm_direct_streaming_GPixF_s": (
                 None if v_dpm_direct_stream is None

@@ -117,6 +117,14 @@ _BUILTIN: dict = {
     # (v5) heads optimally. bf16 keeps the 511 plan (v3-gated tier). ----
     (64, 64, 1, "f32", "peaks"): (192, 384, True, 256, 512),
     (64, 64, 1, "bf16", "peaks"): (192, 384, True, 256, 511),
+    # round-5 cells (perf/r5c_ragged_peaks.py, v5e 2026-08-20 —
+    # detect_peaks API streamed sync/9, 1024²×64 of 32²): 32² bf16 peaks
+    # prefers the TALLER (256,511) cells (4.19 vs 4.33 ms/frame at the
+    # conv-entry fallback's (128,511)) — the r4b taller-cells lesson at
+    # this envelope; F=8 bf16 peaks flips back to (128,511) (6.90 vs
+    # 7.48 — 8 spectra planes per block make tall cells VMEM/fetch-bound).
+    (32, 32, 1, "bf16", "peaks"): (192, 384, True, 256, 511),
+    (32, 32, 8, "bf16", "peaks"): (96, 384, True, 128, 511),
 }
 _MEASURED: dict = {}
 

@@ -50,29 +50,58 @@ def _probe_of(x):
     return jnp.ravel(x)[:_PROBE_N]
 
 
+class _FifoClock:
+    """Shared resolution watermark for one stream's FIFO device queue.
+
+    The device queue executes submissions in order, so fetching submission
+    N's probe proves every submission ≤ N is complete. Futures carry their
+    sequence number and this shared clock: resolving a LATER future marks
+    all earlier ones done WITHOUT their own probe fetch — through a
+    tunneled runtime each probe fetch is a full RTT, and a depth-bounded
+    loop that syncs only every k-th frame would otherwise pay one stale
+    fetch per submit once the pipeline fills (measured +12-14 ms/frame at
+    the ragged serving config, perf/r5d_ragged_diag.py)."""
+
+    __slots__ = ("resolved",)
+
+    def __init__(self):
+        self.resolved = -1
+
+
 class ConvFuture:
     """Handle for one in-flight convolution dispatch.
 
     ``result()`` blocks until the device work is complete (probe fetch) and
     returns the output maps as a device array. Idempotent; cheap after the
-    first call.
+    first call — and free when a LATER future on the same stream already
+    resolved (FIFO order, see :class:`_FifoClock`).
     """
 
-    __slots__ = ("_probe", "_value", "_done")
+    __slots__ = ("_probe", "_value", "_done", "_seq", "_clock")
 
-    def __init__(self, probe, value):
+    def __init__(self, probe, value, seq: int = 0, clock=None):
         self._probe = probe
         self._value = value
         self._done = False
+        self._seq = seq
+        self._clock = clock
 
     def done(self) -> bool:
-        """Whether ``result()`` has already been resolved (bookkeeping —
-        this does not poll the device)."""
-        return self._done
+        """Whether this submission is known complete (resolved directly,
+        or implied by a later same-stream resolution — no device poll)."""
+        return self._done or (
+            self._clock is not None and self._clock.resolved >= self._seq
+        )
 
     def result(self):
         if not self._done:
-            np.asarray(self._probe)  # honest sync (FIFO barrier)
+            if not (
+                self._clock is not None
+                and self._clock.resolved >= self._seq
+            ):
+                np.asarray(self._probe)  # honest sync (FIFO barrier)
+                if self._clock is not None:
+                    self._clock.resolved = self._seq
             self._done = True
             self._probe = None
         return self._value
@@ -118,6 +147,8 @@ class ConvStream:
         self._plan = plan
         self._depth = depth
         self._inflight: collections.deque[ConvFuture] = collections.deque()
+        self._clock = _FifoClock()
+        self._seq = 0
         self.update_kernels(kernels)
 
     @classmethod
@@ -173,6 +204,7 @@ class ConvStream:
                     "for this plan's geometry and store dtype",
                 )
             self._kfft = kernels
+            self._rebuild_submit_fn()
             return
         kernels = jnp.asarray(kernels, jnp.float32)
         validate(
@@ -181,6 +213,27 @@ class ConvStream:
             f"{self._plan.kernel_shape}",
         )
         self._kfft = self._plan.kernel_fft(kernels)
+        self._rebuild_submit_fn()
+
+    def _rebuild_submit_fn(self) -> None:
+        # One probed whole-frame program (data FFT + spectral pipeline +
+        # the 4-float completion probe compiled INTO it), with the
+        # resident bank spectra CLOSED OVER (jit hoists them as constant
+        # args on the C++ dispatch fastpath): a submit is ONE fastpath
+        # dispatch. The previous shape — the plan's split AOT executables
+        # plus a separate probe program — paid 2 extra dispatches AND the
+        # Compiled.call Python dispatch path per frame: measured ~14-18
+        # ms/frame of pure overhead on the tunneled v5e for identical
+        # device work (perf/r5d_ragged_diag.py; the probed jit-closure
+        # form measured 4.2-4.6 ms/frame).
+        plan, kfft = self._plan, self._kfft
+
+        def _frame(frame):
+            out = plan.trace_frame(frame, kfft)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.ravel(leaf)[:_PROBE_N], out
+
+        self._frame_fn = jax.jit(_frame)
 
     def submit(self, frame) -> ConvFuture:
         """Dispatch one frame; returns immediately unless ``depth`` calls
@@ -195,11 +248,9 @@ class ConvStream:
         self._drain_resolved()
         while len(self._inflight) >= self._depth:
             self._inflight.popleft().result()
-        dfft = self._plan.data_fft(frame)
-        out = self._plan.execute_spectral(dfft, self._kfft)
-        # head plans resolve to (values, positions) — probe either way
-        leaf = out[0] if isinstance(out, tuple) else out
-        fut = ConvFuture(_probe_of(leaf), out)
+        probe, out = self._frame_fn(jnp.asarray(frame, jnp.float32))
+        fut = ConvFuture(probe, out, self._seq, self._clock)
+        self._seq += 1
         self._inflight.append(fut)
         return fut
 
@@ -306,6 +357,8 @@ class RaggedConvStream:
         self._data_shape = tuple(data_shape)
         self._depth = depth
         self._inflight: collections.deque[ConvFuture] = collections.deque()
+        self._clock = _FifoClock()
+        self._seq = 0
         self._plans = [
             make_plan(
                 self._data_shape,
@@ -322,22 +375,21 @@ class RaggedConvStream:
             for plan, idx in zip(self._plans, self._groups)
         )
         # ONE fused program: every group's data FFT + spectral pipeline
-        # traced together — a submit is a single dispatch, and XLA
-        # schedules the groups' programs back to back on-device.
-        plans = self._plans
+        # traced together, WITH the completion probe compiled in and the
+        # resident spectra closed over (jit's C++ fastpath) — a submit is
+        # a single fastpath dispatch. Split per-group dispatches + a
+        # separate probe measured 18-24 ms/frame vs 4.2-4.6 for the same
+        # device work on the tunneled v5e (perf/r5d_ragged_diag.py).
+        plans, kffts = self._plans, self._kffts
 
-        def _fused(frame, kffts):
-            return tuple(
+        def _fused(frame):
+            outs = tuple(
                 p.trace_frame(frame, kf) for p, kf in zip(plans, kffts)
             )
+            leaf = jax.tree_util.tree_leaves(outs)[0]
+            return jnp.ravel(leaf)[:_PROBE_N], outs
 
-        frame_aval = jax.ShapeDtypeStruct(self._data_shape, jnp.float32)
-        kfft_avals = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._kffts
-        )
-        self._exec = (
-            jax.jit(_fused).lower(frame_aval, kfft_avals).compile()
-        )
+        self._fused_fn = jax.jit(_fused)
 
     @property
     def num_groups(self) -> int:
@@ -367,9 +419,9 @@ class RaggedConvStream:
             self._inflight.popleft()
         while len(self._inflight) >= self._depth:
             self._inflight.popleft().result()
-        out = self._exec(jnp.asarray(frame, jnp.float32), self._kffts)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        fut = ConvFuture(_probe_of(leaf), out)
+        probe, out = self._fused_fn(jnp.asarray(frame, jnp.float32))
+        fut = ConvFuture(probe, out, self._seq, self._clock)
+        self._seq += 1
         self._inflight.append(fut)
         batched = len(self._data_shape) == 4
         return RaggedConvFuture(fut, self._groups, self._n, batched)
@@ -457,6 +509,8 @@ class ShardedConvStream:
         self._data_shape = tuple(data_shape)
         self._kh, self._kw = int(kernels.shape[1]), int(kernels.shape[2])
         self._inflight: collections.deque[ConvFuture] = collections.deque()
+        self._clock = _FifoClock()
+        self._seq = 0
 
         # Abstract staging pass: fixes the FFT/block geometry and the baked
         # output window with ZERO device work — the spectral pytrees carry
@@ -520,7 +574,8 @@ class ShardedConvStream:
             same_offset=self._same_offset, out_dtype=self._out_dtype,
         )
         leaf = out[0] if isinstance(out, (list, tuple)) else out
-        fut = ConvFuture(_probe_of(leaf), out)
+        fut = ConvFuture(_probe_of(leaf), out, self._seq, self._clock)
+        self._seq += 1
         self._inflight.append(fut)
         return fut
 

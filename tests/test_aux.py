@@ -136,11 +136,15 @@ def test_bench_smoke_all_rows():
     for key in (
         "headline_ms", "amortized_tiled_GPixF_s", "streaming_tiled_GPixF_s",
         "fftmap_parity_GPixF_s", "amortized_direct_GPixF_s",
-        "pipelined_GPixF_s", "bf16_GPixF_s", "bf16_streaming_GPixF_s",
+        "bf16_GPixF_s", "bf16_streaming_GPixF_s",
+        "bf16_bf16out_streaming_GPixF_s",
         "batch8_1024_GPixF_s", "bigkernel_512_GPixF_s",
+        "bigkernel_512_minus_rtt_GPixF_s",
         "bigkernel_streaming_GPixF_s", "dpm_hog_bf16_1024f_GPixF_s",
         "dpm_hog_streaming_GPixF_s", "dpm_direct_giantbank_GPixF_s",
+        "dpm_direct_minus_rtt_GPixF_s",
         "dpm_direct_streaming_GPixF_s",
+        "ragged_bank16_GPixF_s", "ragged_bank16_stream_GPixF_s",
     ):
         assert d.get(key) is not None and d[key] > 0, key
 

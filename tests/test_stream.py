@@ -446,3 +446,32 @@ def test_ragged_stream_head_serving(rng):
             np.asarray(v), np.asarray(want_v)[i], rtol=1e-4
         )
         np.testing.assert_array_equal(np.asarray(p), np.asarray(want_p)[i])
+
+
+def test_fifo_clock_marks_earlier_futures_done(rng):
+    """Resolving a LATER future marks all earlier same-stream futures
+    complete without their own probe fetch (the device queue is FIFO):
+    a serving loop that syncs every k-th frame must not pay one stale
+    probe fetch per submit once the pipeline fills."""
+    bank = rng.standard_normal((2, 4, 4, 1)).astype(np.float32)
+    frame = rng.standard_normal((24, 24, 1)).astype(np.float32)
+    stream = fc.ConvStream.create(
+        (24, 24, 1), bank, depth=8, algorithm="direct", mode="same"
+    )
+    futs = [stream.submit(frame) for _ in range(5)]
+    assert not any(f.done() for f in futs[:4])
+    futs[-1].result()
+    # FIFO implication: every earlier future is now done, and their
+    # result() returns without a probe (probe still attached = no fetch)
+    assert all(f.done() for f in futs)
+    for f in futs[:-1]:
+        assert f._probe is not None  # no fetch happened for these
+        np.testing.assert_allclose(
+            np.asarray(f.result()), np.asarray(futs[-1].result()),
+            rtol=1e-6,
+        )
+    # new submissions are NOT implied done by the old watermark
+    f6 = stream.submit(frame)
+    assert not f6.done()
+    stream.flush()
+    assert f6.done()
