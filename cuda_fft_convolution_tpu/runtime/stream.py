@@ -40,14 +40,7 @@ import numpy as np
 from cuda_fft_convolution_tpu.runtime.plan import FftConvPlan, make_plan
 from cuda_fft_convolution_tpu.utils.errors import validate
 
-_PROBE_N = 4
-
-
-@jax.jit
-def _probe_of(x):
-    """Tiny program enqueued after ``x``'s producer: the device queue is
-    FIFO, so fetching these 4 floats is a completion barrier for ``x``."""
-    return jnp.ravel(x)[:_PROBE_N]
+_PROBE_N = 4  # completion-probe floats, compiled INTO every frame program
 
 
 class _FifoClock:
@@ -526,6 +519,22 @@ class ShardedConvStream:
         )
         self._sk = _mesh.shard_kernel_bank(sk, mesh)
 
+        # One probed whole-frame program: staging + the sharded conv +
+        # the completion probe in a single jitted-closure dispatch (the
+        # pre-sharded bank rides as a hoisted constant with its
+        # NamedSharding). Split stage/conv/probe dispatches cost several
+        # ms each through a tunneled runtime (perf/r5d_ragged_diag.py).
+        def _frame(frame):
+            fsd = self._stage(frame)
+            out = _mesh.conv_spectral_sharded(
+                fsd, self._sk, self._mesh, mode=self._mode,
+                same_offset=self._same_offset, out_dtype=self._out_dtype,
+            )
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.ravel(leaf)[:_PROBE_N], out
+
+        self._frame_fn = jax.jit(_frame)
+
     def _stage(self, frame):
         """Per-frame spectral staging at the planned geometry."""
         from cuda_fft_convolution_tpu import api as _api
@@ -555,10 +564,9 @@ class ShardedConvStream:
         return len(self._inflight)
 
     def submit(self, frame) -> ConvFuture:
-        """Dispatch one frame across the mesh; bounded at ``depth``
-        unresolved submissions (waits on the oldest first)."""
-        from cuda_fft_convolution_tpu.parallel import mesh as _mesh
-
+        """Dispatch one frame across the mesh (a single fused program);
+        bounded at ``depth`` unresolved submissions (waits on the oldest
+        first)."""
         validate(
             tuple(frame.shape) == self._data_shape,
             f"frame shape {tuple(frame.shape)} != planned "
@@ -568,13 +576,8 @@ class ShardedConvStream:
             self._inflight.popleft()
         while len(self._inflight) >= self._depth:
             self._inflight.popleft().result()
-        sd = self._stage(frame)
-        out = _mesh.conv_spectral_sharded(
-            sd, self._sk, self._mesh, mode=self._mode,
-            same_offset=self._same_offset, out_dtype=self._out_dtype,
-        )
-        leaf = out[0] if isinstance(out, (list, tuple)) else out
-        fut = ConvFuture(_probe_of(leaf), out, self._seq, self._clock)
+        probe, out = self._frame_fn(jnp.asarray(frame, jnp.float32))
+        fut = ConvFuture(probe, out, self._seq, self._clock)
         self._seq += 1
         self._inflight.append(fut)
         return fut
