@@ -607,7 +607,7 @@ def _choose_group(
     static_argnames=("block_h", "block_w", "kh", "kw", "out_h", "out_w",
                      "interpret", "precision", "karatsuba", "mbh", "mbw",
                      "wstack", "radix_h", "radix_w", "xsliver",
-                     "out_dtype"),
+                     "assume_permuted", "out_dtype"),
 )
 def block_conv_pallas(
     dr: jnp.ndarray,  # (B, nbh, nbw, F, Lh, Wc) f32 | bf16 (serving tier)
@@ -630,6 +630,7 @@ def block_conv_pallas(
     radix_h: bool = False,
     radix_w: bool = False,
     xsliver: bool = False,
+    assume_permuted: bool = False,
     out_dtype=None,
 ) -> jnp.ndarray:
     """→ (B, N, out_h, out_w) f32 'full'-window linear-convolution maps,
@@ -735,13 +736,17 @@ def block_conv_pallas(
         # even/odd H-row permutation of the spectra (the elementwise MAC
         # commutes with it, so permuting inputs once outside the kernel is
         # exact); sub-transform matrices replace the windowed G.
-        perm = jnp.concatenate(
-            [jnp.arange(0, lh, 2), jnp.arange(1, lh, 2)]
-        )
-        dr = jnp.take(dr, perm, axis=4)
-        di = jnp.take(di, perm, axis=4)
-        kr = jnp.take(kr, perm, axis=2)
-        ki = jnp.take(ki, perm, axis=2)
+        # ``assume_permuted``: the caller stored spectra in radix layout
+        # already (rows even-then-odd; lanes [W-even | W-odd | Nyquist]
+        # under radix_w) — the per-call gathers vanish.
+        if not assume_permuted:
+            perm = jnp.concatenate(
+                [jnp.arange(0, lh, 2), jnp.arange(1, lh, 2)]
+            )
+            dr = jnp.take(dr, perm, axis=4)
+            di = jnp.take(di, perm, axis=4)
+            kr = jnp.take(kr, perm, axis=2)
+            ki = jnp.take(ki, perm, axis=2)
 
     if radix_w:
         # v5: radix-2 DIF (halves-split) W stage on top of the v4 H stage.
@@ -767,7 +772,9 @@ def block_conv_pallas(
         wc_full = block_w // 2 + 1
         if xsliver:
             # v5x: sliver synthesized OUTSIDE (from the H-permuted
-            # planes), handed in as one aligned operand per group
+            # planes), handed in as one aligned operand per group. The
+            # Nyquist lane is the LAST lane in BOTH layouts (packed
+            # natural and radix), so this reads the same slice either way.
             slv, par = _xsliver_operands(
                 dr, di, kr, ki, block_h, block_w, kw, vh, vw,
                 mbh, mbw, gbh, gbw,
@@ -775,13 +782,19 @@ def block_conv_pallas(
         else:
             dslr, dsli = dr[..., wc_full - 1 :], di[..., wc_full - 1 :]
             kslr, ksli = kr[..., wc_full - 1 :], ki[..., wc_full - 1 :]
-        perm_w = jnp.concatenate(
-            [jnp.arange(0, 2 * l4, 2), jnp.arange(1, 2 * l4, 2)]
-        )
-        dr = jnp.take(dr, perm_w, axis=5)
-        di = jnp.take(di, perm_w, axis=5)
-        kr = jnp.take(kr, perm_w, axis=3)
-        ki = jnp.take(ki, perm_w, axis=3)
+        if assume_permuted:
+            # radix-layout storage: lanes already [even | odd | Nyquist]
+            # — the main planes are an aligned slice, no gather
+            dr, di = dr[..., : 2 * l4], di[..., : 2 * l4]
+            kr, ki = kr[..., : 2 * l4], ki[..., : 2 * l4]
+        else:
+            perm_w = jnp.concatenate(
+                [jnp.arange(0, 2 * l4, 2), jnp.arange(1, 2 * l4, 2)]
+            )
+            dr = jnp.take(dr, perm_w, axis=5)
+            di = jnp.take(di, perm_w, axis=5)
+            kr = jnp.take(kr, perm_w, axis=3)
+            ki = jnp.take(ki, perm_w, axis=3)
         mat_t5 = jnp.bfloat16 if precision == BF16IO else jnp.float32
         ur_np, ui_np = _radix_mats(block_h)
         ur_m = jnp.asarray(ur_np, mat_t5)

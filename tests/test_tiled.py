@@ -653,6 +653,24 @@ def test_block_conv_v5_radix_w_parity(rng, bh, bw, kh, kw, xsliver):
     )
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(v5 - ref))) / scale < 2e-5
+    # assume_permuted: radix-layout inputs (rows even|odd, lanes
+    # [W-even | W-odd | Nyquist]) skip the per-call gathers — results
+    # must be BIT-identical to the in-kernel-permute path (measured
+    # rel 0.0 on-chip, perf PERF.md round 5)
+    if (kh, kw) == (65, 129):
+        ph = np.concatenate([np.arange(0, bh, 2), np.arange(1, bh, 2)])
+        l4 = bw // 4
+        pw = np.concatenate(
+            [np.arange(0, 2 * l4, 2), np.arange(1, 2 * l4, 2), [2 * l4]]
+        )
+        dp = tuple(x[:, :, :, :, ph][..., pw] for x in (d_re, d_im))
+        kp = tuple(x[:, :, ph][..., pw] for x in (k_re, k_im))
+        v5p = block_conv_pallas(
+            *dp, *kp, bh, bw, kh, kw, out_h, out_w,
+            interpret=interp, radix_h=True, radix_w=True,
+            xsliver=xsliver, assume_permuted=True,
+        )
+        np.testing.assert_array_equal(np.asarray(v5p), np.asarray(v5))
     # the peaks epilogue shares the transform path — pin it on the
     # three-segment production shape per variant
     if (kh, kw) == (65, 129):
