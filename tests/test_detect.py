@@ -295,7 +295,12 @@ def test_peaks_kernel_v4_radix_parity(rng):
     "dhw,blocks,group,f",
     [
         ((400, 700), (256, 512), (1, 1), 1),
-        ((500, 1200), (256, 512), (2, 2), 3),  # group pad + F>1 sliver sum
+        # group pad in BOTH dims + the F-unrolled sliver sum. F=2 (not 3):
+        # (2, 2) at F=3 exceeds scoped VMEM (modeled 17.1 MB > the 16 MB
+        # limit; Mosaic abort 19.12M measured on v5e) — the model correctly
+        # rejects it, and forcing groups past the model is documented to
+        # abort (block_conv_vmem_bytes docstring).
+        ((500, 1200), (256, 512), (2, 2), 2),
         ((256, 950), (256, 1024), (1, 1), 2),  # vw=896 > l2: 3 DIF segments
     ],
 )
@@ -309,7 +314,9 @@ def test_peaks_kernel_v5_radix_w_parity(rng, dhw, blocks, group, f):
     import jax.numpy as jnp
 
     from cuda_fft_convolution_tpu.ops.block_conv import (
+        _vmem_limit,
         block_conv_peaks_pallas,
+        block_conv_vmem_bytes,
         radix_h_legal,
         radix_w_legal,
     )
@@ -319,6 +326,12 @@ def test_peaks_kernel_v5_radix_w_parity(rng, dhw, blocks, group, f):
     kh, kw = 65, 129
     vh, vw = bh - kh + 1, bw - kw + 1
     assert radix_h_legal(bh, vh) and radix_w_legal(bw, kw, vw)
+    # Guard future param edits: a forced group the VMEM model rejects
+    # Mosaic-aborts on real hardware (scoped-vmem OOM), which reads as a
+    # remote-compile HTTP 500 rather than a parity failure.
+    assert block_conv_vmem_bytes(
+        f, bh // 2, bw // 2 + 1, vh, vw, mbh=group[0], mbw=group[1]
+    ) < _vmem_limit(4), "test config exceeds the scoped-VMEM model"
     out_h, out_w = dh + kh - 1, dw + kw - 1
     data = jnp.asarray(
         rng.standard_normal((1, f, dh, dw)).astype(np.float32)
