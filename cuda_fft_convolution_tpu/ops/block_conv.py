@@ -473,8 +473,13 @@ _BUILTIN_RADIX_W_PEAKS: set = {
 # v5, peaks 23.02 vs 19.17 — perf/r5a_v5x.py), while at bf16io the
 # single-pass dots expose it (9.94 v5x vs 10.33 v5 vs 12.16 tier-tuned
 # v3) — round 4c's compute-roofline story, confirmed from the other side.
-_RADIX_W_XSLIVER: set = set()
-_RADIX_W_XSLIVER_PEAKS: set = set()
+# Dynamic per-key OVERRIDES (True = v5x, False = in-kernel v5): an
+# explicit ``sliver='kernel'`` re-registration must be able to turn a
+# BUILTIN v5x plan back to the in-kernel variant (a plain or-of-sets
+# cannot express that opt-out), so registration records the chosen
+# variant and lookup consults the override before the builtin set.
+_RADIX_W_XSLIVER: dict = {}
+_RADIX_W_XSLIVER_PEAKS: dict = {}
 _BUILTIN_RADIX_W_XSLIVER: set = {
     (256, 512, 129, 2, 1),  # the bf16 F=1 headline plan (round 5)
 }
@@ -490,17 +495,17 @@ def register_radix_w_plan(
     ``head='peaks'`` registers for the detection head's kernel instead
     (separate table — the winners can differ per head). ``sliver='xla'``
     selects the v5x variant (Nyquist sliver synthesized outside the
-    kernel, applied as a rank-1 MXU dot) for this plan."""
+    kernel, applied as a rank-1 MXU dot) for this plan; the default
+    ``sliver='kernel'`` records an explicit opt-out, so re-registering a
+    plan whose BUILTIN variant is v5x flips it back to the in-kernel
+    sliver."""
     key = (block_h, block_w, kw, int(spec_bytes), int(f))
     table = _RADIX_W_TABLE_PEAKS if head == "peaks" else _RADIX_W_TABLE
     table.add(key)
     xtable = (
         _RADIX_W_XSLIVER_PEAKS if head == "peaks" else _RADIX_W_XSLIVER
     )
-    if sliver == "xla":
-        xtable.add(key)
-    else:
-        xtable.discard(key)
+    xtable[key] = sliver == "xla"
     # trace-time dispatch: outer jitted workers (ops.tiled.conv_blocks /
     # conv_blocks_peaks) inline the radix_w_enabled decision — clearing
     # only the kernel wrappers would leave their stale executables live
@@ -543,11 +548,12 @@ def radix_w_xsliver(
     itself."""
     key = (block_h, block_w, kw, int(spec_bytes), int(f))
     if head == "peaks":
-        return (
-            key in _RADIX_W_XSLIVER_PEAKS
-            or key in _BUILTIN_RADIX_W_XSLIVER_PEAKS
-        )
-    return key in _RADIX_W_XSLIVER or key in _BUILTIN_RADIX_W_XSLIVER
+        override = _RADIX_W_XSLIVER_PEAKS.get(key)
+        builtin = key in _BUILTIN_RADIX_W_XSLIVER_PEAKS
+    else:
+        override = _RADIX_W_XSLIVER.get(key)
+        builtin = key in _BUILTIN_RADIX_W_XSLIVER
+    return builtin if override is None else override
 
 
 def register_fused_group(

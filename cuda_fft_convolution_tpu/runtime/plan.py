@@ -38,9 +38,17 @@ class FftConvPlan:
     fft_h: int
     fft_w: int
     kfft_aval: object  # ShapeDtypeStruct of each kernel-spectra plane
-    _data_fft_exec: object
-    _kernel_fft_exec: object
-    _conv_exec: object
+    # Stage executables, compiled lazily from ``_builders`` (3 zero-arg
+    # ``lower().compile()`` thunks). ``make_plan`` forces all three up
+    # front by default (the AOT contract: ``execute`` is pure dispatch);
+    # ``lazy=True`` defers each to first use — the serving streams embed
+    # ``trace_frame`` in their own fused jitted dispatch and never call
+    # the data-FFT/conv executables, so eager builds would pay 2 wasted
+    # multi-minute remote compiles per plan on the tunneled runtime.
+    _builders: tuple = None
+    _data_fft_exec: object = None
+    _kernel_fft_exec: object = None
+    _conv_exec: object = None
     head: str | None = None  # None (maps) | 'peaks' | 'top_k' | 'local_peaks'
     # The TRACEABLE stage functions behind the compiled executables, for
     # embedding this plan's pipeline inside a larger jitted program (the
@@ -49,6 +57,25 @@ class FftConvPlan:
     # → maps (batched internal layout) / head tuple.
     _data_fft_fn: object = None
     _conv_fn: object = None
+
+    def _exec(self, field: str):
+        e = getattr(self, field)
+        if e is None:
+            e = self._builders[
+                ("_data_fft_exec", "_kernel_fft_exec", "_conv_exec").index(
+                    field
+                )
+            ]()
+            object.__setattr__(self, field, e)  # frozen-dataclass cache
+        return e
+
+    def compile_now(self) -> "FftConvPlan":
+        """Force all three stage executables (no-op when already built);
+        returns self. ``make_plan`` calls this unless ``lazy=True``."""
+        self._exec("_data_fft_exec")
+        self._exec("_kernel_fft_exec")
+        self._exec("_conv_exec")
+        return self
 
     def trace_frame(self, frame, kfft):
         """Traceable full per-frame pipeline at this plan's geometry —
@@ -65,10 +92,12 @@ class FftConvPlan:
     def data_fft(self, data):
         """Compiled ≈ cudaFFTData: (re, im) f32 plane pair
         (B, F, fft_h, wc) — split-plane spectra, like the whole library."""
-        return self._data_fft_exec(jnp.asarray(data, jnp.float32))
+        return self._exec("_data_fft_exec")(jnp.asarray(data, jnp.float32))
 
     def kernel_fft(self, kernels):
-        return self._kernel_fft_exec(jnp.asarray(kernels, jnp.float32))
+        return self._exec("_kernel_fft_exec")(
+            jnp.asarray(kernels, jnp.float32)
+        )
 
     def execute(self, data, kernels):
         """Compiled ≈ cudaConvolutionFFT for the planned geometry."""
@@ -89,7 +118,7 @@ class FftConvPlan:
         ``dfft``/``kfft`` are the (re, im) plane pairs from data_fft /
         kernel_fft. With a baked ``head`` the compiled program returns
         ``(values, positions)`` instead of maps (see ``make_plan``)."""
-        out = self._conv_exec(*dfft, *kfft)
+        out = self._exec("_conv_exec")(*dfft, *kfft)
         if len(self.data_shape) == 4:
             return out
         if self.head is None:
@@ -141,6 +170,7 @@ def make_plan(
     head_k: int = 1,
     head_window: int = 3,
     head_threshold: float | None = None,
+    lazy: bool = False,
 ) -> FftConvPlan:
     """AOT-compile a plan for channel-last ``data_shape`` ((H, W, F) or
     (B, H, W, F)) against a uniform bank ``kernel_shape`` (N, Kh, Kw, F).
@@ -172,7 +202,12 @@ def make_plan(
     the full maps to (N, k) scalars (deeper pipelines for the same HBM,
     and a ~10⁴× smaller host fetch through a tunneled runtime — the
     reference demo's consumer reads exactly these peak locations,
-    demoCudaConvolutionFFT.m:58-61)."""
+    demoCudaConvolutionFFT.m:58-61).
+
+    ``lazy=True`` defers each stage's ``lower().compile()`` to its first
+    use (``compile_now()`` forces them) — for callers like the serving
+    streams that retrace the plan via ``trace_frame`` into their own
+    fused dispatch and only ever invoke ``kernel_fft``."""
     validate(algorithm in ("direct", "tiled"), "algorithm: 'direct'|'tiled'")
     from cuda_fft_convolution_tpu.api import _resolve_out_dtype
 
@@ -288,21 +323,24 @@ def make_plan(
         )
         conv_fn = _head_wrap(_conv, head, head_k, head_window,
                              head_threshold)
-        return FftConvPlan(
+        p = FftConvPlan(
             data_shape=tuple(data_shape),
             kernel_shape=tuple(kernel_shape),
             fft_h=block_h,
             fft_w=block_w,
             kfft_aval=kfft_aval,
-            _data_fft_exec=jax.jit(_data_fft_t).lower(data_aval).compile(),
-            _kernel_fft_exec=jax.jit(_kernel_fft_t).lower(kern_aval).compile(),
-            _conv_exec=jax.jit(conv_fn)
-            .lower(*dfft_avals, kfft_aval, kfft_aval)
-            .compile(),
+            _builders=(
+                lambda: jax.jit(_data_fft_t).lower(data_aval).compile(),
+                lambda: jax.jit(_kernel_fft_t).lower(kern_aval).compile(),
+                lambda: jax.jit(conv_fn)
+                .lower(*dfft_avals, kfft_aval, kfft_aval)
+                .compile(),
+            ),
             head=head,
             _data_fft_fn=_data_fft_t,
             _conv_fn=conv_fn,
         )
+        return p if lazy else p.compile_now()
 
     fft_h, fft_w = compute_fft_size(h, w, kh, kw, policy)
     wc = fft_w // 2 + 1
@@ -372,18 +410,21 @@ def make_plan(
     kfft_aval = jax.ShapeDtypeStruct((n, f, fft_h, wc), store_t)
 
     conv_fn = _head_wrap(_conv, head, head_k, head_window, head_threshold)
-    return FftConvPlan(
+    p = FftConvPlan(
         data_shape=tuple(data_shape),
         kernel_shape=tuple(kernel_shape),
         fft_h=fft_h,
         fft_w=fft_w,
         kfft_aval=kfft_aval,
-        _data_fft_exec=jax.jit(_data_fft).lower(data_aval).compile(),
-        _kernel_fft_exec=jax.jit(_kernel_fft).lower(kern_aval).compile(),
-        _conv_exec=jax.jit(conv_fn)
-        .lower(dfft_aval, dfft_aval, kfft_aval, kfft_aval)
-        .compile(),
+        _builders=(
+            lambda: jax.jit(_data_fft).lower(data_aval).compile(),
+            lambda: jax.jit(_kernel_fft).lower(kern_aval).compile(),
+            lambda: jax.jit(conv_fn)
+            .lower(dfft_aval, dfft_aval, kfft_aval, kfft_aval)
+            .compile(),
+        ),
         head=head,
         _data_fft_fn=_data_fft,
         _conv_fn=conv_fn,
     )
+    return p if lazy else p.compile_now()

@@ -100,7 +100,85 @@ class ConvFuture:
         return self._value
 
 
-class ConvStream:
+def _probed_jit(fn):
+    """Jit a per-frame pipeline with the 4-float completion probe compiled
+    INTO the program (the probe is the first leaf's head — fetching it is
+    the honest FIFO completion barrier). One jitted-closure dispatch per
+    submit is the measured serving shape on the tunneled runtime: the
+    split executables + separate-probe form paid ~14-18 ms/frame of pure
+    dispatch overhead for identical device work
+    (perf/r5d_ragged_diag.py)."""
+
+    def _w(frame):
+        out = fn(frame)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.ravel(leaf)[:_PROBE_N], out
+
+    return jax.jit(_w)
+
+
+class _BoundedStream:
+    """Shared bounded-depth dispatch machinery for the serving streams:
+    the in-flight deque, the FIFO resolution clock, sequence numbering,
+    the dispatch-side depth bound, and the flush/context-manager surface.
+    Subclasses own plan construction and per-submit validation and call
+    :meth:`_dispatch` with their probed frame program."""
+
+    def _init_queue(self, depth: int) -> None:
+        validate(depth >= 1, f"depth must be >= 1, got {depth}")
+        self._depth = depth
+        self._inflight: collections.deque[ConvFuture] = collections.deque()
+        self._clock = _FifoClock()
+        self._seq = 0
+
+    @property
+    def depth(self) -> int:
+        return self._depth
+
+    @property
+    def inflight(self) -> int:
+        """Number of unresolved submissions currently queued."""
+        self._drain_resolved()
+        return len(self._inflight)
+
+    def _drain_resolved(self) -> None:
+        # Futures resolved out-of-band (user called result() directly, or
+        # a later same-stream resolution advanced the FIFO clock) no
+        # longer occupy a slot; drop them from the front of the queue.
+        while self._inflight and self._inflight[0].done():
+            self._inflight.popleft()
+
+    def _dispatch(self, frame_fn, frame) -> ConvFuture:
+        # Bound BEFORE dispatching: never more than `depth` unresolved
+        # working sets on device.
+        self._drain_resolved()
+        while len(self._inflight) >= self._depth:
+            self._inflight.popleft().result()
+        probe, out = frame_fn(jnp.asarray(frame, jnp.float32))
+        fut = ConvFuture(probe, out, self._seq, self._clock)
+        self._seq += 1
+        self._inflight.append(fut)
+        return fut
+
+    def map(self, frames: Sequence) -> list:
+        """Convenience: pipeline a whole sequence, return resolved results
+        in order. Peak in-flight work stays at ``depth``."""
+        futures = [self.submit(f) for f in frames]
+        return [f.result() for f in futures]
+
+    def flush(self) -> None:
+        """Block until every outstanding submission has completed."""
+        while self._inflight:
+            self._inflight.popleft().result()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.flush()
+
+
+class ConvStream(_BoundedStream):
     """Serving loop driver: repeated frames against one resident bank.
 
     Built over an AOT :class:`FftConvPlan` (zero retracing at submit time)
@@ -136,12 +214,8 @@ class ConvStream:
     """
 
     def __init__(self, plan: FftConvPlan, kernels, *, depth: int = 3):
-        validate(depth >= 1, f"depth must be >= 1, got {depth}")
+        self._init_queue(depth)
         self._plan = plan
-        self._depth = depth
-        self._inflight: collections.deque[ConvFuture] = collections.deque()
-        self._clock = _FifoClock()
-        self._seq = 0
         self.update_kernels(kernels)
 
     @classmethod
@@ -158,28 +232,19 @@ class ConvStream:
         ``policy``, ``correlation``, ``use_pallas``, ``out_dtype``,
         ``head``/``head_k``/``head_window``/``head_threshold``)."""
         kernels = jnp.asarray(kernels, jnp.float32)
-        plan = make_plan(tuple(data_shape), tuple(kernels.shape), **plan_kwargs)
+        # lazy: the stream dispatches through its own fused jit closure
+        # (below) — of the plan's three executables only kernel_fft is
+        # ever invoked, so the other two would be wasted multi-minute
+        # remote compiles on the tunneled runtime.
+        plan = make_plan(
+            tuple(data_shape), tuple(kernels.shape), lazy=True,
+            **plan_kwargs,
+        )
         return cls(plan, kernels, depth=depth)
 
     @property
     def plan(self) -> FftConvPlan:
         return self._plan
-
-    @property
-    def depth(self) -> int:
-        return self._depth
-
-    @property
-    def inflight(self) -> int:
-        """Number of unresolved submissions currently queued."""
-        self._drain_resolved()
-        return len(self._inflight)
-
-    def _drain_resolved(self) -> None:
-        # Futures resolved out-of-band (user called result() directly) no
-        # longer occupy a slot; drop them from the front of the queue.
-        while self._inflight and self._inflight[0].done():
-            self._inflight.popleft()
 
     def update_kernels(self, kernels) -> None:
         """(Re)compute and pin the resident bank spectra — the model-update
@@ -209,24 +274,14 @@ class ConvStream:
         self._rebuild_submit_fn()
 
     def _rebuild_submit_fn(self) -> None:
-        # One probed whole-frame program (data FFT + spectral pipeline +
-        # the 4-float completion probe compiled INTO it), with the
-        # resident bank spectra CLOSED OVER (jit hoists them as constant
-        # args on the C++ dispatch fastpath): a submit is ONE fastpath
-        # dispatch. The previous shape — the plan's split AOT executables
-        # plus a separate probe program — paid 2 extra dispatches AND the
-        # Compiled.call Python dispatch path per frame: measured ~14-18
-        # ms/frame of pure overhead on the tunneled v5e for identical
-        # device work (perf/r5d_ragged_diag.py; the probed jit-closure
-        # form measured 4.2-4.6 ms/frame).
+        # One probed whole-frame program (data FFT + spectral pipeline),
+        # with the resident bank spectra CLOSED OVER (jit hoists them as
+        # constant args on the C++ dispatch fastpath): a submit is ONE
+        # fastpath dispatch (see _probed_jit for the measured why).
         plan, kfft = self._plan, self._kfft
-
-        def _frame(frame):
-            out = plan.trace_frame(frame, kfft)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.ravel(leaf)[:_PROBE_N], out
-
-        self._frame_fn = jax.jit(_frame)
+        self._frame_fn = _probed_jit(
+            lambda frame: plan.trace_frame(frame, kfft)
+        )
 
     def submit(self, frame) -> ConvFuture:
         """Dispatch one frame; returns immediately unless ``depth`` calls
@@ -236,33 +291,7 @@ class ConvStream:
             f"frame shape {tuple(frame.shape)} != planned "
             f"{self._plan.data_shape}",
         )
-        # Bound BEFORE dispatching: never more than `depth` unresolved
-        # working sets on device.
-        self._drain_resolved()
-        while len(self._inflight) >= self._depth:
-            self._inflight.popleft().result()
-        probe, out = self._frame_fn(jnp.asarray(frame, jnp.float32))
-        fut = ConvFuture(probe, out, self._seq, self._clock)
-        self._seq += 1
-        self._inflight.append(fut)
-        return fut
-
-    def map(self, frames: Sequence) -> list:
-        """Convenience: pipeline a whole sequence, return resolved maps in
-        order. Peak in-flight work stays at ``depth``."""
-        futures = [self.submit(f) for f in frames]
-        return [f.result() for f in futures]
-
-    def flush(self) -> None:
-        """Block until every outstanding submission has completed."""
-        while self._inflight:
-            self._inflight.popleft().result()
-
-    def __enter__(self) -> "ConvStream":
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self.flush()
+        return self._dispatch(self._frame_fn, frame)
 
 
 class RaggedConvFuture:
@@ -301,7 +330,7 @@ class RaggedConvFuture:
         return out
 
 
-class RaggedConvStream:
+class RaggedConvStream(_BoundedStream):
     """Bounded-depth serving for a HETEROGENEOUS kernel cell array — the
     composition the reference's streams loop does in one pass
     (src/cudaConvFFTDataStreams.cu:338-469: round-robin over a cell array
@@ -348,14 +377,16 @@ class RaggedConvStream:
         self._groups = list(groups.values())
         self._n = len(ks)
         self._data_shape = tuple(data_shape)
-        self._depth = depth
-        self._inflight: collections.deque[ConvFuture] = collections.deque()
-        self._clock = _FifoClock()
-        self._seq = 0
+        self._init_queue(depth)
+        # lazy: only each plan's kernel_fft executable is ever invoked
+        # (once, just below) — the per-frame pipeline runs through the
+        # fused jit closure, so eager data-FFT/conv builds would be 2
+        # wasted multi-minute remote compiles PER GROUP.
         self._plans = [
             make_plan(
                 self._data_shape,
                 (len(idx),) + tuple(ks[idx[0]].shape),
+                lazy=True,
                 **plan_kwargs,
             )
             for idx in self._groups
@@ -368,29 +399,20 @@ class RaggedConvStream:
             for plan, idx in zip(self._plans, self._groups)
         )
         # ONE fused program: every group's data FFT + spectral pipeline
-        # traced together, WITH the completion probe compiled in and the
-        # resident spectra closed over (jit's C++ fastpath) — a submit is
-        # a single fastpath dispatch. Split per-group dispatches + a
-        # separate probe measured 18-24 ms/frame vs 4.2-4.6 for the same
-        # device work on the tunneled v5e (perf/r5d_ragged_diag.py).
+        # traced together, with the resident spectra closed over — a
+        # submit is a single fastpath dispatch (split per-group dispatches
+        # + a separate probe measured 18-24 ms/frame vs 4.2-4.6 for the
+        # same device work; see _probed_jit).
         plans, kffts = self._plans, self._kffts
-
-        def _fused(frame):
-            outs = tuple(
+        self._fused_fn = _probed_jit(
+            lambda frame: tuple(
                 p.trace_frame(frame, kf) for p, kf in zip(plans, kffts)
             )
-            leaf = jax.tree_util.tree_leaves(outs)[0]
-            return jnp.ravel(leaf)[:_PROBE_N], outs
-
-        self._fused_fn = jax.jit(_fused)
+        )
 
     @property
     def num_groups(self) -> int:
         return len(self._groups)
-
-    @property
-    def depth(self) -> int:
-        return self._depth
 
     @property
     def plans(self) -> list:
@@ -408,33 +430,12 @@ class RaggedConvStream:
             f"frame shape {tuple(frame.shape)} != planned "
             f"{self._data_shape}",
         )
-        while self._inflight and self._inflight[0].done():
-            self._inflight.popleft()
-        while len(self._inflight) >= self._depth:
-            self._inflight.popleft().result()
-        probe, out = self._fused_fn(jnp.asarray(frame, jnp.float32))
-        fut = ConvFuture(probe, out, self._seq, self._clock)
-        self._seq += 1
-        self._inflight.append(fut)
+        fut = self._dispatch(self._fused_fn, frame)
         batched = len(self._data_shape) == 4
         return RaggedConvFuture(fut, self._groups, self._n, batched)
 
-    def map(self, frames: Sequence) -> list:
-        futures = [self.submit(f) for f in frames]
-        return [f.result() for f in futures]
 
-    def flush(self) -> None:
-        while self._inflight:
-            self._inflight.popleft().result()
-
-    def __enter__(self) -> "RaggedConvStream":
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self.flush()
-
-
-class ShardedConvStream:
+class ShardedConvStream(_BoundedStream):
     """Bounded-depth serving over a device MESH — the composed equivalent
     of the reference's full streams design: a stream pool for latency
     hiding × a multi-GPU kernel round-robin for scale
@@ -480,7 +481,6 @@ class ShardedConvStream:
 
         _api._resolve_out_dtype(out_dtype)  # validate at construction
 
-        validate(depth >= 1, f"depth must be >= 1, got {depth}")
         validate(
             algorithm in ("tiled", "direct"),
             "algorithm must be 'tiled' or 'direct'",
@@ -498,12 +498,9 @@ class ShardedConvStream:
         self._same_offset = same_offset
         self._store_dtype = store_dtype
         self._out_dtype = out_dtype
-        self._depth = depth
         self._data_shape = tuple(data_shape)
         self._kh, self._kw = int(kernels.shape[1]), int(kernels.shape[2])
-        self._inflight: collections.deque[ConvFuture] = collections.deque()
-        self._clock = _FifoClock()
-        self._seq = 0
+        self._init_queue(depth)
 
         # Abstract staging pass: fixes the FFT/block geometry and the baked
         # output window with ZERO device work — the spectral pytrees carry
@@ -519,21 +516,17 @@ class ShardedConvStream:
         )
         self._sk = _mesh.shard_kernel_bank(sk, mesh)
 
-        # One probed whole-frame program: staging + the sharded conv +
-        # the completion probe in a single jitted-closure dispatch (the
-        # pre-sharded bank rides as a hoisted constant with its
-        # NamedSharding). Split stage/conv/probe dispatches cost several
-        # ms each through a tunneled runtime (perf/r5d_ragged_diag.py).
+        # One probed whole-frame program: staging + the sharded conv in a
+        # single jitted-closure dispatch (the pre-sharded bank rides as a
+        # hoisted constant with its NamedSharding; see _probed_jit).
         def _frame(frame):
             fsd = self._stage(frame)
-            out = _mesh.conv_spectral_sharded(
+            return _mesh.conv_spectral_sharded(
                 fsd, self._sk, self._mesh, mode=self._mode,
                 same_offset=self._same_offset, out_dtype=self._out_dtype,
             )
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.ravel(leaf)[:_PROBE_N], out
 
-        self._frame_fn = jax.jit(_frame)
+        self._frame_fn = _probed_jit(_frame)
 
     def _stage(self, frame):
         """Per-frame spectral staging at the planned geometry."""
@@ -553,16 +546,6 @@ class ShardedConvStream:
             frame, self._kh, self._kw, store_dtype=self._store_dtype
         )
 
-    @property
-    def depth(self) -> int:
-        return self._depth
-
-    @property
-    def inflight(self) -> int:
-        while self._inflight and self._inflight[0].done():
-            self._inflight.popleft()
-        return len(self._inflight)
-
     def submit(self, frame) -> ConvFuture:
         """Dispatch one frame across the mesh (a single fused program);
         bounded at ``depth`` unresolved submissions (waits on the oldest
@@ -572,27 +555,4 @@ class ShardedConvStream:
             f"frame shape {tuple(frame.shape)} != planned "
             f"{self._data_shape}",
         )
-        while self._inflight and self._inflight[0].done():
-            self._inflight.popleft()
-        while len(self._inflight) >= self._depth:
-            self._inflight.popleft().result()
-        probe, out = self._frame_fn(jnp.asarray(frame, jnp.float32))
-        fut = ConvFuture(probe, out, self._seq, self._clock)
-        self._seq += 1
-        self._inflight.append(fut)
-        return fut
-
-    def map(self, frames: Sequence) -> list:
-        """Pipeline a sequence; peak in-flight work stays at ``depth``."""
-        futures = [self.submit(f) for f in frames]
-        return [f.result() for f in futures]
-
-    def flush(self) -> None:
-        while self._inflight:
-            self._inflight.popleft().result()
-
-    def __enter__(self) -> "ShardedConvStream":
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self.flush()
+        return self._dispatch(self._frame_fn, frame)

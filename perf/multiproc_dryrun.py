@@ -151,7 +151,15 @@ def main() -> int:
         )
         for i in range(num_procs)
     ]
-    rcs = [p.wait(timeout=600) for p in procs]
+    try:
+        rcs = [p.wait(timeout=600) for p in procs]
+    finally:
+        # a hung/failed worker must not orphan its sibling holding the
+        # coordinator port (the pytest wrapper kills only this parent)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     if any(rcs):
         print(f"FAILED: worker return codes {rcs}", flush=True)
         return 1

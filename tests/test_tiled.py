@@ -784,7 +784,20 @@ def test_fused_radix_w_registered_plan(rng):
         assert not radix_w_xsliver(256, 1024, 257)
     finally:
         _RADIX_W_TABLE.discard((256, 1024, 257, 4, 1))
-        _RADIX_W_XSLIVER.discard((256, 1024, 257, 4, 1))
+        _RADIX_W_XSLIVER.pop((256, 1024, 257, 4, 1), None)
+    # ...and the opt-out works against a BUILTIN v5x plan too: the shipped
+    # bf16 headline plan re-registered with sliver='kernel' must actually
+    # flip back to the in-kernel variant (a set-union lookup could not)
+    assert radix_w_xsliver(256, 512, 129, spec_bytes=2)
+    register_radix_w_plan(256, 512, 129, spec_bytes=2)
+    try:
+        assert not radix_w_xsliver(256, 512, 129, spec_bytes=2)
+        register_radix_w_plan(256, 512, 129, spec_bytes=2, sliver="xla")
+        assert radix_w_xsliver(256, 512, 129, spec_bytes=2)
+    finally:
+        _RADIX_W_TABLE.discard((256, 512, 129, 2, 1))
+        _RADIX_W_XSLIVER.pop((256, 512, 129, 2, 1), None)
+    assert radix_w_xsliver(256, 512, 129, spec_bytes=2)  # builtin restored
     # end-to-end through production dispatch with the headline plan
     # flipped to v5x (same outputs as the v5/unfused paths)
     register_radix_w_plan(256, 512, 129, sliver="xla")
