@@ -532,3 +532,35 @@ def test_fused_group_override_dispatch(rng):
     finally:
         bc._GROUP_TABLE.clear()
         fc.set_config(use_fused_block_conv=None)  # clears jit caches
+
+
+def test_aot_plan_lazy_compiles_on_demand(rng):
+    """make_plan(lazy=True) defers every stage's lower().compile() to its
+    first use and matches the eager plan bit-for-bit; compile_now()
+    forces the remaining stages. The serving streams rely on this: they
+    dispatch through their own fused jit closures and only ever invoke
+    kernel_fft, so eager builds of the other two executables would be
+    pure waste (multi-minute remote compiles on a tunneled runtime)."""
+    data = rng.standard_normal((40, 52, 2)).astype(np.float32)
+    bank = rng.standard_normal((3, 7, 5, 2)).astype(np.float32)
+    lazy = make_plan(data.shape, bank.shape, mode="same", lazy=True)
+    assert lazy._data_fft_exec is None
+    assert lazy._kernel_fft_exec is None
+    assert lazy._conv_exec is None
+    eager = make_plan(data.shape, bank.shape, mode="same")
+    assert eager._conv_exec is not None  # default unchanged: AOT up front
+    # single-stage use compiles ONLY that stage
+    kfft = lazy.kernel_fft(bank)
+    assert lazy._kernel_fft_exec is not None
+    assert lazy._data_fft_exec is None and lazy._conv_exec is None
+    out_lazy = lazy.execute_spectral(lazy.data_fft(data), kfft)
+    assert lazy._data_fft_exec is not None and lazy._conv_exec is not None
+    np.testing.assert_array_equal(
+        np.asarray(out_lazy), np.asarray(eager.execute(data, bank))
+    )
+    # compile_now is idempotent and returns the plan
+    assert lazy.compile_now() is lazy
+    fresh = make_plan(
+        data.shape, bank.shape, mode="same", algorithm="tiled", lazy=True
+    ).compile_now()
+    assert fresh._conv_exec is not None
